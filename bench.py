@@ -1,0 +1,73 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
+JSON line with per-query wall times.
+
+Each query is forced to full materialization with a count-style action that
+cannot be optimized into metadata-only access (we aggregate over every result
+column via a cheap reduce), so the timing covers scan → shuffle → final stage.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mlops_pipelines_featurestore_gcp_spark import get_spark, plans  # noqa: E402
+
+# Headline set: one per operator family — scan/agg, top-k, multi-join, semi,
+# window, rollup, range-join, distinct, json, plus the LLM-data operators
+# (added as their modules land).
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_filter_project_topk",
+    "q03_shipping_priority",
+    "q04_order_priority_semi",
+    "q05_nation_volume",
+    "q06_forecast_revenue",
+    "q08_outer_join_counts",
+    "q09_topn_per_group",
+    "q12_rollup",
+    "q14_distinct_agg",
+    "q20_range_join_latency",
+    "q25_json_and_case",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    names = [n for n in HEADLINE if n in plans.QUERIES]
+    # Warm the JVM + parquet footer caches once with the cheapest query.
+    plans.QUERIES[names[0]].fn(spark, sf_dir).limit(1).collect()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = plans.QUERIES[name].fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

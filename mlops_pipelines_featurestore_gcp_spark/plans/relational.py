@@ -1,0 +1,818 @@
+"""Relational core: the general query surface (SURVEY.md §2.2-§2.6).
+
+The reference delegates every relational operation to BigQuery (its only SQL
+is ``SELECT * FROM {table}`` at ``ingester_component.py:33-35``); this module
+owns that surface in Spark: scans, filters, projections, every join type,
+aggregation (incl. distinct / rollup / cube), window functions, sorts /
+limits / top-k, set ops, and the scalar function classes (string / date /
+math / conditional / json).
+
+Cross-engine determinism rules (vs the DuckDB oracle):
+- Money aggregates are summed as DECIMAL (exact), then cast to DOUBLE — the
+  float-association drift of a parallel double sum would otherwise flip the
+  last bits between engines.
+- Every top-k sort carries a unique key as the final tie-break.
+- Computed integer columns are cast to BIGINT on both sides.
+- Transcendental functions are rounded to 6 places on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from mlops_pipelines_featurestore_gcp_spark.plans.registry import register
+from mlops_pipelines_featurestore_gcp_spark.sources.catalog import load_table
+
+
+def _dec_sum(col, scale: int = 2, prec: int = 18):
+    """Exact sum of a money-ish column: accumulate in DECIMAL, emit DOUBLE."""
+    return F.sum(col.cast(f"decimal({prec},{scale})")).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# Aggregation / scan / filter
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q01_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "scan", "filter"),
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: filtered scan → hash aggregate.
+
+    Scale notes: the filter and the 7-column projection both push into the
+    parquet scan; the aggregation is partial (map-side) then final — one
+    shuffle on a 6-value grouping key. Decimal accumulation keeps the result
+    bit-stable under any partitioning.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dec_sum(F.col("l_quantity")).alias("sum_qty"),
+            _dec_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=4).alias("sum_disc_price"),
+            _dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")), scale=6
+            ).alias("sum_charge"),
+            (_dec_sum(F.col("l_quantity")) / F.count("*")).alias("avg_qty"),
+            (_dec_sum(F.col("l_discount")) / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q02_filter_project_topk",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+    FROM orders
+    WHERE o_orderstatus = 'O' AND o_totalprice > 1000.0
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25
+    """,
+    tags=("scan", "filter", "sort", "limit"),
+)
+def q02_filter_project_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered scan → projection → top-k (TakeOrderedAndProject).
+
+    The unique ``o_orderkey`` tie-break makes the limit deterministic. Spark
+    lowers orderBy+limit to a per-partition top-k + driver merge — no global
+    sort shuffle at any scale.
+    """
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        orders.where((F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 1000.0))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(25)
+    )
+
+
+@register(
+    "q06_forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24
+    """,
+    tags=("agg", "filter"),
+)
+def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped scalar aggregate — every predicate pushes to parquet."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.03, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _dec_sum(F.col("l_extendedprice") * F.col("l_discount"), scale=4).alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q03_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           o.o_orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate > TIMESTAMP '1996-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+    tags=("join", "agg", "sort", "limit"),
+)
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped 3-way join → agg → top-10.
+
+    The filtered customer side is dimension-sized → broadcast into orders
+    (no shuffle); only orders⋈lineitem shuffles, on the join key that is also
+    the grouping key, so Catalyst reuses the exchange for the aggregate.
+    """
+    c = load_table(spark, "customer", sf_dir).where(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, "orders", sf_dir).where(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    l = load_table(spark, "lineitem", sf_dir).where(
+        F.col("l_shipdate") > F.lit("1996-03-15").cast("timestamp")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(_dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=4).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q04_order_priority_semi",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01' AND o_orderdate < TIMESTAMP '1996-10-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+      )
+    GROUP BY o_orderpriority
+    """,
+    tags=("join", "semi", "agg"),
+)
+def q04_order_priority_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS) + aggregate, TPC-H Q4-shaped."""
+    o = load_table(spark, "orders", sf_dir).where(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    l = load_table(spark, "lineitem", sf_dir)
+    return (
+        o.join(
+            l,
+            (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@register(
+    "q05_nation_volume",
+    oracle="""
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = n.n_nationkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+    GROUP BY n.n_name
+    """,
+    tags=("join", "agg"),
+)
+def q05_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped 6-table join: local-supplier volume per nation.
+
+    region/nation/supplier/customer are all dimension-sized → broadcasts; the
+    single big shuffle is orders⋈lineitem. The supplier-nation = customer-
+    nation predicate rides on the join, not a post-filter.
+    """
+    r = load_table(spark, "region", sf_dir).where(F.col("r_name") == "ASIA")
+    n = load_table(spark, "nation", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    o = load_table(spark, "orders", sf_dir).where(
+        F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")
+    )
+    l = load_table(spark, "lineitem", sf_dir)
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)), c.c_nationkey == F.col("n_nationkey"))
+        .join(F.broadcast(s), (l.l_suppkey == s.s_suppkey) & (s.s_nationkey == F.col("n_nationkey")))
+        .groupBy("n_name")
+        .agg(
+            _dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=4).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q07_customers_no_orders",
+    oracle="""
+    SELECT c.c_mktsegment, COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+    )
+    GROUP BY c.c_mktsegment
+    """,
+    tags=("join", "anti", "agg"),
+)
+def q07_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no recent orders, per segment."""
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir).where(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            _dec_sum(F.col("c_acctbal")).alias("total_acctbal"),
+        )
+    )
+
+
+@register(
+    "q08_outer_join_counts",
+    oracle="""
+    SELECT n_orders, COUNT(*) AS n_customers
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    )
+    GROUP BY n_orders
+    """,
+    tags=("join", "outer", "agg"),
+)
+def q08_outer_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-order count distribution (TPC-H Q13-shaped left outer join).
+
+    COUNT(o_orderkey) over the outer join counts zero for order-less
+    customers — the classic histogram-of-activity query.
+    """
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count(o.o_orderkey).alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count("*").alias("n_customers"))
+
+
+@register(
+    "q19_cross_join_regions",
+    oracle="""
+    SELECT a.r_name AS from_region, b.r_name AS to_region
+    FROM region a CROSS JOIN region b
+    WHERE a.r_regionkey <> b.r_regionkey
+    """,
+    tags=("join", "cross"),
+)
+def q19_cross_join_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join (broadcast nested loop) over the 5-row region table."""
+    a = load_table(spark, "region", sf_dir).select(
+        F.col("r_regionkey").alias("a_key"), F.col("r_name").alias("from_region")
+    )
+    b = load_table(spark, "region", sf_dir).select(
+        F.col("r_regionkey").alias("b_key"), F.col("r_name").alias("to_region")
+    )
+    return a.crossJoin(b).where(F.col("a_key") != F.col("b_key")).select("from_region", "to_region")
+
+
+@register(
+    "q20_range_join_latency",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_late_items,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS late_qty
+    FROM orders o
+    JOIN lineitem l
+      ON l.l_orderkey = o.o_orderkey
+     AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("join", "range"),
+)
+def q20_range_join_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi + non-equi (range) join: items shipped >60 days after order.
+
+    The equi key carries the shuffle; the range predicate evaluates inside
+    the sort-merge join, so this stays a single-shuffle plan at any scale.
+    """
+    o = load_table(spark, "orders", sf_dir)
+    l = load_table(spark, "lineitem", sf_dir)
+    return (
+        l.join(
+            o,
+            (l.l_orderkey == o.o_orderkey)
+            & (l.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_late_items"),
+            _dec_sum(F.col("l_quantity")).alias("late_qty"),
+        )
+    )
+
+
+@register(
+    "q21_in_and_scalar_subquery",
+    oracle="""
+    SELECT c.c_mktsegment, COUNT(*) AS n_big_spenders
+    FROM customer c
+    WHERE c.c_custkey IN (
+        SELECT o_custkey FROM orders
+        WHERE o_totalprice > (SELECT AVG(o_totalprice) * 1.5 FROM orders)
+    )
+    GROUP BY c.c_mktsegment
+    """,
+    tags=("subquery", "semi", "agg"),
+)
+def q21_in_and_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery (→ semi join) gated by an uncorrelated scalar subquery.
+
+    Expressed through the engine's SQL front-end — Catalyst rewrites the IN
+    to a left-semi hash join and evaluates the scalar subquery once.
+
+    Determinism note: AVG over doubles is order-dependent in the last ulp,
+    but it only feeds a strict > threshold — a knife-edge row would need a
+    price within ~1e-9 of avg*1.5, impossible on 2-decimal money data.
+    """
+    from mlops_pipelines_featurestore_gcp_spark.sources.catalog import register_temp_views
+
+    register_temp_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_mktsegment, COUNT(*) AS n_big_spenders
+        FROM customer c
+        WHERE c.c_custkey IN (
+            SELECT o_custkey FROM orders
+            WHERE o_totalprice > (SELECT AVG(o_totalprice) * 1.5 FROM orders)
+        )
+        GROUP BY c.c_mktsegment
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q09_topn_per_group",
+    oracle="""
+    SELECT c_custkey, o_orderkey, o_totalprice, rn
+    FROM (
+      SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    )
+    WHERE rn <= 3
+    """,
+    tags=("window", "topk"),
+)
+def q09_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer via row_number — the window pattern that
+    also implements feature-store latest/point-in-time reads (SURVEY §2.3 J2)."""
+    o = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            "o_orderkey",
+            "o_totalprice",
+            "rn",
+        )
+    )
+
+
+@register(
+    "q10_running_total",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+    FROM orders
+    WHERE o_custkey < 100
+    """,
+    tags=("window", "agg"),
+)
+def q10_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer running spend — cumulative window sum in DECIMAL so the
+    result is identical regardless of the engine's frame evaluation order."""
+    o = load_table(spark, "orders", sf_dir).where(F.col("o_custkey") < 100)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").alias("running_spend"),
+    )
+
+
+@register(
+    "q11_order_gaps",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(date_diff('day', CAST(prev_date AS DATE), CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_prev,
+           next_key
+    FROM (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             LAG(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_date,
+             LEAD(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_key
+      FROM orders
+    )
+    WHERE o_custkey < 200
+    """,
+    tags=("window",),
+)
+def q11_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead: days between consecutive orders per customer."""
+    o = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.withColumn("prev_date", F.lag("o_orderdate").over(w))
+        .withColumn("next_key", F.lead("o_orderkey").over(w))
+        .where(F.col("o_custkey") < 200)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.datediff(F.col("o_orderdate"), F.col("prev_date")).cast("long").alias("days_since_prev"),
+            "next_key",
+        )
+    )
+
+
+@register(
+    "q23_rank_flavors",
+    oracle="""
+    SELECT c_mktsegment, c_custkey, c_acctbal,
+           RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS bal_rank,
+           DENSE_RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS bal_dense_rank,
+           NTILE(4) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS bal_quartile
+    FROM customer
+    WHERE c_custkey <= 300
+    """,
+    tags=("window",),
+)
+def q23_rank_flavors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / ntile with a total order (unique tie-break)."""
+    c = load_table(spark, "customer", sf_dir).where(F.col("c_custkey") <= 300)
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return c.select(
+        "c_mktsegment",
+        "c_custkey",
+        "c_acctbal",
+        F.rank().over(w).cast("long").alias("bal_rank"),
+        F.dense_rank().over(w).cast("long").alias("bal_dense_rank"),
+        F.ntile(4).over(w).cast("long").alias("bal_quartile"),
+    )
+
+
+@register(
+    "q24_first_last_window",
+    oracle="""
+    SELECT DISTINCT o_custkey,
+           FIRST_VALUE(o_orderkey) OVER w AS first_order,
+           LAST_VALUE(o_orderkey)  OVER w AS latest_order,
+           COUNT(*) OVER w AS n_orders
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    tags=("window", "distinct"),
+)
+def q24_first_last_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last order per customer via an unbounded window + DISTINCT."""
+    o = load_table(spark, "orders", sf_dir)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w).alias("latest_order"),
+        F.count("*").over(w).alias("n_orders"),
+    ).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets / distinct / set ops
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q12_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("agg", "rollup"),
+)
+def q12_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP: per-(flag,status), per-flag subtotal, grand total."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"),
+        _dec_sum(F.col("l_quantity")).alias("total_qty"),
+    )
+
+
+@register(
+    "q13_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg", "cube"),
+)
+def q13_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over status × priority."""
+    o = load_table(spark, "orders", sf_dir)
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        _dec_sum(F.col("o_totalprice")).alias("total_price"),
+    )
+
+
+@register(
+    "q14_distinct_agg",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS n_distinct_customers,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("agg", "distinct"),
+)
+def q14_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) alongside a plain count (two-phase expand agg)."""
+    o = load_table(spark, "orders", sf_dir)
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_distinct_customers"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@register(
+    "q15_set_ops",
+    oracle="""
+    WITH building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+         rich     AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+    SELECT 'intersect' AS op, COUNT(*) AS n FROM (SELECT * FROM building INTERSECT SELECT * FROM rich)
+    UNION ALL
+    SELECT 'except' AS op, COUNT(*) AS n FROM (SELECT * FROM building EXCEPT SELECT * FROM rich)
+    UNION ALL
+    SELECT 'union' AS op, COUNT(*) AS n FROM (SELECT * FROM building UNION SELECT * FROM rich)
+    """,
+    tags=("setop",),
+)
+def q15_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION-distinct cardinalities of two key sets."""
+    c = load_table(spark, "customer", sf_dir)
+    building = c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    rich = c.where(F.col("c_acctbal") > 5000).select("c_custkey")
+    rows = [
+        building.intersect(rich).agg(F.count("*").alias("n")).select(F.lit("intersect").alias("op"), "n"),
+        building.exceptAll(rich).distinct().agg(F.count("*").alias("n")).select(F.lit("except").alias("op"), "n"),
+        building.union(rich).distinct().agg(F.count("*").alias("n")).select(F.lit("union").alias("op"), "n"),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Scalar function classes
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q16_string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(p_brand) AS brand_upper,
+           SUBSTRING(p_name, 1, 8) AS name_prefix,
+           CAST(LENGTH(p_name) AS BIGINT) AS name_len,
+           CONCAT(p_brand, ':', p_type) AS brand_type,
+           REPLACE(p_type, ' ', '_') AS type_snake,
+           CAST(CONTAINS(p_type, 'SMALL') AS BOOLEAN) AS is_small,
+           LTRIM(RTRIM(p_name)) AS name_trim
+    FROM part
+    WHERE p_name LIKE '%e%' AND p_partkey <= 1200
+    """,
+    tags=("scalar", "string"),
+)
+def q16_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String surface: upper/substring/length/concat/replace/contains/trim/LIKE."""
+    p = load_table(spark, "part", sf_dir)
+    return (
+        p.where(F.col("p_name").like("%e%") & (F.col("p_partkey") <= 1200))
+        .select(
+            "p_partkey",
+            F.upper("p_brand").alias("brand_upper"),
+            F.substring("p_name", 1, 8).alias("name_prefix"),
+            F.length("p_name").cast("long").alias("name_len"),
+            F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+            F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+            F.col("p_type").contains("SMALL").alias("is_small"),
+            F.ltrim(F.rtrim(F.col("p_name"))).alias("name_trim"),
+        )
+    )
+
+
+@register(
+    "q17_date_funcs",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+           CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS order_month,
+           MIN(o_orderdate) AS first_order,
+           CAST(MAX(date_trunc('month', o_orderdate)) AS TIMESTAMP) AS month_start,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY 1, 2
+    """,
+    tags=("scalar", "date", "agg"),
+)
+def q17_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time surface: extract, trunc, min/max over timestamps."""
+    o = load_table(spark, "orders", sf_dir)
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("long").alias("order_year"),
+            F.month("o_orderdate").cast("long").alias("order_month"),
+        )
+        .agg(
+            F.min("o_orderdate").alias("first_order"),
+            F.max(F.date_trunc("month", F.col("o_orderdate"))).alias("month_start"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "q18_math_funcs",
+    oracle="""
+    SELECT p_partkey,
+           ROUND(ABS(p_retailprice - 1000.0), 2) AS price_dev,
+           CAST(CEIL(p_retailprice) AS BIGINT) AS price_ceil,
+           CAST(FLOOR(p_retailprice) AS BIGINT) AS price_floor,
+           ROUND(SQRT(p_retailprice), 6) AS price_sqrt,
+           ROUND(LN(p_retailprice + 1), 6) AS price_ln,
+           CAST(p_size % 7 AS BIGINT) AS size_mod,
+           ROUND(POW(p_size, 2), 1) AS size_sq
+    FROM part
+    WHERE p_partkey <= 1000 AND p_retailprice > 0
+    """,
+    tags=("scalar", "math"),
+)
+def q18_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math surface: abs/ceil/floor/sqrt/ln/mod/pow (transcendentals rounded
+    to 6 places — JVM and C libm may differ in the final ulp)."""
+    p = load_table(spark, "part", sf_dir)
+    return (
+        p.where((F.col("p_partkey") <= 1000) & (F.col("p_retailprice") > 0))
+        .select(
+            "p_partkey",
+            F.round(F.abs(F.col("p_retailprice") - 1000.0), 2).alias("price_dev"),
+            F.ceil("p_retailprice").cast("long").alias("price_ceil"),
+            F.floor("p_retailprice").cast("long").alias("price_floor"),
+            F.round(F.sqrt("p_retailprice"), 6).alias("price_sqrt"),
+            F.round(F.log(F.col("p_retailprice") + 1), 6).alias("price_ln"),
+            (F.col("p_size") % 7).cast("long").alias("size_mod"),
+            F.round(F.pow("p_size", F.lit(2)), 1).alias("size_sq"),
+        )
+    )
+
+
+@register(
+    "q22_conditional_pivot",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p,
+           CAST(SUM(CAST(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                        THEN o_totalprice ELSE 0 END AS DECIMAL(18,2))) AS DOUBLE) AS urgent_value
+    FROM orders
+    GROUP BY 1
+    """,
+    tags=("agg", "pivot", "conditional"),
+)
+def q22_conditional_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manual pivot via conditional aggregation (CASE WHEN / FILTER)."""
+    o = load_table(spark, "orders", sf_dir)
+    return o.groupBy(F.year("o_orderdate").cast("long").alias("order_year")).agg(
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_f"),
+        F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_o"),
+        F.count(F.when(F.col("o_orderstatus") == "P", 1)).alias("n_p"),
+        F.sum(
+            F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), F.col("o_totalprice"))
+            .otherwise(0.0)
+            .cast("decimal(18,2)")
+        )
+        .cast("double")
+        .alias("urgent_value"),
+    )
+
+
+@register(
+    "q25_json_and_case",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_total,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN value > 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_value
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("scalar", "json", "agg"),
+)
+def q25_json_and_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the events.props payload + conditional count.
+
+    Mirrors the reference's JSON decode path (``logger/main.py:158-162``
+    base64→JSON→fields) on a relational surface: get_json_object is the
+    engine-native F1 scalar (SURVEY §2.6)."""
+    e = load_table(spark, "events", sf_dir)
+    return e.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("k_total"),
+        F.count("*").alias("n_events"),
+        F.sum(F.when(F.col("value") > 10, 1).otherwise(0)).cast("long").alias("n_high_value"),
+    )
