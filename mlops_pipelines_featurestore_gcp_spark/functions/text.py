@@ -1,0 +1,81 @@
+"""Text-processing column expressions (tokenization, shingling, hashing).
+
+All JVM-side (``pyspark.sql.functions`` only — no Python UDFs): these run in
+whole-stage codegen and cost nothing extra at 100 TB. Hashing is md5-based so
+the DuckDB oracle can reproduce values exactly; ``xxhash64`` would be faster
+but engine-specific.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# A tiny multilingual stopword table for the language-ID heuristic. Public
+# knowledge (most-frequent function words per language).
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "to", "and", "in", "is", "it", "that", "for"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "una", "los", "por"),
+    "fr": ("le", "la", "de", "et", "les", "des", "un", "une", "dans", "que"),
+    "de": ("der", "die", "das", "und", "in", "den", "von", "zu", "mit", "ist"),
+}
+
+# Word-ish tokens OR single punctuation — a BPE-ish pre-tokenizer regex.
+BPE_TOKEN_RE = r"\w+|[^\w\s]"
+
+
+def normalize(col: Column) -> Column:
+    """Lowercase + collapse whitespace + trim — canonical text form for
+    fingerprinting and shingling."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens with empties removed → array<string>."""
+    return F.filter(F.split(F.trim(col), r"\s+"), lambda x: x != F.lit(""))
+
+
+def char_shingles(col: Column, k: int = 5) -> Column:
+    """All k-char shingles of a string (positional, may repeat).
+
+    Guarded so strings shorter than k yield an empty array — Spark's
+    ``sequence(1, 0)`` would otherwise produce a *descending* sequence.
+    """
+    n = F.length(col)
+    return F.when(n < k, F.array().cast("array<string>")).otherwise(
+        F.transform(F.sequence(F.lit(1), n - (k - 1)), lambda i: F.substring(col, i, k))
+    )
+
+
+def word_ngrams(toks: Column, n: int = 3) -> Column:
+    """Word n-grams (space-joined) from a token array."""
+    size = F.size(toks)
+    return F.when(size < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), size - n),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
+        )
+    )
+
+
+def md5_long(col: Column, bits: int = 32) -> Column:
+    """Deterministic non-negative integer hash from the md5 hex digest.
+
+    ``bits`` ≤ 60 keeps the value inside a signed 64-bit range. Reproducible
+    in any engine with an md5 function (DuckDB:
+    ``CAST(concat('0x', substr(md5(x), 1, n)) AS BIGINT)``).
+    """
+    nhex = bits // 4
+    return F.conv(F.substring(F.md5(col), 1, nhex), 16, 10).cast("long")
+
+
+def seeded_md5_long(col: Column, seed: Column | int, bits: int = 32) -> Column:
+    """Family of hash functions h_seed(x) — used for MinHash."""
+    seed_col = F.lit(seed) if isinstance(seed, int) else seed
+    return md5_long(F.concat(seed_col.cast("string"), F.lit("|"), col), bits=bits)
+
+
+def stopword_hits(toks: Column, lang: str) -> Column:
+    """Count of tokens that are stopwords of ``lang``."""
+    words = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(toks, lambda x: F.array_contains(words, x))).cast("long")

@@ -1,0 +1,253 @@
+"""Deduplication operators for large text corpora.
+
+Four escalating strategies, all shuffle-conscious and driver-collect-free:
+
+- **exact** — md5 fingerprint of normalized text, one hash-groupBy. The
+  100 TB workhorse: one shuffle on a high-entropy key, no skew.
+- **MinHash + LSH** — shingle → N seeded min-hashes → band keys → bucket
+  self-join → exact-Jaccard verify of candidates only. Near-dup detection
+  whose cost scales with Σ bucket² instead of n².
+- **SimHash** — 60-bit signature whose chunks serve as LSH blocks; hamming
+  distance verify. Cheaper signatures than MinHash, coarser recall.
+- **n-gram Jaccard** — inverted-index join on word n-grams with exact
+  Jaccard; the no-approximation baseline for small/medium corpora.
+
+Every step is md5-based and deterministic so the DuckDB oracle can replay
+the identical pipeline (see plans/llm_data.py for the SQL twins).
+
+The reference repo has no dedup at all — its Pub/Sub→BigQuery append path is
+at-least-once and silently duplicates training rows (``logger/main.py:
+107-150``); these operators are the engine-level fix plus the LLM-corpus
+surface the north star requires.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mlops_pipelines_featurestore_gcp_spark.functions.text import char_shingles, md5_long, normalize, seeded_md5_long, tokens, word_ngrams
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Add a ``fp`` column: md5 of the normalized text."""
+    return df.select(F.col(id_col), F.md5(normalize(F.col(text_col))).alias("fp"))
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Group identical (normalized) texts → (fp, n_docs, canonical_id).
+
+    canonical_id is the smallest id in the group — the row a dedup pass
+    would keep. One shuffle on the fingerprint.
+    """
+    return (
+        fingerprint(df, id_col, text_col)
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("canonical_id"))
+    )
+
+
+def _distinct_shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(id, shingle) pairs, distinct per doc — the corpus inverted index."""
+    return (
+        df.select(F.col(id_col), F.explode(F.array_distinct(char_shingles(normalize(F.col(text_col)), k))).alias("sh"))
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash + banded LSH + exact-Jaccard verify.
+
+    Plan shape (all distributed):
+      1. explode distinct k-shingles          — narrow
+      2. per (doc, seed) min of seeded hash   — shuffle on doc id
+      3. band keys = md5 of rows-per-band     — narrow
+      4. self-join on (band, band_key)        — shuffle on band key (buckets)
+      5. exact Jaccard of candidates via the inverted index — shuffle on shingle
+
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard ≥ threshold.
+    Jaccard is an int/int division — bit-exact across engines.
+    """
+    rows_per_band = num_hashes // bands
+    sh = _distinct_shingles(df, id_col, text_col, k).cache()
+
+    hashed = sh.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+                lambda i: F.struct(i.alias("hi"), seeded_md5_long(F.col("sh"), i).alias("hv")),
+            )
+        ).alias("h"),
+    ).select(id_col, "h.hi", "h.hv")
+    mh = hashed.groupBy(id_col, "hi").agg(F.min("hv").alias("mhv"))
+
+    band_keys = (
+        mh.withColumn("band", (F.col("hi") / rows_per_band).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("hi", "mhv"))),
+                        lambda s: s.mhv.cast("string"),
+                    ),
+                )
+            ).alias("bkey")
+        )
+    )
+
+    a = band_keys.select(F.col(id_col).alias("doc_a"), "band", "bkey")
+    b = band_keys.select(F.col(id_col).alias("doc_b"), "band", "bkey")
+    cand = (
+        a.join(b, ["band", "bkey"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+    return _jaccard_verify(cand, sh, id_col, threshold)
+
+
+def _jaccard_verify(cand: DataFrame, sh: DataFrame, id_col: str, threshold: float) -> DataFrame:
+    """Exact Jaccard for candidate pairs using the (id, shingle) index."""
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    inter = (
+        cand.join(sh.withColumnRenamed(id_col, "doc_a").withColumnRenamed("sh", "s"), "doc_a")
+        .join(
+            sh.withColumnRenamed(id_col, "doc_b").withColumnRenamed("sh", "s"),
+            ["doc_b", "s"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("ni"))
+    )
+    na = sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed("n", "na")
+    nb = sizes.withColumnRenamed(id_col, "doc_b").withColumnRenamed("n", "nb")
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn("jaccard", F.col("ni") / (F.col("na") + F.col("nb") - F.col("ni")))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard via inverted-index join (no approximation).
+
+    Candidates = pairs sharing ≥1 n-gram; cost is Σ df(g)² over grams, which
+    is fine when grams are discriminative. For hot grams, the MinHash or
+    SimHash paths above are the scale fallback.
+    """
+    grams = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_ngrams(tokens(normalize(F.col(text_col))), n))).alias("sh"),
+    )
+    a = grams.withColumnRenamed(id_col, "doc_a").withColumnRenamed("sh", "s")
+    b = grams.withColumnRenamed(id_col, "doc_b").withColumnRenamed("sh", "s")
+    cand = (
+        a.join(b, "s")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("ni"))
+    )
+    sizes = grams.groupBy(id_col).agg(F.count("*").alias("n"))
+    na = sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed("n", "na")
+    nb = sizes.withColumnRenamed(id_col, "doc_b").withColumnRenamed("n", "nb")
+    return (
+        cand.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn("jaccard", F.col("ni") / (F.col("na") + F.col("nb") - F.col("ni")))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, *, k: int = 5, bits: int = 60
+) -> DataFrame:
+    """60-bit SimHash over k-char shingles → (id, simhash).
+
+    Bit j of the signature is the sign of Σ_shingles (±1 by bit j of the
+    shingle hash). Computed by exploding (shingle × bit) and aggregating —
+    two shuffles, both on the doc id.
+    """
+    sh = _distinct_shingles(df, id_col, text_col, k)
+    hashed = sh.select(F.col(id_col), md5_long(F.col("sh"), bits=bits).alias("hv"))
+    votes = (
+        hashed.select(
+            F.col(id_col),
+            F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j"),
+            F.col("hv"),
+        )
+        .withColumn("vote", F.when(F.expr("shiftright(hv, j) & 1") == 1, 1).otherwise(-1))
+        .groupBy(id_col, "j")
+        .agg(F.sum("vote").alias("v"))
+    )
+    return votes.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(F.lit(0).cast("long"))
+        ).alias("simhash")
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 5,
+    bits: int = 60,
+    chunks: int = 4,
+    max_hamming: int = 8,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: block on signature chunks, verify hamming.
+
+    Pigeonhole: hamming < chunks guarantees a shared chunk; pairs with
+    hamming in [chunks, max_hamming] are found only if they happen to share
+    one — the documented LSH recall trade-off, identical in the oracle.
+    Returns (doc_a, doc_b, hamming).
+    """
+    chunk_bits = bits // chunks
+    mask = (1 << chunk_bits) - 1
+    sig = simhash_signatures(df, id_col, text_col, k=k, bits=bits)
+    chunked = sig.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("c"),
+                        F.shiftright(F.col("simhash"), c * chunk_bits).bitwiseAND(F.lit(mask)).alias("ck"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("x"),
+    ).select(id_col, "simhash", "x.c", "x.ck")
+    a = chunked.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("ha"), "c", "ck")
+    b = chunked.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("hb"), "c", "ck")
+    return (
+        a.join(b, ["c", "ck"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,193 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- ``brute_force_topk`` — exact cosine top-k: broadcast the (small) query set
+  against the corpus; per-partition scoring, global top-k via window. The
+  correctness baseline.
+- ``cosine_neardup_pairs`` — all-pairs above a threshold (self-join).
+- ``lsh_topk`` — random-hyperplane LSH: deterministic md5-derived
+  hyperplanes, bucket join on sign-bit prefixes, exact rescoring inside
+  buckets. The scale path: cost ∝ Σ bucket² instead of n·N.
+
+The reference stores user/item factor vectors (rank-k SVD observations,
+``generator_component.py:44-49``) but delegates any vector math to
+TF-Agents; this module is the engine-native equivalent plus the ANN surface
+the north star requires.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from mlops_pipelines_featurestore_gcp_spark.functions.vectors import cosine
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    The query side is broadcast (it is the small side by construction), so
+    scoring is a map-only pass over the corpus; the only shuffle is the
+    per-query top-k window. Returns (query_id, neighbor_id, cos_sim, rnk).
+
+    cos_sim is rounded before ranking so the (sim, id) ordering is identical
+    across engines even when two candidates differ only in the last float
+    ulp.
+    """
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), round_digits).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
+
+
+def cosine_neardup_pairs(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+    round_digits: int = 6,
+) -> DataFrame:
+    """All pairs (a < b) with rounded cosine ≥ threshold.
+
+    O(n²) scoring — correct baseline for modest n; use ``lsh_topk``-style
+    bucketing when n² stops fitting the cluster.
+    """
+    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), round_digits).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
+def _hyperplane_components(planes: int, dim: int) -> list[list[float]]:
+    """Deterministic ±1 hyperplane table: h(p,d) = parity of md5(f"{p}:{d}").
+
+    Computed driver-side with hashlib (a constant table, not data) so the
+    executors evaluate plain double literals instead of 512 md5 expression
+    nodes per row. Identical values to the expression form — any engine can
+    reproduce them.
+    """
+    import hashlib
+
+    return [
+        [1.0 if int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:8], 16) % 2 == 1 else -1.0 for d in range(dim)]
+        for p in range(planes)
+    ]
+
+
+def hyperplane_signature(df: DataFrame, *, vec_col: str, planes: int, dim: int, out_col: str = "sig") -> DataFrame:
+    """Random-hyperplane sign signature (SimHash for vectors).
+
+    Hyperplane p has deterministic ±1 components h(p,d) = parity of
+    md5(p:d) — reproducible anywhere, no RNG state. Signature bit p is
+    sign(v·h_p). Appended as an integer column ``out_col``.
+    """
+    table = _hyperplane_components(planes, dim)
+    sig = F.lit(0).cast("long")
+    v = F.col(vec_col).cast("array<double>")
+    for p, comps in enumerate(table):
+        proj = F.aggregate(
+            F.zip_with(v, F.array(*[F.lit(c) for c in comps]), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sig = sig + F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
+    return df.withColumn(out_col, sig)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    planes: int = 8,
+    tables: int = 4,
+    k: int = 5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Approximate top-k: multi-table hyperplane LSH + exact rescoring.
+
+    ``tables`` independent hash tables of ``planes`` bits each; a candidate
+    pair needs a full signature match in ≥1 table (the standard AND-of-bits /
+    OR-of-tables construction — per-table precision, cross-table recall).
+    Scoring cost drops from n·N to Σ_q Σ_t |bucket_t(q)|, and the bucketing
+    is deterministic (md5-derived hyperplanes), so results are reproducible
+    run to run and machine to machine.
+    """
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    csig, qsig = c, q
+    sig_cols = []
+    for t in range(tables):
+        # Distinct plane sets per table: global plane index t*planes + p.
+        col = f"sig{t}"
+        csig = _signature_for_table(csig, "cv", t, planes, dim, col)
+        qsig = _signature_for_table(qsig, "qv", t, planes, dim, col)
+        sig_cols.append(col)
+
+    # Candidate = same bucket in any table. Explode the table index so the
+    # join stays a single equi shuffle on (table, signature).
+    def bucketized(df: DataFrame) -> DataFrame:
+        return df.select(
+            *[c for c in df.columns if c not in sig_cols],
+            F.explode(
+                F.array(*[F.struct(F.lit(t).alias("t"), F.col(f"sig{t}").alias("sig")) for t in range(tables)])
+            ).alias("b"),
+        ).select(*[c for c in df.columns if c not in sig_cols], "b.t", "b.sig")
+
+    cand = (
+        bucketized(csig)
+        .join(F.broadcast(bucketized(qsig)), ["t", "sig"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "qv", "cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), round_digits).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
+
+
+def _signature_for_table(df: DataFrame, vec_col: str, table: int, planes: int, dim: int, out_col: str) -> DataFrame:
+    """Signature over plane indices [table*planes, (table+1)*planes)."""
+    full = _hyperplane_components((table + 1) * planes, dim)
+    comps = full[table * planes :]
+    sig = F.lit(0).cast("long")
+    v = F.col(vec_col).cast("array<double>")
+    for p, row in enumerate(comps):
+        proj = F.aggregate(
+            F.zip_with(v, F.array(*[F.lit(x) for x in row]), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sig = sig + F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
+    return df.withColumn(out_col, sig)

@@ -1,1 +1,350 @@
-"""Placeholder — populated in a later milestone."""
+"""LLM-data-pipeline queries: dedup family, similarity search, text
+analysis — registered with DuckDB oracle twins that replay the identical
+deterministic (md5-based) pipelines in SQL.
+
+These go beyond the reference's own surface (BASELINE.json north star); the
+closest reference analogue is the *absence* of dedup on its at-least-once
+append path (``logger/main.py:107-150``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mlops_pipelines_featurestore_gcp_spark.operators import dedup, similarity, text_analysis
+from mlops_pipelines_featurestore_gcp_spark.plans.registry import register
+from mlops_pipelines_featurestore_gcp_spark.sources.catalog import load_table
+
+# --- shared SQL fragments (DuckDB dialect) ---------------------------------
+
+# normalized text; DuckDB regexp_replace needs the 'g' flag (Spark replaces
+# all matches by default).
+_NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+_TOKS = r"list_filter(string_split_regex(trim({col}), '\s+'), x -> x <> '')"
+
+
+def _shingles_sql(k: int) -> str:
+    """Distinct k-char shingles of normalized text as a DuckDB list expr."""
+    return (
+        f"list_distinct([substr(nt, i, {k}) FOR i IN range(1, greatest(len(nt) - {k - 2}, 1))])"
+    )
+
+
+def _md5_long_sql(expr: str, nhex: int = 8) -> str:
+    return f"CAST(concat('0x', substr(md5({expr}), 1, {nhex})) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "d01_exact_dedup",
+    oracle=f"""
+    SELECT md5({_NORM}) AS fp, COUNT(*) AS n_docs, MIN(doc_id) AS canonical_id
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("dedup", "llm"),
+)
+def d01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5 fingerprint of normalized text, hash-groupBy."""
+    docs = load_table(spark, "documents", sf_dir)
+    return dedup.exact_dedup(docs, "doc_id", "text")
+
+
+@register(
+    "d02_minhash_lsh_neardup",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({_shingles_sql(5)}) AS s
+      FROM (SELECT doc_id, {_NORM} AS nt FROM documents)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    hashed AS (
+      SELECT doc_id, gs.generate_series AS hi,
+             {_md5_long_sql("concat(CAST(gs.generate_series AS VARCHAR), '|', s)")} AS hv
+      FROM sh, generate_series(0, 15) gs
+    ),
+    mh AS (SELECT doc_id, hi, MIN(hv) AS mhv FROM hashed GROUP BY doc_id, hi),
+    bands AS (
+      SELECT doc_id, hi // 4 AS band,
+             md5(string_agg(CAST(mhv AS VARCHAR), ',' ORDER BY hi)) AS bkey
+      FROM mh GROUP BY doc_id, hi // 4
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS ni
+      FROM cand c
+      JOIN sh x ON x.doc_id = c.doc_a
+      JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b, i.ni / (sa.n + sb.n - i.ni) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE i.ni / (sa.n + sb.n - i.ni) >= 0.5
+    """,
+    tags=("dedup", "llm", "minhash"),
+)
+def d02_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + 4-band LSH candidates + exact-Jaccard verify ≥ 0.5."""
+    docs = load_table(spark, "documents", sf_dir)
+    return dedup.minhash_lsh_pairs(docs, "doc_id", "text", k=5, num_hashes=16, bands=4, threshold=0.5)
+
+
+@register(
+    "d03_ngram_jaccard_neardup",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS.format(col='nt')} AS t
+      FROM (SELECT doc_id, {_NORM} AS nt FROM documents)
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_distinct(
+               [concat(t[i], ' ', t[i+1], ' ', t[i+2]) FOR i IN range(1, greatest(len(t) - 1, 1))]
+             )) AS s
+      FROM toks
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ni
+      FROM grams a JOIN grams b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT c.doc_a, c.doc_b, c.ni / (sa.n + sb.n - c.ni) AS jaccard
+    FROM cand c
+    JOIN sizes sa ON sa.doc_id = c.doc_a
+    JOIN sizes sb ON sb.doc_id = c.doc_b
+    WHERE c.ni / (sa.n + sb.n - c.ni) >= 0.5
+    """,
+    tags=("dedup", "llm", "ngram"),
+)
+def d03_ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard pairs ≥ 0.5 via inverted-index join."""
+    docs = load_table(spark, "documents", sf_dir)
+    return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+
+
+_SIMHASH_SIG_SQL = f"""
+    sh AS (
+      SELECT doc_id, unnest({_shingles_sql(5)}) AS s
+      FROM (SELECT doc_id, {_NORM} AS nt FROM documents)
+    ),
+    hashed AS (SELECT doc_id, {_md5_long_sql("s", 15)} AS hv FROM sh),
+    votes AS (
+      SELECT doc_id, j.generate_series AS j,
+             SUM(CASE WHEN (hv >> j.generate_series) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM hashed, generate_series(0, 59) j
+      GROUP BY doc_id, j.generate_series
+    ),
+    sig AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+      FROM votes GROUP BY doc_id
+    )
+"""
+
+
+@register(
+    "d04_simhash_neardup",
+    oracle=f"""
+    WITH {_SIMHASH_SIG_SQL},
+    chunked AS (
+      SELECT doc_id, simhash, c.generate_series AS c,
+             (simhash >> (c.generate_series * 15)) & 32767 AS ck
+      FROM sig, generate_series(0, 3) c
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             bit_count(xor(a.simhash, b.simhash)) AS hamming
+      FROM chunked a JOIN chunked b
+        ON a.c = b.c AND a.ck = b.ck AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+    FROM pairs WHERE hamming <= 8
+    """,
+    tags=("dedup", "llm", "simhash"),
+)
+def d04_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash, 4×15-bit chunk blocking, hamming ≤ 8 verify."""
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = dedup.simhash_pairs(docs, "doc_id", "text", k=5, bits=60, chunks=4, max_hamming=8)
+    return pairs.select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+_DOT_SQL = "list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
+
+
+@register(
+    "d05_embedding_neardup",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             ROUND({_DOT_SQL.format(a='a.embedding', b='b.embedding')}
+                   / SQRT({_DOT_SQL.format(a='a.embedding', b='a.embedding')}
+                          * {_DOT_SQL.format(a='b.embedding', b='b.embedding')}), 6) AS cos_sim
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.45
+    """,
+    tags=("dedup", "llm", "embedding"),
+)
+def d05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (rounded cosine ≥ 0.45)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return similarity.cosine_neardup_pairs(emb, threshold=0.45)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s01_ann_bruteforce_topk",
+    oracle=f"""
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROUND({_DOT_SQL.format(a='q.embedding', b='c.embedding')}
+                 / SQRT({_DOT_SQL.format(a='q.embedding', b='q.embedding')}
+                        * {_DOT_SQL.format(a='c.embedding', b='c.embedding')}), 6) AS cos_sim,
+           CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                ROUND({_DOT_SQL.format(a='q.embedding', b='c.embedding')}
+                 / SQRT({_DOT_SQL.format(a='q.embedding', b='q.embedding')}
+                        * {_DOT_SQL.format(a='c.embedding', b='c.embedding')}), 6) DESC,
+                c.vec_id) AS BIGINT) AS rnk
+    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id % 50 = 0
+    QUALIFY rnk <= 5
+    """,
+    tags=("similarity", "llm"),
+)
+def s01_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for every 50th vector (broadcast scoring)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    out = similarity.brute_force_topk(emb, queries, k=5)
+    return out.select("query_id", "neighbor_id", "cos_sim", F.col("rnk").cast("long").alias("rnk"))
+
+
+@register(
+    "s02_ann_lsh_topk",
+    oracle=None,  # LSH bucketing is deterministic but the 512-hyperplane SQL
+    # twin is impractical; covered by tests/test_llm_data.py recall check.
+    tags=("similarity", "llm", "lsh"),
+)
+def s02_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate top-5 — the n≫memory scale path."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    out = similarity.lsh_topk(emb, queries, dim=64, planes=8, k=5)
+    return out.select("query_id", "neighbor_id", "cos_sim", F.col("rnk").cast("long").alias("rnk"))
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t01_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT) AS n_bpe_tokens,
+           CAST(len(list_distinct(t)) AS BIGINT) AS n_uniq_tokens,
+           CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE) / greatest(len(t), 1) AS avg_token_len
+    FROM (SELECT doc_id, text, {_TOKS.format(col='text')} AS t FROM documents)
+    """,
+    tags=("text", "llm"),
+)
+def t01_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish token counts, distinct tokens, avg token length."""
+    docs = load_table(spark, "documents", sf_dir)
+    return text_analysis.token_stats(docs, "doc_id", "text")
+
+
+@register(
+    "t02_quality_score",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, text, {_TOKS.format(col='text')} AS t,
+             len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id,
+             len(t) AS n_tok,
+             len(list_filter(t, x -> list_contains(['the','a','of','to','and','in','is','it','that','for'], x)))
+               / greatest(len(t), 1) AS stop_ratio,
+             len(list_distinct(t)) / greatest(len(t), 1) AS uniq_ratio,
+             n_punct / greatest(len(text), 1) AS punct_ratio
+      FROM base
+    )
+    SELECT doc_id,
+           CAST(n_tok AS BIGINT) AS n_tokens,
+           ROUND(stop_ratio, 6) AS stopword_ratio,
+           ROUND(uniq_ratio, 6) AS uniq_ratio,
+           ROUND(punct_ratio, 6) AS punct_ratio,
+           ROUND(least(n_tok, 100) / 100.0 * 0.4 + stop_ratio * 0.2
+                 + uniq_ratio * 0.3 + (1.0 - punct_ratio) * 0.1, 6) AS quality
+    FROM feats
+    """,
+    tags=("text", "llm"),
+)
+def t02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheap quality pre-filter features + composite score per document."""
+    docs = load_table(spark, "documents", sf_dir)
+    return text_analysis.quality_score(docs, "doc_id", "text")
+
+
+_LANGS_SQL = {
+    "en": "['the','a','of','to','and','in','is','it','that','for']",
+    "es": "['el','la','de','que','y','en','un','una','los','por']",
+    "fr": "['le','la','de','et','les','des','un','une','dans','que']",
+    "de": "['der','die','das','und','in','den','von','zu','mit','ist']",
+}
+_SCORES_SQL = ",\n".join(
+    f"len(list_filter(t, x -> list_contains({words}, x))) AS s_{lang}" for lang, words in _LANGS_SQL.items()
+)
+
+
+@register(
+    "t03_lang_id",
+    oracle=f"""
+    WITH scores AS (
+      SELECT doc_id, lang, {_SCORES_SQL}
+      FROM (SELECT doc_id, lang, {_TOKS.format(col='nt')} AS t
+            FROM (SELECT doc_id, lang, {_NORM} AS nt FROM documents))
+    ),
+    pred AS (
+      SELECT doc_id, lang, greatest(s_en, s_es, s_fr, s_de) AS best,
+             CASE WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+                  WHEN s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
+                  WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
+                  WHEN s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
+                  ELSE 'de' END AS lang_pred
+      FROM scores
+    )
+    SELECT lang, lang_pred, COUNT(*) AS n_docs, CAST(SUM(best) AS BIGINT) AS total_hits
+    FROM pred GROUP BY lang, lang_pred
+    """,
+    tags=("text", "llm", "langid"),
+)
+def t03_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-based language ID, summarized as metadata-lang × predicted."""
+    docs = load_table(spark, "documents", sf_dir)
+    pred = text_analysis.lang_id(docs, "doc_id", "text")
+    return (
+        docs.select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("n_docs"), F.sum("lang_hits").alias("total_hits"))
+    )

@@ -1,0 +1,66 @@
+"""Semantics tests for the dedup / similarity / text-analysis operators
+(beyond the oracle diff, which tests/test_relational.py already covers for
+every registered query)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mlops_pipelines_featurestore_gcp_spark.operators import dedup, similarity
+from mlops_pipelines_featurestore_gcp_spark.sources.catalog import load_table
+
+
+def test_exact_dedup_finds_planted_duplicates(spark, sf_small):
+    docs = load_table(spark, "documents", sf_small)
+    doubled = docs.union(docs.withColumn("doc_id", F.col("doc_id") + 1_000_000))
+    out = dedup.exact_dedup(doubled, "doc_id", "text")
+    rows = out.collect()
+    # every fingerprint now appears exactly twice, canonical id is the original
+    assert all(r.n_docs >= 2 for r in rows)
+    assert all(r.canonical_id < 1_000_000 for r in rows)
+
+
+def test_minhash_catches_exact_duplicates(spark, sf_small):
+    docs = load_table(spark, "documents", sf_small).limit(50)
+    doubled = docs.union(docs.withColumn("doc_id", F.col("doc_id") + 1_000_000))
+    pairs = dedup.minhash_lsh_pairs(doubled, "doc_id", "text", threshold=0.99)
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    expected = {(r.doc_id, r.doc_id + 1_000_000) for r in docs.collect()}
+    # identical docs have jaccard 1.0 and identical minhash → always candidates
+    assert expected <= got
+
+
+def test_simhash_identical_docs_have_zero_hamming(spark, sf_small):
+    docs = load_table(spark, "documents", sf_small).limit(30)
+    doubled = docs.union(docs.withColumn("doc_id", F.col("doc_id") + 1_000_000))
+    pairs = dedup.simhash_pairs(doubled, "doc_id", "text", max_hamming=0)
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    expected = {(r.doc_id, r.doc_id + 1_000_000) for r in docs.collect()}
+    assert expected <= got
+
+
+def test_lsh_topk_recall_vs_bruteforce(spark, sf_small):
+    emb = load_table(spark, "embeddings", sf_small)
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    exact = similarity.brute_force_topk(emb, queries, k=5).collect()
+    approx = similarity.lsh_topk(emb, queries, dim=64, planes=4, k=5).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    # LSH with few planes on small data should recover a solid fraction of
+    # the true neighbors; it must never return a *wrong* similarity value.
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.2, f"suspiciously low LSH recall {recall}"
+    exact_sims = {(r.query_id, r.neighbor_id): r.cos_sim for r in exact}
+    for r in approx:
+        if (r.query_id, r.neighbor_id) in exact_sims:
+            assert abs(exact_sims[(r.query_id, r.neighbor_id)] - r.cos_sim) < 1e-9
+
+
+def test_bruteforce_topk_is_sorted_and_bounded(spark, sf_small):
+    emb = load_table(spark, "embeddings", sf_small)
+    queries = emb.where(F.col("vec_id") == 0)
+    out = similarity.brute_force_topk(emb, queries, k=3).collect()
+    assert len(out) == 3
+    sims = [r.cos_sim for r in sorted(out, key=lambda r: r.rnk)]
+    assert sims == sorted(sims, reverse=True)
+    assert all(-1.0 <= s <= 1.0 for s in sims)
