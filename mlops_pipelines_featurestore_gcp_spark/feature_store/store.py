@@ -1,0 +1,272 @@
+"""Parquet-backed feature store with the reference's API surface.
+
+Mirrors the signatures of the reference's helper layer (SURVEY.md §2.9):
+``create_featurestore`` / ``list_featurestore`` / ``cleanup_featurestore``
+(``feature_store_helper.py:30-57,61-78,8-27``), ``create_entity_type``
+(``:83-107``), ``create_feature`` (``:109-137``), ``import_feature_values``
+(``bigquery_to_featurestore.py:4-57``) — re-expressed over Spark tables:
+
+- **Registry** — small parquet tables (featurestores / entity_types /
+  features) under ``{base}/registry``; metadata, read rarely.
+- **Values** — one long-format parquet table per (store, entity type) at
+  ``{base}/values/{fs}/{entity}``, schema ``(entity_id string, feature_name
+  string, value string, feature_time timestamp)``, partitioned by
+  ``feature_date`` so point-in-time reads prune partitions at scale.
+  Values are stored as STRING like the reference (all four features are
+  ``Feature.ValueType.STRING``, notebook cell 22); declared types live in
+  the registry and drive the cast on read.
+- **Reads** — latest / point-in-time via the window pattern (J2); spine
+  joins via the as-of operator. The online path (FS7) is the same latest
+  view kept cached.
+
+Two reference bugs deliberately NOT reproduced (SURVEY §2.9 FS6): the
+hardcoded source-URI and the ``entity_id_field`` parameter being overridden
+with a literal ``"user_id"`` (``bigquery_to_featurestore.py:28,172``).
+"""
+
+from __future__ import annotations
+
+import shutil
+from dataclasses import dataclass
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mlops_pipelines_featurestore_gcp_spark.operators.asof import asof_join
+
+VALUES_SCHEMA = "entity_id string, feature_name string, value string, feature_time timestamp"
+
+
+# ---------------------------------------------------------------------------
+# Pure read-path functions (used directly by oracle-checked plans)
+# ---------------------------------------------------------------------------
+
+
+def latest_values(values: DataFrame, *, at=None, tie_break: str = "value") -> DataFrame:
+    """Latest value per (entity_id, feature_name), optionally as of ``at``.
+
+    The J2 window pattern: one shuffle on the entity/feature key. ``at=None``
+    means "now" (no upper bound). ``tie_break`` makes simultaneous writes
+    deterministic (largest wins).
+    """
+    v = values if at is None else values.where(F.col("feature_time") <= F.lit(at).cast("timestamp"))
+    w = Window.partitionBy("entity_id", "feature_name").orderBy(
+        F.col("feature_time").desc(), F.col(tie_break).desc()
+    )
+    return (
+        v.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def point_in_time_values(values: DataFrame, spine: DataFrame, *, spine_key: str, spine_time: str) -> DataFrame:
+    """Attach, for every spine row, each feature's latest value at or before
+    the spine row's own timestamp — the training-set construction read.
+
+    Implemented per feature via the as-of union-merge join (one shuffle per
+    feature name on the entity key)."""
+    out = spine
+    feature_names = [r.feature_name for r in values.select("feature_name").distinct().collect()]
+    for fname in sorted(feature_names):
+        fv = values.where(F.col("feature_name") == fname).select(
+            F.col("entity_id").alias(spine_key),
+            F.col("feature_time"),
+            F.col("value").alias(fname),
+        )
+        out = asof_join(
+            out,
+            fv,
+            spine_key,
+            left_time=spine_time,
+            right_time="feature_time",
+            tie_break=fname,
+        ).drop("feature_time")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Persistent store
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class FeatureStore:
+    """Filesystem-rooted feature store (``base_path`` can be any Hadoop-FS
+    URI — local dir in tests, object store in production)."""
+
+    spark: SparkSession
+    base_path: str
+
+    # -- registry ----------------------------------------------------------
+
+    def _registry_path(self, table: str) -> str:
+        return f"{self.base_path}/registry/{table}"
+
+    def _read_registry(self, table: str, schema: str) -> DataFrame:
+        path = Path(self.base_path) / "registry" / table
+        if not path.exists():
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(str(path))
+
+    def _overwrite_registry(self, table: str, df: DataFrame) -> None:
+        # Registry tables are tiny metadata. Materialize to the driver first:
+        # the new frame usually unions the files being overwritten, and a
+        # lazy overwrite would delete them before reading.
+        schema = df.schema
+        rows = df.collect()
+        self.spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(
+            self._registry_path(table)
+        )
+
+    _FS_SCHEMA = "featurestore_id string, online_node_count int, created_at timestamp"
+    _ET_SCHEMA = "featurestore_id string, entity_type_id string, description string"
+    _FEAT_SCHEMA = (
+        "featurestore_id string, entity_type_id string, feature_id string, value_type string, description string"
+    )
+
+    def create_featurestore(self, featurestore_id: str, *, online_node_count: int = 1) -> None:
+        """FS1 (``feature_store_helper.py:30-57``): register a store.
+
+        ``online_node_count`` mirrors ``fixed_node_count`` — here it only
+        records intent; the online path is a cached view, not provisioned
+        capacity."""
+        cur = self._read_registry("featurestores", self._FS_SCHEMA)
+        if cur.where(F.col("featurestore_id") == featurestore_id).count() > 0:
+            raise ValueError(f"featurestore {featurestore_id!r} already exists")
+        row = self.spark.createDataFrame(
+            [(featurestore_id, online_node_count)], "featurestore_id string, online_node_count int"
+        ).withColumn("created_at", F.current_timestamp())
+        self._overwrite_registry("featurestores", cur.unionByName(row))
+
+    def list_featurestores(self) -> list[str]:
+        """FS2 (``feature_store_helper.py:61-78``)."""
+        return [
+            r.featurestore_id
+            for r in self._read_registry("featurestores", self._FS_SCHEMA)
+            .select("featurestore_id")
+            .orderBy("featurestore_id")
+            .collect()
+        ]
+
+    def cleanup_featurestore(self, featurestore_id: str, *, force: bool = True) -> None:
+        """FS3 (``feature_store_helper.py:8-27``): drop store + children +
+        values (``force`` mirrors the reference's force-delete)."""
+        if not force:
+            ets = self._read_registry("entity_types", self._ET_SCHEMA)
+            if ets.where(F.col("featurestore_id") == featurestore_id).count() > 0:
+                raise ValueError(f"featurestore {featurestore_id!r} is not empty; use force=True")
+        for table, schema in (
+            ("featurestores", self._FS_SCHEMA),
+            ("entity_types", self._ET_SCHEMA),
+            ("features", self._FEAT_SCHEMA),
+        ):
+            cur = self._read_registry(table, schema)
+            self._overwrite_registry(table, cur.where(F.col("featurestore_id") != featurestore_id))
+        values_dir = Path(self.base_path) / "values" / featurestore_id
+        if values_dir.exists():
+            shutil.rmtree(values_dir)
+
+    def create_entity_type(self, featurestore_id: str, entity_type_id: str, *, description: str = "") -> None:
+        """FS4 (``feature_store_helper.py:83-107``)."""
+        cur = self._read_registry("entity_types", self._ET_SCHEMA)
+        row = self.spark.createDataFrame([(featurestore_id, entity_type_id, description)], self._ET_SCHEMA)
+        self._overwrite_registry("entity_types", cur.unionByName(row))
+
+    def create_feature(
+        self,
+        featurestore_id: str,
+        entity_type_id: str,
+        feature_id: str,
+        *,
+        value_type: str = "STRING",
+        description: str = "",
+    ) -> None:
+        """FS5 (``feature_store_helper.py:109-137``); ``value_type`` is the
+        declared read-cast type (the stored form is always STRING, matching
+        the reference's all-STRING features at notebook cell 22)."""
+        cur = self._read_registry("features", self._FEAT_SCHEMA)
+        row = self.spark.createDataFrame(
+            [(featurestore_id, entity_type_id, feature_id, value_type, description)], self._FEAT_SCHEMA
+        )
+        self._overwrite_registry("features", cur.unionByName(row))
+
+    # -- values ------------------------------------------------------------
+
+    def _values_path(self, featurestore_id: str, entity_type_id: str) -> str:
+        return f"{self.base_path}/values/{featurestore_id}/{entity_type_id}"
+
+    def import_feature_values(
+        self,
+        featurestore_id: str,
+        entity_type_id: str,
+        src: DataFrame,
+        *,
+        entity_id_field: str,
+        feature_fields: list[str] | None = None,
+        feature_time=None,
+        worker_count: int = 1,
+    ) -> int:
+        """FS6 (``bigquery_to_featurestore.py:4-57``): melt a wide source
+        into the long values table and append.
+
+        ``feature_time=None`` mirrors the reference's wall-clock import time
+        (``:21-23``); a string naming a source column gives event-time
+        imports (the fix for the reference's always-"now" versioning); any
+        other value is a literal timestamp. ``worker_count`` maps to write
+        parallelism (``repartition``), like the import job's worker knob
+        (``:11,45``). Returns rows written.
+        """
+        feats = feature_fields or [c for c in src.columns if c != entity_id_field]
+        if feature_time is None:
+            time_col = F.current_timestamp()
+        elif isinstance(feature_time, str) and feature_time in src.columns:
+            time_col = F.col(feature_time)
+        else:
+            time_col = F.lit(feature_time)
+        long_df = src.select(
+            F.col(entity_id_field).cast("string").alias("entity_id"),
+            time_col.cast("timestamp").alias("feature_time"),
+            F.explode(
+                F.array(*[F.struct(F.lit(f).alias("feature_name"), F.col(f).cast("string").alias("value")) for f in feats])
+            ).alias("fv"),
+        ).select(
+            "entity_id",
+            F.col("fv.feature_name"),
+            F.col("fv.value"),
+            "feature_time",
+            F.to_date("feature_time").alias("feature_date"),
+        )
+        n = long_df.count()
+        (
+            long_df.repartition(worker_count)
+            .write.mode("append")
+            .partitionBy("feature_date")
+            .parquet(self._values_path(featurestore_id, entity_type_id))
+        )
+        return n
+
+    def values(self, featurestore_id: str, entity_type_id: str) -> DataFrame:
+        return self.spark.read.schema(VALUES_SCHEMA + ", feature_date date").parquet(
+            self._values_path(featurestore_id, entity_type_id)
+        )
+
+    def read_latest(self, featurestore_id: str, entity_type_id: str, *, at=None, entity_ids=None) -> DataFrame:
+        """FS7/J2: wide latest-row per entity (optionally as of ``at`` /
+        restricted to ``entity_ids`` — the ``FeatureSelector(IdMatcher(...))``
+        equivalent, notebook cell 7)."""
+        v = self.values(featurestore_id, entity_type_id)
+        if entity_ids is not None:
+            v = v.where(F.col("entity_id").isin([str(e) for e in entity_ids]))
+        latest = latest_values(v, at=at)
+        return latest.groupBy("entity_id").pivot("feature_name").agg(F.first("value"))
+
+    def point_in_time_join(
+        self, featurestore_id: str, entity_type_id: str, spine: DataFrame, *, spine_key: str, spine_time: str
+    ) -> DataFrame:
+        """Training-set construction: spine rows enriched with each feature's
+        value as of the spine row's timestamp."""
+        return point_in_time_values(
+            self.values(featurestore_id, entity_type_id), spine, spine_key=spine_key, spine_time=spine_time
+        )

@@ -34,6 +34,10 @@ _DEFAULT_CONFS: dict[str, str] = {
     # ANSI off: the engine mirrors BigQuery's permissive cast-at-boundary
     # behavior (reference loads everything as STRING and casts downstream).
     "spark.sql.ansi.enabled": "false",
+    # The events fixture stores ts as parquet timestamp[ns]; Spark has no
+    # nanosecond timestamps, so read the raw int64 and convert in the
+    # catalog (truncate to µs, matching DuckDB's read of the same file).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Shuffle sizing for the local harness; cluster deploys override.
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),

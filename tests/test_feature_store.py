@@ -1,0 +1,98 @@
+"""FeatureStore API tests (FS1-FS7 semantics from SURVEY.md §2.9 + §5.2
+property checks: import-twice → latest returns second, as-of between imports
+returns first, one row per entity)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mlops_pipelines_featurestore_gcp_spark.feature_store import FeatureStore
+from mlops_pipelines_featurestore_gcp_spark.operators.asof import asof_join
+
+
+@pytest.fixture
+def store(spark, tmp_path):
+    return FeatureStore(spark, str(tmp_path / "fs"))
+
+
+def test_registry_lifecycle(store):
+    store.create_featurestore("movie_fs", online_node_count=1)
+    store.create_featurestore("other_fs")
+    assert store.list_featurestores() == ["movie_fs", "other_fs"]
+    with pytest.raises(ValueError, match="already exists"):
+        store.create_featurestore("movie_fs")
+    store.create_entity_type("movie_fs", "users", description="per-user features")
+    for feat in ("user_id", "item_id", "rating", "timestamp"):
+        store.create_feature("movie_fs", "users", feat, value_type="STRING")
+    store.cleanup_featurestore("movie_fs", force=True)
+    assert store.list_featurestores() == ["other_fs"]
+
+
+def test_import_and_latest_read(store, spark):
+    store.create_featurestore("fs")
+    store.create_entity_type("fs", "users")
+    src1 = spark.createDataFrame([(1, 10.0, "A"), (2, 20.0, "B")], "uid long, bal double, seg string")
+    src2 = spark.createDataFrame([(1, 11.0, "A2")], "uid long, bal double, seg string")
+    n1 = store.import_feature_values("fs", "users", src1, entity_id_field="uid", feature_time="2024-01-01")
+    n2 = store.import_feature_values("fs", "users", src2, entity_id_field="uid", feature_time="2024-02-01")
+    assert (n1, n2) == (4, 2)
+
+    latest = {r.entity_id: (r.bal, r.seg) for r in store.read_latest("fs", "users").collect()}
+    assert latest == {"1": ("11.0", "A2"), "2": ("20.0", "B")}
+
+    # as-of between the two imports → first import wins
+    asof = {r.entity_id: r.bal for r in store.read_latest("fs", "users", at="2024-01-15").collect()}
+    assert asof == {"1": "10.0", "2": "20.0"}
+
+    # IdMatcher-style restriction
+    only2 = store.read_latest("fs", "users", entity_ids=[2]).collect()
+    assert [r.entity_id for r in only2] == ["2"]
+
+
+def test_import_is_append_one_row_per_entity(store, spark):
+    store.create_featurestore("fs")
+    store.create_entity_type("fs", "users")
+    src = spark.range(50).select(F.col("id").alias("uid"), (F.col("id") * 2.0).alias("x"))
+    store.import_feature_values("fs", "users", src, entity_id_field="uid", feature_time="2024-01-01")
+    store.import_feature_values("fs", "users", src, entity_id_field="uid", feature_time="2024-01-02")
+    vals = store.values("fs", "users")
+    assert vals.count() == 100  # append, not overwrite
+    wide = store.read_latest("fs", "users")
+    assert wide.count() == 50  # one row per entity
+    assert wide.groupBy("entity_id").count().where(F.col("count") > 1).count() == 0
+
+
+def test_point_in_time_join_spine(store, spark):
+    store.create_featurestore("fs")
+    store.create_entity_type("fs", "u")
+    imports = [("2024-01-01", 1.0), ("2024-01-10", 2.0), ("2024-01-20", 3.0)]
+    for when, val in imports:
+        src = spark.createDataFrame([(7, val)], "uid long, score double")
+        store.import_feature_values("fs", "u", src, entity_id_field="uid", feature_time=when)
+    spine = spark.createDataFrame(
+        [("7", "2023-12-31"), ("7", "2024-01-05"), ("7", "2024-01-15"), ("7", "2024-02-01")],
+        "uid string, t string",
+    ).select("uid", F.col("t").cast("timestamp").alias("t"))
+    out = store.point_in_time_join("fs", "u", spine, spine_key="uid", spine_time="t")
+    got = {str(r.t.date()): r.score for r in out.collect()}
+    assert got == {"2023-12-31": None, "2024-01-05": "1.0", "2024-01-15": "2.0", "2024-02-01": "3.0"}
+
+
+def test_asof_join_inclusive_and_ties(spark):
+    left = spark.createDataFrame([(1, 10), (1, 20), (2, 15)], "k long, t long")
+    right = spark.createDataFrame(
+        [(1, 10, "at10"), (1, 10, "at10b"), (1, 15, "at15"), (2, 99, "late")],
+        "k long, t long, v string",
+    )
+    out = asof_join(
+        left,
+        right.select("k", F.col("t").alias("rt"), "v"),
+        "k",
+        left_time="t",
+        right_time="rt",
+        tie_break="v",
+    )
+    got = {(r.k, r.t): r.v for r in out.collect()}
+    # inclusive boundary; tie at rt=10 resolved to the larger tie_break value
+    assert got == {(1, 10): "at10b", (1, 20): "at15", (2, 15): None}
