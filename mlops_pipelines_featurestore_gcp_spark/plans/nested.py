@@ -1,1 +1,200 @@
-"""Placeholder — populated in a later milestone."""
+"""Nested-data queries: array/struct construction, nested projection,
+flatten/explode round-trips — the trajectory-schema operations (SURVEY.md
+§1.1-1.2, FIXTURES.md §2) exercised on the TPC-H-ish fixtures so DuckDB can
+oracle them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mlops_pipelines_featurestore_gcp_spark.plans.registry import register
+from mlops_pipelines_featurestore_gcp_spark.sources.catalog import load_table
+
+
+@register(
+    "n01_collect_sorted_arrays",
+    oracle="""
+    SELECT l_orderkey,
+           list(l_quantity ORDER BY l_linenumber, l_quantity) AS quantities,
+           list(l_linenumber ORDER BY l_linenumber, l_quantity) AS linenumbers,
+           CAST(len(list(l_quantity ORDER BY l_linenumber, l_quantity)) AS BIGINT) AS n_items
+    FROM lineitem
+    WHERE l_orderkey < 500
+    GROUP BY l_orderkey
+    """,
+    tags=("nested", "agg"),
+)
+def n01_collect_sorted_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build REPEATED columns: per-order arrays ordered by line number (the
+    trajectory batch-array shape, deterministic order)."""
+    li = load_table(spark, "lineitem", sf_dir).where(F.col("l_orderkey") < 500)
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("l_linenumber", "l_quantity"))).alias("z"),
+        )
+        .select(
+            "l_orderkey",
+            F.col("z.l_quantity").alias("quantities"),
+            F.col("z.l_linenumber").alias("linenumbers"),
+            F.size("z").cast("long").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "n02_nested_projection",
+    oracle="""
+    WITH arrs AS (
+      SELECT l_orderkey, list(l_quantity ORDER BY l_linenumber, l_quantity) AS q
+      FROM lineitem WHERE l_orderkey < 500 GROUP BY l_orderkey
+    )
+    SELECT l_orderkey,
+           list_transform(q, x -> x * 2.0) AS doubled,
+           q[1] AS first_qty,
+           CAST(list_sum(q) AS DOUBLE) AS total_qty,
+           list_reverse(q) AS reversed
+    FROM arrs
+    """,
+    tags=("nested", "projection"),
+)
+def n02_nested_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array transforms: element-wise map, indexing, fold, reverse (P1/P3's
+    reshape surface)."""
+    li = load_table(spark, "lineitem", sf_dir).where(F.col("l_orderkey") < 500)
+    arrs = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list(F.struct("l_linenumber", "l_quantity"))).alias("z"))
+        .select("l_orderkey", F.col("z.l_quantity").alias("q"))
+    )
+    return arrs.select(
+        "l_orderkey",
+        F.transform("q", lambda x: x * 2.0).alias("doubled"),
+        F.element_at("q", 1).alias("first_qty"),
+        F.aggregate("q", F.lit(0.0), lambda acc, x: acc + x).alias("total_qty"),
+        F.reverse("q").alias("reversed"),
+    )
+
+
+@register(
+    "n03_struct_of_arrays",
+    oracle="""
+    WITH nested AS (
+      SELECT o_custkey,
+             {'order_keys': list(o_orderkey ORDER BY o_orderkey),
+              'prices': list(o_totalprice ORDER BY o_orderkey)} AS orders_struct
+      FROM orders WHERE o_custkey < 100 GROUP BY o_custkey
+    )
+    SELECT o_custkey,
+           orders_struct.order_keys AS order_keys,
+           CAST(len(orders_struct.prices) AS BIGINT) AS n_orders,
+           orders_struct.prices[1] AS first_price
+    FROM nested
+    """,
+    tags=("nested", "struct"),
+)
+def n03_struct_of_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct-of-arrays build + field access (the observation
+    RECORD-REPEATED shape at depth 2)."""
+    o = load_table(spark, "orders", sf_dir).where(F.col("o_custkey") < 100)
+    nested = o.groupBy("o_custkey").agg(
+        F.struct(
+            F.sort_array(F.collect_list(F.struct(F.col("o_orderkey").alias("k")))).k.alias("order_keys"),
+            F.sort_array(F.collect_list(F.struct("o_orderkey", "o_totalprice"))).o_totalprice.alias("prices"),
+        ).alias("orders_struct")
+    )
+    return nested.select(
+        "o_custkey",
+        F.col("orders_struct.order_keys").alias("order_keys"),
+        F.size("orders_struct.prices").cast("long").alias("n_orders"),
+        F.element_at(F.col("orders_struct.prices"), 1).alias("first_price"),
+    )
+
+
+@register(
+    "n04_explode_roundtrip",
+    oracle="""
+    WITH arrs AS (
+      SELECT l_orderkey, list(l_quantity ORDER BY l_linenumber, l_quantity) AS q
+      FROM lineitem WHERE l_orderkey < 300 GROUP BY l_orderkey
+    ),
+    exploded AS (
+      SELECT l_orderkey,
+             CAST(unnest(generate_series(1, len(q))) - 1 AS BIGINT) AS pos,
+             unnest(q) AS qty
+      FROM arrs
+    )
+    SELECT l_orderkey, pos, qty FROM exploded
+    """,
+    tags=("nested", "explode"),
+)
+def n04_explode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode: REPEATED column back to rows with positions (the
+    Example-building flatten, P1)."""
+    li = load_table(spark, "lineitem", sf_dir).where(F.col("l_orderkey") < 300)
+    arrs = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list(F.struct("l_linenumber", "l_quantity"))).alias("z"))
+        .select("l_orderkey", F.col("z.l_quantity").alias("q"))
+    )
+    return arrs.select("l_orderkey", F.posexplode("q").alias("pos", "qty")).select(
+        "l_orderkey", F.col("pos").cast("long").alias("pos"), "qty"
+    )
+
+
+@register(
+    "n05_depth3_trajectory_shape",
+    oracle="""
+    WITH obs AS (
+      SELECT o_custkey,
+             list({'observation_batch': ob} ORDER BY ok) AS observation
+      FROM (
+        SELECT o.o_custkey, o.o_orderkey AS ok,
+               list(l.l_quantity ORDER BY l.l_linenumber, l.l_quantity) AS ob
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_custkey < 50
+        GROUP BY o.o_custkey, o.o_orderkey
+      )
+      GROUP BY o_custkey
+    )
+    SELECT o_custkey,
+           CAST(len(observation) AS BIGINT) AS batch,
+           list_transform(observation, x -> CAST(len(x.observation_batch) AS BIGINT)) AS inner_sizes,
+           CAST(list_sum(list_transform(observation,
+                x -> CAST(list_sum(x.observation_batch) AS DOUBLE))) AS DOUBLE) AS total
+    FROM obs
+    """,
+    tags=("nested", "depth3"),
+)
+def n05_depth3_trajectory_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact trajectory nesting: array<struct<observation_batch:
+    array<double>>> built from real data, then navigated at every depth."""
+    o = load_table(spark, "orders", sf_dir).where(F.col("o_custkey") < 50)
+    li = load_table(spark, "lineitem", sf_dir)
+    per_order = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey", "o_orderkey")
+        .agg(F.sort_array(F.collect_list(F.struct("l_linenumber", "l_quantity"))).alias("z"))
+        .select("o_custkey", F.col("o_orderkey").alias("ok"), F.col("z.l_quantity").alias("ob"))
+    )
+    obs = per_order.groupBy("o_custkey").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("ok", "ob"))),
+            lambda s: F.struct(s.ob.alias("observation_batch")),
+        ).alias("observation")
+    )
+    return obs.select(
+        "o_custkey",
+        F.size("observation").cast("long").alias("batch"),
+        F.transform("observation", lambda x: F.size(x.observation_batch).cast("long")).alias("inner_sizes"),
+        F.aggregate(
+            F.transform(
+                "observation",
+                lambda x: F.aggregate(x.observation_batch, F.lit(0.0), lambda a, b: a + b),
+            ),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        ).alias("total"),
+    )

@@ -1,1 +1,172 @@
-"""Placeholder — populated in a later milestone."""
+"""Window/event-time queries over the ``events`` fixture (SURVEY.md §2.7).
+
+``F.window`` / ``F.session_window`` behave identically on batch and
+streaming DataFrames, so the driver's DuckDB oracle verifies the *semantics*
+here in batch mode; ``tests/test_streaming.py`` separately proves the same
+operators run as actual Structured Streaming micro-batches with watermarks,
+exactly-once dedup, and AvailableNow triggers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mlops_pipelines_featurestore_gcp_spark.plans.registry import register
+from mlops_pipelines_featurestore_gcp_spark.sources.catalog import load_table
+from mlops_pipelines_featurestore_gcp_spark.streaming.windows import (
+    session_window_agg,
+    sliding_window_agg,
+    tumbling_window_agg,
+)
+
+
+@register(
+    "st01_tumbling_window",
+    oracle="""
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS w_start,
+           time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS w_end,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(value) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+    tags=("streaming", "window"),
+)
+def st01_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling count+sum per event type."""
+    ev = load_table(spark, "events", sf_dir)
+    return tumbling_window_agg(
+        ev,
+        "1 hour",
+        F.count("*").alias("n_events"),
+        F.sum("value").alias("total_value"),
+        group_cols=("event_type",),
+    )
+
+
+@register(
+    "st02_sliding_window",
+    oracle="""
+    WITH cand AS (
+      SELECT unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+                     time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE]) AS w_start,
+             ts, value
+      FROM events
+    )
+    SELECT w_start,
+           w_start + INTERVAL 1 HOUR AS w_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(avg(value) AS DOUBLE) AS avg_value
+    FROM cand
+    WHERE ts >= w_start AND ts < w_start + INTERVAL 1 HOUR
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "window"),
+)
+def st02_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 min — each event in exactly 2 windows."""
+    ev = load_table(spark, "events", sf_dir)
+    return sliding_window_agg(
+        ev,
+        "1 hour",
+        "30 minutes",
+        F.count("*").alias("n_events"),
+        F.avg("value").alias("avg_value"),
+    )
+
+
+@register(
+    "st03_session_window",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+      SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM ordered
+    )
+    SELECT user_id,
+           min(ts) AS w_start,
+           max(ts) + INTERVAL 30 MINUTE AS w_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(value) AS DOUBLE) AS total_value
+    FROM sess
+    GROUP BY user_id, sess_id
+    """,
+    tags=("streaming", "window", "session"),
+)
+def st03_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-min-gap session windows per user (gaps-and-islands as the oracle)."""
+    ev = load_table(spark, "events", sf_dir)
+    out = session_window_agg(
+        ev,
+        "30 minutes",
+        F.count("*").alias("n_events"),
+        F.sum("value").alias("total_value"),
+        group_cols=("user_id",),
+    )
+    return out.select("user_id", "w_start", "w_end", "n_events", "total_value")
+
+
+@register(
+    "st04_stream_dedup",
+    oracle="""
+    WITH ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY ts) AS rn
+      FROM events
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_unique,
+           round(CAST(sum(value) AS DOUBLE), 3) AS total_value
+    FROM ranked WHERE rn = 1
+    """,
+    tags=("streaming", "dedup"),
+)
+def st04_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once → exactly-once: first-wins dedup on the message key
+    (batch shape of ``withWatermark().dropDuplicates()``; SURVEY §2.5)."""
+    ev = load_table(spark, "events", sf_dir)
+    w = F.row_number().over(Window.partitionBy("event_id").orderBy("ts"))
+    return (
+        ev.withColumn("rn", w)
+        .where(F.col("rn") == 1)
+        .agg(
+            F.count("*").cast("long").alias("n_unique"),
+            F.round(F.sum("value"), 3).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "st05_late_data_cutoff",
+    oracle="""
+    WITH mx AS (SELECT max(ts) AS max_ts FROM events)
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS w_start,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events, mx
+    WHERE ts >= mx.max_ts - INTERVAL 6 HOUR
+    GROUP BY 1
+    """,
+    tags=("streaming", "watermark"),
+)
+def st05_late_data_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark semantics in batch form: drop events older than
+    max_event_time - 6h, then tumbling-count (what a 6h watermark admits)."""
+    ev = load_table(spark, "events", sf_dir)
+    max_ts = ev.agg(F.max("ts").alias("max_ts"))
+    kept = ev.crossJoin(F.broadcast(max_ts)).where(
+        F.col("ts") >= F.col("max_ts") - F.expr("INTERVAL 6 HOURS")
+    )
+    return (
+        kept.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .select(F.col("w.start").alias("w_start"), "n_events")
+    )

@@ -1,0 +1,135 @@
+"""Milestone-5 streaming tests (SURVEY.md §5.2): file-source micro-batches,
+duplicate-message injection must NOT duplicate sink rows (exactly-once),
+AvailableNow drain semantics, and batch/stream window-agg equivalence."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from mlops_pipelines_featurestore_gcp_spark.streaming import (
+    enrich_with_reward,
+    read_prediction_stream,
+    run_log_loop,
+    tumbling_window_agg,
+)
+
+
+def _write_messages(path, messages):
+    path.mkdir(parents=True, exist_ok=True)
+    fname = path / f"batch_{len(list(path.iterdir()))}.json"
+    fname.write_text("\n".join(json.dumps(m) for m in messages) + "\n")
+
+
+def _msg(mid, t, obs, actions):
+    return {
+        "message_id": mid,
+        "publish_time": t,
+        "observations": obs,
+        "predicted_actions": actions,
+    }
+
+
+@pytest.fixture
+def factors(spark):
+    return spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.5, 0.5])],
+        "item_id long, features array<double>",
+    )
+
+
+def test_enrich_reward_is_dot_product(spark, factors):
+    msgs = spark.createDataFrame(
+        [("m1", "2024-01-01 00:00:00", [[3.0, 4.0], [1.0, 2.0]], [0, 2])],
+        "message_id string, publish_time string, observations array<array<double>>, predicted_actions array<long>",
+    ).withColumn("publish_time", F.col("publish_time").cast("timestamp"))
+    row = enrich_with_reward(msgs, factors).first()
+    assert row.reward == [3.0, 1.5]  # dot([3,4],[1,0]) and dot([1,2],[.5,.5])
+    assert row.action == [0, 2]
+    assert row.observation[0].observation_batch == [3.0, 4.0]
+
+
+def test_log_loop_exactly_once(spark, factors, tmp_path):
+    msg_dir = tmp_path / "msgs"
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    m1 = _msg("m1", "2024-01-01 00:00:00", [[1.0, 0.0]], [1])
+    m2 = _msg("m2", "2024-01-01 00:01:00", [[0.0, 1.0]], [1])
+    # at-least-once delivery: m1 delivered twice in the same batch
+    _write_messages(msg_dir, [m1, m2, m1])
+
+    q = run_log_loop(spark, str(msg_dir), factors, sink, ckpt)
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(sink)
+    assert out.count() == 2  # duplicate m1 collapsed
+    got = {r.message_id: r.reward for r in out.collect()}
+    assert got == {"m1": [0.0], "m2": [1.0]}
+
+    # redelivery in a LATER file + restart: checkpoint + stateful dedup
+    _write_messages(msg_dir, [m1, _msg("m3", "2024-01-01 00:02:00", [[2.0, 2.0]], [2])])
+    q2 = run_log_loop(spark, str(msg_dir), factors, sink, ckpt)
+    q2.awaitTermination(120)
+    out2 = spark.read.parquet(sink)
+    assert out2.count() == 3  # m3 added, duplicate m1 still suppressed
+    assert out2.where(F.col("message_id") == "m1").count() == 1
+
+
+def test_stream_window_agg_matches_batch(spark, tmp_path):
+    rows = [
+        (f"2024-01-01T{h:02d}:{m:02d}:00", "click", float(h * 60 + m))
+        for h in range(4)
+        for m in (5, 25, 45)
+    ]
+    batch = spark.createDataFrame(rows, "ts string, event_type string, value double").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    src = tmp_path / "events_json"
+    src.mkdir()
+    # one file per hour: with maxFilesPerTrigger=1 the watermark advances
+    # between micro-batches, so append mode emits the completed windows
+    for h in range(4):
+        (src / f"hour{h}.json").write_text(
+            "\n".join(
+                json.dumps({"ts": t, "event_type": e, "value": v})
+                for t, e, v in rows
+                if t.startswith(f"2024-01-01T{h:02d}")
+            )
+            + "\n"
+        )
+
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .withWatermark("ts", "10 minutes")
+    )
+    agg = tumbling_window_agg(
+        stream, "1 hour", F.count("*").alias("n"), F.sum("value").alias("tv"),
+        group_cols=("event_type",),
+    )
+    sink = str(tmp_path / "agg_sink")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "agg_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {(str(r.w_start), r.n, r.tv) for r in spark.read.parquet(sink).collect()}
+    expected_all = {
+        (str(r.w_start), r.n, r.tv)
+        for r in tumbling_window_agg(
+            batch, "1 hour", F.count("*").alias("n"), F.sum("value").alias("tv"),
+            group_cols=("event_type",),
+        ).collect()
+    }
+    # append mode emits only windows the watermark has passed; whatever was
+    # emitted must exactly match the batch result for those windows
+    assert got <= expected_all
+    assert len(got) >= 2  # first two hourly windows are past the watermark
