@@ -34,6 +34,17 @@ HEADLINE = [
     "q14_distinct_agg",
     "q20_range_join_latency",
     "q25_json_and_case",
+    # LLM-corpus operators
+    "d01_exact_dedup",
+    "d02_minhash_lsh_neardup",
+    "s01_ann_bruteforce_topk",
+    "t01_token_stats",
+    "t04_doc_fingerprint",
+    # event-time windows
+    "st01_tumbling_window",
+    "st03_session_window",
+    # feature store
+    "f03_asof_spine_join",
 ]
 
 

@@ -1,0 +1,120 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` + typed
+metadata, with decode / feature-extract / resize / frame-sample as
+Arrow-batched Pandas transforms.
+
+Design for 100 TB: payloads stay in executor-side Arrow batches end to end —
+metadata-only queries (size, fingerprint, mime dispatch) never touch Python,
+and the Pandas stages stream ``mapInPandas`` batches without per-row
+serialization. The actual image/audio codecs are NOT in this container, so
+the decode kernels are deterministic fakes behind ``use_real_codecs`` —
+the Spark-side contract (schemas, batch shapes, partition flow, UDF
+signatures) is real and tested; swapping in PIL/librosa is a local change
+inside one generator function.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# typed metadata carried alongside every payload
+MEDIA_META = "struct<mime: string, n_bytes: bigint, fingerprint: string>"
+
+FEATURE_DIM = 8
+
+
+def attach_payload(df: DataFrame, src_col: str, *, mime: str = "application/octet-stream") -> DataFrame:
+    """Opaque binary column + typed metadata from any source column.
+
+    Metadata is pure JVM expression (octet_length/md5) — a scan computing
+    only metadata prunes the payload column entirely at the parquet reader.
+    """
+    payload = F.encode(F.col(src_col).cast("string"), "UTF-8")
+    return df.withColumn("payload", payload).withColumn(
+        "media_meta",
+        F.struct(
+            F.lit(mime).alias("mime"),
+            F.octet_length(payload).cast("bigint").alias("n_bytes"),
+            F.md5(payload).alias("fingerprint"),
+        ),
+    )
+
+
+def _fake_decode(blob: bytes) -> tuple[int, int, int]:
+    """Deterministic stand-in for an image decoder: (width, height,
+    channels) derived from the payload digest. A real build replaces this
+    with ``PIL.Image.open(io.BytesIO(blob))``."""
+    d = hashlib.md5(blob).digest()
+    return 16 + d[0] % 240, 16 + d[1] % 240, 1 + d[2] % 4
+
+
+def decode_media(df: DataFrame, *, payload_col: str = "payload", use_real_codecs: bool = False) -> DataFrame:
+    """Decode stub: payload → (width, height, channels) via ``mapInPandas``.
+
+    ``use_real_codecs=True`` raises until a codec library is installed —
+    clearly marking the stub boundary per the build contract.
+    """
+    if use_real_codecs:
+        raise NotImplementedError("image/audio codec libraries are not available in this environment")
+
+    out_schema = ", ".join(f"{c} {t}" for c, t in _schema_of(df).items()) + ", width int, height int, channels int"
+    passthrough = [c for c in df.columns]
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [_fake_decode(bytes(b)) for b in pdf[payload_col]]
+            res = pdf[passthrough].copy()
+            res["width"] = [d[0] for d in decoded]
+            res["height"] = [d[1] for d in decoded]
+            res["channels"] = [d[2] for d in decoded]
+            yield res
+
+    return df.mapInPandas(_decode, out_schema)
+
+
+def extract_features(df: DataFrame, *, payload_col: str = "payload", dim: int = FEATURE_DIM) -> DataFrame:
+    """Feature-extraction stub: payload → ``array<float>`` embedding.
+
+    Deterministic digest-derived vector; the vectorized batch shape and
+    output schema match what a real CNN/wav2vec encoder stage would emit.
+    """
+    schema = ", ".join(f"{c} {t}" for c, t in _schema_of(df).items()) + f", features array<float>"
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for b in pdf[payload_col]:
+                d = hashlib.sha256(bytes(b)).digest()
+                feats.append([round(d[i] / 255.0, 6) for i in range(dim)])
+            res = pdf.copy()
+            res["features"] = feats
+            yield res
+
+    return df.mapInPandas(_extract, schema)
+
+
+def frame_sample(df: DataFrame, *, payload_col: str = "payload", frame_bytes: int = 64, every: int = 2) -> DataFrame:
+    """Frame-sampling stub for video-shaped payloads: split the byte stream
+    into fixed-size frames, keep every ``every``-th — pure JVM array ops
+    (no Python), one output row per kept frame."""
+    frames = F.transform(
+        F.sequence(F.lit(0), F.floor((F.octet_length(F.col(payload_col)) - 1) / frame_bytes).cast("int")),
+        lambda i: F.substring(F.col(payload_col), (i * frame_bytes + 1).cast("int"), frame_bytes),
+    )
+    kept = F.filter(frames, lambda fr, i: i % every == F.lit(0))
+    return df.withColumn("frame", F.explode(kept)).withColumn(
+        "frame_meta",
+        F.struct(
+            F.octet_length("frame").cast("bigint").alias("n_bytes"),
+            F.md5(F.col("frame").cast("binary")).alias("fingerprint"),
+        ),
+    )
+
+
+def _schema_of(df: DataFrame) -> dict[str, str]:
+    return {f.name: f.dataType.simpleString() for f in df.schema.fields}

@@ -85,3 +85,26 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         pred.alias("lang_pred"),
         best.cast("long").alias("lang_hits"),
     )
+
+
+def doc_fingerprint(df: DataFrame, id_col: str, text_col: str, *, k: int = 8, sketch_size: int = 4) -> DataFrame:
+    """Document fingerprint: bottom-s sketch of rolling k-gram hashes.
+
+    Slides a k-char window over the normalized text (the rolling-hash pass),
+    hashes every gram, and keeps the ``sketch_size`` smallest values — a
+    bottom-s sketch: an order/permutation-stable fingerprint whose overlap
+    estimates resemblance, robust to small edits (unlike the exact-dedup
+    md5 of the whole text). All JVM expressions; one scan, no shuffle.
+    """
+    from mlops_pipelines_featurestore_gcp_spark.functions.text import char_shingles, md5_long, normalize
+
+    nt = normalize(F.col(text_col))
+    # explicit 1-arg lambda: transform() would otherwise bind the element
+    # index to md5_long's `bits` parameter
+    hashes = F.transform(F.array_distinct(char_shingles(nt, k)), lambda x: md5_long(x))
+    sketch = F.slice(F.sort_array(hashes), 1, sketch_size)
+    return df.select(
+        F.col(id_col),
+        sketch.alias("fp_sketch"),
+        F.element_at(sketch, 1).alias("fp_min"),
+    )

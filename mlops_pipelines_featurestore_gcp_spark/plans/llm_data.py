@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mlops_pipelines_featurestore_gcp_spark.operators import dedup, similarity, text_analysis
+from mlops_pipelines_featurestore_gcp_spark.operators import dedup, multimodal, similarity, text_analysis
 from mlops_pipelines_featurestore_gcp_spark.plans.registry import register
 from mlops_pipelines_featurestore_gcp_spark.sources.catalog import load_table
 
@@ -347,4 +347,90 @@ def t03_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(pred, "doc_id")
         .groupBy("lang", "lang_pred")
         .agg(F.count("*").alias("n_docs"), F.sum("lang_hits").alias("total_hits"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting & multimodal payloads
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t04_doc_fingerprint",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, {_shingles_sql(8)} AS grams
+      FROM (SELECT doc_id, {_NORM} AS nt FROM documents)
+    ),
+    hashes AS (
+      SELECT doc_id,
+             list_sort(list_transform(grams, x -> {_md5_long_sql('x')})) AS hs
+      FROM sh
+    )
+    SELECT doc_id, hs[1:4] AS fp_sketch, hs[1] AS fp_min FROM hashes
+    """,
+    tags=("text", "llm", "fingerprint"),
+)
+def t04_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint: bottom-4 sketch of 8-gram hashes."""
+    docs = load_table(spark, "documents", sf_dir)
+    return text_analysis.doc_fingerprint(docs, "doc_id", "text", k=8, sketch_size=4)
+
+
+@register(
+    "mm01_payload_metadata",
+    oracle="""
+    SELECT doc_id,
+           'text/plain' AS mime,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS fingerprint
+    FROM documents
+    """,
+    tags=("multimodal", "llm"),
+)
+def mm01_payload_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque binary payload + typed metadata; metadata is JVM-only (the
+    payload column is pruned from this scan — multimodal at rest is free)."""
+    docs = load_table(spark, "documents", sf_dir)
+    mm = multimodal.attach_payload(docs, "text", mime="text/plain")
+    return mm.select(
+        "doc_id",
+        F.col("media_meta.mime").alias("mime"),
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.col("media_meta.fingerprint").alias("fingerprint"),
+    )
+
+
+@register(
+    "mm02_decode_stub",
+    oracle="""
+    SELECT doc_id,
+           16 + CAST(concat('0x', substr(md5(text), 1, 2)) AS INT) % 240 AS width,
+           16 + CAST(concat('0x', substr(md5(text), 3, 2)) AS INT) % 240 AS height,
+           1 + CAST(concat('0x', substr(md5(text), 5, 2)) AS INT) % 4 AS channels
+    FROM documents
+    """,
+    tags=("multimodal", "llm", "pandas-udf"),
+)
+def mm02_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode stub through the real mapInPandas plumbing (Arrow batches of
+    binary payloads → typed dims); the fake decoder is digest-derived so the
+    SQL oracle reproduces it exactly."""
+    docs = load_table(spark, "documents", sf_dir)
+    mm = multimodal.attach_payload(docs, "text", mime="image/png")
+    decoded = multimodal.decode_media(mm)
+    return decoded.select("doc_id", "width", "height", "channels")
+
+
+@register("mm03_frame_sample", oracle=None, tags=("multimodal", "llm", "video"))
+def mm03_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over video-shaped payloads (fixed-size byte frames,
+    every 2nd kept) — JVM array ops; exact per-frame math asserted in
+    tests/test_multimodal.py (byte-level substring is engine-specific SQL)."""
+    docs = load_table(spark, "documents", sf_dir)
+    mm = multimodal.attach_payload(docs, "text", mime="video/fake")
+    frames = multimodal.frame_sample(mm, frame_bytes=64, every=2)
+    return frames.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_frames"),
+        F.sum(F.col("frame_meta.n_bytes")).cast("long").alias("sampled_bytes"),
     )

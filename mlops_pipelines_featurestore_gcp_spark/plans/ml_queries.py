@@ -1,1 +1,129 @@
-"""Placeholder — populated in a later milestone."""
+"""ML-kernel queries (SURVEY.md §2.8) registered for the driver.
+
+SQL-expressible pieces (pivot matrix build, reward lookup join) get DuckDB
+oracles; the estimator/generator paths (ALS, LinUCB, seeded sampling) are
+engine-specific numerics → rows-only checks, with their real assertions in
+``tests/test_ml.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mlops_pipelines_featurestore_gcp_spark.ml.factorization import als_factors, rating_matrix, reward_join
+from mlops_pipelines_featurestore_gcp_spark.ml.generator import generate_trajectories
+from mlops_pipelines_featurestore_gcp_spark.ml.linucb import LinUCB
+from mlops_pipelines_featurestore_gcp_spark.plans.registry import register
+from mlops_pipelines_featurestore_gcp_spark.sources.catalog import load_table
+
+_EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+@register(
+    "ml01_rating_matrix_pivot",
+    oracle="""
+    SELECT user_id,
+           round(avg(CASE WHEN event_type = 'click'    THEN value END), 6) AS click,
+           round(avg(CASE WHEN event_type = 'view'     THEN value END), 6) AS view,
+           round(avg(CASE WHEN event_type = 'purchase' THEN value END), 6) AS purchase,
+           round(avg(CASE WHEN event_type = 'signup'   THEN value END), 6) AS signup,
+           round(avg(CASE WHEN event_type = 'error'    THEN value END), 6) AS error
+    FROM events
+    WHERE user_id < 200
+    GROUP BY user_id
+    """,
+    tags=("ml", "pivot"),
+)
+def ml01_rating_matrix_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: the long→wide matrix build as a bounded pivot."""
+    ev = load_table(spark, "events", sf_dir).where(F.col("user_id") < 200)
+    wide = rating_matrix(
+        ev, user_col="user_id", pivot_col="event_type", value_col="value", pivot_values=_EVENT_TYPES
+    )
+    return wide.select(
+        "user_id", *[F.round(F.col(c), 6).alias(c) for c in _EVENT_TYPES]
+    )
+
+
+@register(
+    "ml02_reward_lookup_join",
+    oracle="""
+    WITH factors AS (
+      SELECT vec_id AS action, embedding FROM embeddings WHERE vec_id < 20
+    ),
+    obs AS (
+      SELECT vec_id, embedding AS obs, vec_id % 20 AS action
+      FROM embeddings WHERE vec_id >= 100 AND vec_id < 200
+    )
+    SELECT obs.vec_id, obs.action,
+           round(CAST(list_inner_product(
+               CAST(obs.obs AS DOUBLE[]), CAST(f.embedding AS DOUBLE[])) AS DOUBLE), 4) AS reward
+    FROM obs LEFT JOIN factors f USING (action)
+    """,
+    tags=("ml", "join", "reward"),
+)
+def ml02_reward_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6/J3: env-reward lookup = broadcast join + dot product, using the
+    embeddings fixture as the factor matrix."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    factors = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("features")
+    )
+    obs = emb.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 200)).select(
+        "vec_id",
+        F.col("embedding").alias("obs"),
+        (F.col("vec_id") % 20).cast("long").alias("action"),
+    )
+    out = reward_join(obs, factors, action_col="action", obs_col="obs")
+    return out.select(
+        "vec_id", "action", F.round(F.col("reward"), 4).alias("reward")
+    )
+
+
+@register("ml03_linucb_policy", oracle=None, tags=("ml", "bandit"))
+def ml03_linucb_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4+M5: LinUCB fit on a deterministic synthetic bandit + greedy
+    prediction; returns per-arm pull counts and prediction histogram.
+    Non-SQL-expressible (matrix inverse) → rows-only here; numerical
+    assertions live in tests/test_ml.py."""
+    emb = load_table(spark, "embeddings", sf_dir).where(F.col("vec_id") < 200)
+    k = 4
+    train = emb.select(
+        F.slice(F.col("embedding").cast("array<double>"), 1, k).alias("obs"),
+        (F.col("vec_id") % 5).cast("long").alias("action"),
+        (F.col("label") % 3).cast("double").alias("reward"),
+    )
+    model = LinUCB(context_dim=k, num_actions=5, alpha=1.0, tikhonov=0.01).fit(train)
+    pred = model.transform(train, obs_col="obs")
+    return (
+        pred.groupBy("predicted_action")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy("predicted_action")
+    )
+
+
+@register("ml04_als_trajectories", oracle=None, tags=("ml", "als", "generator"))
+def ml04_als_trajectories(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1+M2+M3: ALS factors from event-derived ratings, then seeded
+    random-policy trajectory generation in the nested schema (shape/rows
+    checked; factor numerics are engine-specific)."""
+    ev = load_table(spark, "events", sf_dir).where(F.col("user_id") < 500)
+    ratings = ev.select(
+        F.col("user_id").cast("int").alias("user_id"),
+        (F.col("event_id") % 50).cast("int").alias("item_id"),
+        F.col("value").cast("float").alias("rating"),
+    )
+    uf, itf = als_factors(ratings, rank=4, max_iter=5, seed=42)
+    traj = generate_trajectories(
+        uf, itf, driver_steps=16, batch_size=4, num_actions=20, seed=7
+    )
+    return traj.select(
+        F.size("observation").cast("long").alias("batch"),
+        F.size("action").cast("long").alias("n_actions"),
+        F.size("observation")
+        .cast("long")
+        .eqNullSafe(F.size("reward"))
+        .cast("long")
+        .alias("shapes_consistent"),
+    )
