@@ -61,7 +61,11 @@ def generate_trajectories(
         F.col("features").cast("array<double>").alias("obs"),
     )
     slots = grid.join(F.broadcast(users), on="user_idx", how="inner")
-    rewarded = reward_join(slots, item_factors, action_col="action", obs_col="obs")
+    # actions outside the factorized item set earn 0 reward (the env returns
+    # a rating for every valid action; ALS may have dropped cold items)
+    rewarded = reward_join(slots, item_factors, action_col="action", obs_col="obs").withColumn(
+        "reward", F.coalesce(F.col("reward"), F.lit(0.0))
+    )
 
     batch = F.sort_array(F.collect_list(F.struct("slot", "obs", "action", "reward")))
     rows = (

@@ -84,6 +84,10 @@ class LinUCB:
             F.col(action_col).cast("long").alias("__action"),
             F.col(reward_col).cast("double").alias("__reward"),
             (F.abs(F.hash(F.col(obs_col).cast("array<double>"))) % self.salt_buckets).alias("__salt"),
+        ).where(
+            F.col("__obs").isNotNull()
+            & F.col("__action").isNotNull()
+            & F.col("__reward").isNotNull()
         )
         partials = (
             prepped.groupBy("__action", "__salt")

@@ -29,6 +29,36 @@ from pyspark.sql import functions as F
 from mlops_pipelines_featurestore_gcp_spark.functions.text import char_shingles, md5_long, normalize, seeded_md5_long, tokens, word_ngrams
 
 
+# Universal-hash family for MinHash: h_i(x) = (a_i·md5_32(x) + b_i) mod p.
+# One md5 per shingle (the expensive part), then num_hashes cheap integer
+# mixes — vs num_hashes md5 evaluations per shingle. Constants are fixed,
+# md5-derived, and embedded as literals in both the Spark plan and the
+# DuckDB oracle SQL.
+MINHASH_PRIME = 2_147_483_647  # 2^31 - 1 (Mersenne)
+
+
+def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    import hashlib
+
+    out = []
+    for i in range(num_hashes):
+        a = int(hashlib.md5(f"minhash-a-{i}".encode()).hexdigest()[:8], 16) % (MINHASH_PRIME - 1) + 1
+        b = int(hashlib.md5(f"minhash-b-{i}".encode()).hexdigest()[:8], 16) % MINHASH_PRIME
+        out.append((a, b))
+    return out
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Rebalance a small-file source across all cores before hash-heavy
+    per-row work. Fixture tables arrive as one parquet file → one input
+    partition → single-core execution; a round-robin repartition to the
+    cluster's default parallelism costs one tiny shuffle and recovers full
+    parallelism. At real scale inputs already have many splits and this is
+    a near-no-op coalesce-to-same-width."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(target)
+
+
 def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Add a ``fp`` column: md5 of the normalized text."""
     return df.select(F.col(id_col), F.md5(normalize(F.col(text_col))).alias("fp"))
@@ -77,45 +107,66 @@ def minhash_lsh_pairs(
     Jaccard is an int/int division — bit-exact across engines.
     """
     rows_per_band = num_hashes // bands
-    sh = _distinct_shingles(df, id_col, text_col, k).cache()
+    spread = _spread(df)
 
-    hashed = sh.select(
-        F.col(id_col),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-                lambda i: F.struct(i.alias("hi"), seeded_md5_long(F.col("sh"), i).alias("hv")),
+    # Signature entirely inside one row via higher-order functions — no 16×
+    # explode, no shuffle (the groupBy(doc, seed) formulation shuffled 16M
+    # rows at sf0.1). Each select is a materialization boundary: the shingle
+    # hash array is computed ONCE per row (CollapseProject keeps multi-use
+    # non-cheap projections apart), then each MinHash is a cheap integer mix.
+    sh_arr = F.array_distinct(char_shingles(normalize(F.col(text_col)), k))
+    # ONE string-side pass (normalize → shingle → md5), cached as compact
+    # long arrays; both the signature branch and the Jaccard-verify branch
+    # derive from these hashes (Jaccard over shingle hashes ≡ Jaccard over
+    # shingles up to md5 collisions, and the oracle computes the identical
+    # hash-space formula, so results are bit-equal across engines).
+    hashed = spread.select(
+        F.col(id_col), F.transform(sh_arr, lambda x: md5_long(x)).alias("__h")
+    ).cache()
+    coeffs = minhash_coeffs(num_hashes)
+
+    def _mix(a: int, b: int):
+        return lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_PRIME
+
+    sig = F.array(*[F.array_min(F.transform(F.col("__h"), _mix(a, b))) for a, b in coeffs])
+    sigs = hashed.select(F.col(id_col), sig.alias("__sig"))
+
+    # band key b = md5 of the comma-joined signature slice, identical string
+    # construction to the oracle's string_agg(... ORDER BY hi)
+    bkeys = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band),
+                    lambda v: v.cast("string"),
+                ),
             )
-        ).alias("h"),
-    ).select(id_col, "h.hi", "h.hv")
-    mh = hashed.groupBy(id_col, "hi").agg(F.min("hv").alias("mhv"))
-
-    band_keys = (
-        mh.withColumn("band", (F.col("hi") / rows_per_band).cast("int"))
-        .groupBy(id_col, "band")
-        .agg(
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.sort_array(F.collect_list(F.struct("hi", "mhv"))),
-                        lambda s: s.mhv.cast("string"),
-                    ),
-                )
-            ).alias("bkey")
-        )
+        ),
     )
+    band_keys = sigs.select(F.col(id_col), F.posexplode(bkeys).alias("band", "bkey"))
 
     a = band_keys.select(F.col(id_col).alias("doc_a"), "band", "bkey")
     b = band_keys.select(F.col(id_col).alias("doc_b"), "band", "bkey")
+    # cache: the candidate set is tiny but its lineage is the whole
+    # signature pipeline; it is consumed twice below (doc filter + verify)
     cand = (
         a.join(b, ["band", "bkey"])
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
+        .cache()
     )
 
-    return _jaccard_verify(cand, sh, id_col, threshold)
+    # verify only candidate docs: semi-joins shrink the inverted index
+    # before its own shuffle (candidates ≪ corpus)
+    sh = hashed.select(F.col(id_col), F.explode("__h").alias("sh"))
+    cand_docs = cand.select(F.col("doc_a").alias(id_col)).union(
+        cand.select(F.col("doc_b").alias(id_col))
+    ).distinct()
+    sh_cand = sh.join(F.broadcast(cand_docs), id_col, "left_semi")
+    return _jaccard_verify(cand, sh_cand, id_col, threshold)
 
 
 def _jaccard_verify(cand: DataFrame, sh: DataFrame, id_col: str, threshold: float) -> DataFrame:
@@ -155,7 +206,7 @@ def ngram_jaccard_pairs(
     is fine when grams are discriminative. For hot grams, the MinHash or
     SimHash paths above are the scale fallback.
     """
-    grams = df.select(
+    grams = _spread(df).select(
         F.col(id_col),
         F.explode(F.array_distinct(word_ngrams(tokens(normalize(F.col(text_col))), n))).alias("sh"),
     )
@@ -185,26 +236,33 @@ def simhash_signatures(
     """60-bit SimHash over k-char shingles → (id, simhash).
 
     Bit j of the signature is the sign of Σ_shingles (±1 by bit j of the
-    shingle hash). Computed by exploding (shingle × bit) and aggregating —
-    two shuffles, both on the doc id.
+    shingle hash): set iff 2·(count of shingles with bit j set) > n.
+    Computed entirely row-local — one shingle-hash array per doc, 60 array
+    folds — instead of exploding (shingle × bit) rows, which shuffled 60×
+    the shingle count through two exchanges.
     """
-    sh = _distinct_shingles(df, id_col, text_col, k)
-    hashed = sh.select(F.col(id_col), md5_long(F.col("sh"), bits=bits).alias("hv"))
-    votes = (
-        hashed.select(
-            F.col(id_col),
-            F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j"),
-            F.col("hv"),
-        )
-        .withColumn("vote", F.when(F.expr("shiftright(hv, j) & 1") == 1, 1).otherwise(-1))
-        .groupBy(id_col, "j")
-        .agg(F.sum("vote").alias("v"))
+    from functools import reduce
+
+    sh_arr = F.array_distinct(char_shingles(normalize(F.col(text_col)), k))
+    hashed = _spread(df).select(
+        F.col(id_col), F.transform(sh_arr, lambda x: md5_long(x, bits=bits)).alias("__h")
     )
-    return votes.groupBy(id_col).agg(
-        F.sum(
-            F.when(F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(F.lit(0).cast("long"))
-        ).alias("simhash")
+
+    def _bit_count(j: int):
+        def acc(a, h):
+            return a + F.shiftright(h, j).bitwiseAND(F.lit(1))
+
+        return F.aggregate(F.col("__h"), F.lit(0).cast("long"), acc)
+
+    n = F.size(F.col("__h"))
+    sim = reduce(
+        lambda a, b: a + b,
+        [
+            F.when(_bit_count(j) * 2 > n, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+            for j in range(bits)
+        ],
     )
+    return hashed.select(F.col(id_col), sim.alias("simhash"))
 
 
 def simhash_pairs(

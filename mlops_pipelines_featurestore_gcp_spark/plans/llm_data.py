@@ -59,14 +59,15 @@ def d01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d02_minhash_lsh_neardup",
     oracle=f"""
     WITH sh AS (
-      SELECT doc_id, unnest({_shingles_sql(5)}) AS s
+      SELECT doc_id, {_md5_long_sql("unnest(" + _shingles_sql(5) + ")")} AS s
       FROM (SELECT doc_id, {_NORM} AS nt FROM documents)
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    seeds(hi, a, b) AS (VALUES {", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(dedup.minhash_coeffs(16)))}),
     hashed AS (
-      SELECT doc_id, gs.generate_series AS hi,
-             {_md5_long_sql("concat(CAST(gs.generate_series AS VARCHAR), '|', s)")} AS hv
-      FROM sh, generate_series(0, 15) gs
+      SELECT doc_id, seeds.hi AS hi,
+             (seeds.a * s + seeds.b) % {dedup.MINHASH_PRIME} AS hv
+      FROM sh, seeds
     ),
     mh AS (SELECT doc_id, hi, MIN(hv) AS mhv FROM hashed GROUP BY doc_id, hi),
     bands AS (
