@@ -816,3 +816,179 @@ def q25_json_and_case(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.sum(F.when(F.col("value") > 10, 1).otherwise(0)).cast("long").alias("n_high_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Extended surface: correlated subqueries, grouping sets, range frames,
+# null semantics, ordered string aggregation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q26_above_avg_orders",
+    oracle="""
+    WITH avgs AS (
+      SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS cavg
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o.o_custkey, CAST(COUNT(*) AS BIGINT) AS n_above
+    FROM orders o JOIN avgs a ON a.o_custkey = o.o_custkey
+    WHERE o.o_totalprice > a.cavg
+    GROUP BY o.o_custkey
+    """,
+    tags=("subquery", "window"),
+)
+def q26_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-scalar-subquery shape (orders above the customer's own
+    average) — decorrelated into a window average, no self-join."""
+    o = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_custkey")
+    return (
+        o.withColumn(
+            "cavg",
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double")
+            / F.count("*").over(w),
+        )
+        .where(F.col("o_totalprice") > F.col("cavg"))
+        .groupBy("o_custkey")
+        .agg(F.count("*").cast("long").alias("n_above"))
+    )
+
+
+@register(
+    "q27_grouping_sets",
+    oracle="""
+    SELECT n_name, r_name,
+           GROUPING(n_name) AS g_nation, GROUPING(r_name) AS g_region,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM customer
+    JOIN nation ON n_nationkey = c_nationkey
+    JOIN region ON r_regionkey = n_regionkey
+    GROUP BY GROUPING SETS ((n_name, r_name), (r_name), ())
+    """,
+    tags=("agg", "grouping-sets"),
+)
+def q27_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with GROUPING() ids — via Spark SQL over temp views
+    (the DataFrame API exposes only cube/rollup; SQL is first-class)."""
+    load_table(spark, "customer", sf_dir).createOrReplaceTempView("customer")
+    load_table(spark, "nation", sf_dir).createOrReplaceTempView("nation")
+    load_table(spark, "region", sf_dir).createOrReplaceTempView("region")
+    return spark.sql(
+        """
+        SELECT n_name, r_name,
+               GROUPING(n_name) AS g_nation, GROUPING(r_name) AS g_region,
+               CAST(COUNT(*) AS BIGINT) AS n_cust,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        FROM customer
+        JOIN nation ON n_nationkey = c_nationkey
+        JOIN region ON r_regionkey = n_regionkey
+        GROUP BY GROUPING SETS ((n_name, r_name), (r_name), ())
+        """
+    ).select(
+        "n_name",
+        "r_name",
+        F.col("g_nation").cast("long").alias("g_nation"),
+        F.col("g_region").cast("long").alias("g_region"),
+        "n_cust",
+        "total_bal",
+    )
+
+
+@register(
+    "q28_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey ORDER BY o_totalprice
+             RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS near_total
+    FROM orders
+    WHERE o_custkey < 200
+    """,
+    tags=("window", "range-frame"),
+)
+def q28_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-RANGE window frame (sum of orders within 1000 below the current
+    price, per customer) — RANGE BETWEEN, not ROWS BETWEEN."""
+    o = load_table(spark, "orders", sf_dir).where(F.col("o_custkey") < 200)
+    # value-typed RANGE offsets need the SQL frame syntax (the DataFrame
+    # rangeBetween API accepts only long offsets)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr(
+            """
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+              PARTITION BY o_custkey ORDER BY o_totalprice
+              RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW
+            ) AS DOUBLE)
+            """
+        ).alias("near_total"),
+    )
+
+
+@register(
+    "q29_null_semantics",
+    oracle="""
+    WITH t AS (
+      SELECT c_custkey,
+             nullif(c_mktsegment, 'BUILDING') AS seg,
+             CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal
+      FROM customer
+    )
+    SELECT seg IS NOT DISTINCT FROM NULL AS seg_is_null,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(bal) AS BIGINT) AS n_bal,
+           CAST(COUNT(*) - COUNT(bal) AS BIGINT) AS n_null_bal,
+           round(CAST(SUM(CAST(coalesce(bal, 0) AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_bal
+    FROM t GROUP BY 1
+    """,
+    tags=("nulls", "agg"),
+)
+def q29_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL semantics: nullif/coalesce, count(col) vs count(*), null-safe
+    equality as a grouping key."""
+    c = load_table(spark, "customer", sf_dir)
+    t = c.select(
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg"),
+        F.when(F.col("c_acctbal") < 0, F.lit(None)).otherwise(F.col("c_acctbal")).alias("bal"),
+    )
+    return (
+        t.groupBy(F.col("seg").eqNullSafe(F.lit(None)).alias("seg_is_null"))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.count("bal").cast("long").alias("n_bal"),
+            (F.count("*") - F.count("bal")).cast("long").alias("n_null_bal"),
+            F.round(_dec_sum(F.coalesce(F.col("bal"), F.lit(0))), 2).alias("total_bal"),
+        )
+    )
+
+
+@register(
+    "q30_ordered_string_agg",
+    oracle="""
+    SELECT n_name,
+           string_agg(c_name, ',' ORDER BY c_name) FILTER (WHERE c_acctbal > 9000) AS rich_names,
+           CAST(COUNT(*) FILTER (WHERE c_acctbal > 9000) AS BIGINT) AS n_rich
+    FROM customer JOIN nation ON n_nationkey = c_nationkey
+    GROUP BY n_name
+    """,
+    tags=("agg", "string-agg", "filter-clause"),
+)
+def q30_ordered_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered, filtered string aggregation (listagg/string_agg shape):
+    collect → sort → join, with a FILTER-clause conditional aggregate."""
+    c = load_table(spark, "customer", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    rich = F.when(F.col("c_acctbal") > 9000, F.col("c_name"))
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_list(rich))).alias("rich_names"),
+            F.count(rich).cast("long").alias("n_rich"),
+        )
+        .withColumn("rich_names", F.nullif(F.col("rich_names"), F.lit("")))
+    )
