@@ -191,3 +191,80 @@ def _signature_for_table(df: DataFrame, vec_col: str, table: int, planes: int, d
         )
         sig = sig + F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
     return df.withColumn(out_col, sig)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    k: int = 5,
+    seed: int = 42,
+    max_iter: int = 10,
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: k-means coarse quantizer.
+
+    The classic scale path for ANN at 100 TB: (1) MLlib KMeans learns
+    ``n_centroids`` coarse cells from the corpus (model state is tiny);
+    (2) each corpus vector is assigned to its nearest cell — a narrow,
+    broadcast-scored pass; (3) each query probes its ``n_probe`` nearest
+    cells and rescoring runs only inside those cells, cutting scored pairs
+    by ~``n_centroids/n_probe``× vs brute force. Centroid assignment is
+    seeded and deterministic per engine build (not SQL-reproducible → this
+    operator is rows-only for the oracle; recall vs brute force is asserted
+    in tests).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+
+    km = KMeans(k=n_centroids, seed=seed, maxIter=max_iter, featuresCol="__v", predictionCol="cell")
+    model = km.fit(c.select(array_to_vector(F.col("cv").cast("array<double>")).alias("__v")))
+    assigned = model.transform(
+        c.select("neighbor_id", "cv", array_to_vector(F.col("cv").cast("array<double>")).alias("__v"))
+    ).select("neighbor_id", "cv", "cell")
+
+    # broadcast the centroid table; a query probes its n_probe nearest cells
+    spark = corpus.sparkSession
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())],
+        "cell int, centroid array<double>",
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("cell"))
+    probed = (
+        q.crossJoin(F.broadcast(centroids))
+        .select(
+            "query_id",
+            "qv",
+            "cell",
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(F.col("qv").cast("array<double>"), F.col("centroid"), lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ).alias("dist"),
+        )
+        .withColumn("pr", F.row_number().over(probe_w))
+        .where(F.col("pr") <= n_probe)
+        .select("query_id", "qv", "cell")
+    )
+
+    scored = (
+        assigned.join(F.broadcast(probed), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), round_digits).alias("cos_sim"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)

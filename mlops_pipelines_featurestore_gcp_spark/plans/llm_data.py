@@ -249,6 +249,20 @@ def s02_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", "cos_sim", F.col("rnk").cast("long").alias("rnk"))
 
 
+@register(
+    "s03_ann_ivf_topk",
+    oracle=None,  # KMeans cell assignment is engine-specific; recall vs
+    # brute force is asserted in tests/test_llm_data.py.
+    tags=("similarity", "llm", "ivf"),
+)
+def s03_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5: k-means coarse cells, n_probe nearest probed."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    out = similarity.ivf_topk(emb, queries, n_centroids=16, n_probe=4, k=5)
+    return out.select("query_id", "neighbor_id", "cos_sim", F.col("rnk").cast("long").alias("rnk"))
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

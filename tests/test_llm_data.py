@@ -64,3 +64,20 @@ def test_bruteforce_topk_is_sorted_and_bounded(spark, sf_small):
     sims = [r.cos_sim for r in sorted(out, key=lambda r: r.rnk)]
     assert sims == sorted(sims, reverse=True)
     assert all(-1.0 <= s <= 1.0 for s in sims)
+
+
+def test_ivf_topk_recall_vs_bruteforce(spark, sf_small):
+    emb = load_table(spark, "embeddings", sf_small)
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    exact = similarity.brute_force_topk(emb, queries, k=5).collect()
+    approx = similarity.ivf_topk(emb, queries, n_centroids=8, n_probe=4, k=5).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    # probing half the cells must recover most true neighbors, and every
+    # returned similarity must equal the exact one
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"suspiciously low IVF recall {recall}"
+    exact_sims = {(r.query_id, r.neighbor_id): r.cos_sim for r in exact}
+    for r in approx:
+        if (r.query_id, r.neighbor_id) in exact_sims:
+            assert abs(exact_sims[(r.query_id, r.neighbor_id)] - r.cos_sim) < 1e-9

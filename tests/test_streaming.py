@@ -133,3 +133,22 @@ def test_stream_window_agg_matches_batch(spark, tmp_path):
     # emitted must exactly match the batch result for those windows
     assert got <= expected_all
     assert len(got) >= 2  # first two hourly windows are past the watermark
+
+
+def test_parse_message_json_kafka_shape(spark):
+    from mlops_pipelines_featurestore_gcp_spark.streaming import MESSAGE_SCHEMA
+    from mlops_pipelines_featurestore_gcp_spark.streaming.log_loop import parse_message_json
+
+    payload = json.dumps(
+        {
+            "message_id": "m9",
+            "publish_time": "2024-01-01T00:00:00Z",
+            "observations": [[1.5, 2.5]],
+            "predicted_actions": [3],
+        }
+    )
+    raw = spark.createDataFrame([(bytearray(payload.encode()),)], "value binary")
+    row = parse_message_json(raw).first()
+    assert row.message_id == "m9"
+    assert row.observations == [[1.5, 2.5]]
+    assert row.predicted_actions == [3]
