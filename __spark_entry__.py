@@ -17,7 +17,12 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO_DIR)
+# Python WORKERS (mapInPandas / pandas_udf) import the package by module
+# name; they inherit PYTHONPATH from the JVM, which inherits it from this
+# process env — set it before any SparkSession (hence JVM) exists.
+os.environ["PYTHONPATH"] = _REPO_DIR + os.pathsep + os.environ.get("PYTHONPATH", "")
 
 from mlops_pipelines_featurestore_gcp_spark import plans  # noqa: E402  (registers all queries)
 

@@ -52,6 +52,13 @@ def get_spark(app_name: str = "mlops-featurestore-spark", **overrides: str) -> S
     parallelism (default 32, matching the harness box).
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # Python workers resolve the package by module name (closures pickle
+    # module-level helpers by reference); make the repo importable for them
+    # regardless of the driver's cwd.
+    repo_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    py_path = os.environ.get("PYTHONPATH", "")
+    if repo_dir not in py_path.split(os.pathsep):
+        os.environ["PYTHONPATH"] = repo_dir + (os.pathsep + py_path if py_path else "")
     builder = SparkSession.builder.appName(app_name).master(f"local[{cpus}]")
     confs = dict(_DEFAULT_CONFS)
     confs.update({k: str(v) for k, v in overrides.items()})

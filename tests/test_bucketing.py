@@ -1,0 +1,58 @@
+"""Bucketed co-located joins: same-key bucketed tables must sort-merge join
+with no Exchange in the physical plan (write-time shuffle, read-time none)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mlops_pipelines_featurestore_gcp_spark.sources import bucketing
+from mlops_pipelines_featurestore_gcp_spark.sources.catalog import load_table
+
+
+@pytest.fixture
+def bucketed_pair(spark, sf_small, tmp_path_factory):
+    orders = load_table(spark, "orders", sf_small).select("o_orderkey", "o_totalprice")
+    lineitem = load_table(spark, "lineitem", sf_small).select("l_orderkey", "l_quantity")
+    bucketing.save_bucketed(orders, "b_orders", bucket_cols="o_orderkey", buckets=8, sort_cols="o_orderkey")
+    bucketing.save_bucketed(lineitem, "b_lineitem", bucket_cols="l_orderkey", buckets=8, sort_cols="l_orderkey")
+    yield "b_orders", "b_lineitem"
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_small, bucketed_pair):
+    t_orders, t_lineitem = bucketed_pair
+    o = bucketing.read_bucketed(spark, t_orders)
+    li = bucketing.read_bucketed(spark, t_lineitem)
+    # disable broadcast so the join strategy decision is about bucketing
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = o.join(li, o.o_orderkey == li.l_orderkey)
+        assert bucketing.join_is_shuffle_free(joined), (
+            "bucketed same-key join should have no Exchange:\n"
+            + joined._jdf.queryExecution().executedPlan().toString()[:2000]
+        )
+        # and it returns the same result as the plain join
+        plain = (
+            load_table(spark, "orders", sf_small)
+            .join(
+                load_table(spark, "lineitem", sf_small),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            .count()
+        )
+        assert joined.count() == plain
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_unbucketed_join_shuffles(spark, sf_small):
+    o = load_table(spark, "orders", sf_small)
+    li = load_table(spark, "lineitem", sf_small)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = o.join(li, o.o_orderkey == li.l_orderkey)
+        assert not bucketing.join_is_shuffle_free(joined)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
