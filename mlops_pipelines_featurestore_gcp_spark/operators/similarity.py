@@ -43,6 +43,9 @@ def brute_force_topk(
     """
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    # single-file sources arrive as one partition; rebalance so the
+    # n·N scoring pass uses every core (at scale this is a same-width noop)
+    c = c.repartition(c.sparkSession.sparkContext.defaultParallelism)
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("neighbor_id") != F.col("query_id"))
