@@ -107,14 +107,23 @@ def minhash_lsh_pairs(
     Jaccard is an int/int division — bit-exact across engines.
     """
     rows_per_band = num_hashes // bands
-    spread = _spread(df)
+    # Docs shorter than k produce zero shingles → an all-null signature →
+    # ONE shared band key for every such doc. Harmless at fixture scale
+    # (verify filters them), but at corpus scale that single bucket is a
+    # quadratic candidate blowup. They can never reach the verified output
+    # (no shingles → no shared shingles), so drop them before signing.
+    spread = (
+        _spread(df)
+        .select(F.col(id_col), normalize(F.col(text_col)).alias("__nt"))
+        .where(F.length("__nt") >= k)
+    )
 
     # Signature entirely inside one row via higher-order functions — no 16×
     # explode, no shuffle (the groupBy(doc, seed) formulation shuffled 16M
     # rows at sf0.1). Each select is a materialization boundary: the shingle
     # hash array is computed ONCE per row (CollapseProject keeps multi-use
     # non-cheap projections apart), then each MinHash is a cheap integer mix.
-    sh_arr = F.array_distinct(char_shingles(normalize(F.col(text_col)), k))
+    sh_arr = F.array_distinct(char_shingles(F.col("__nt"), k))
     # ONE string-side pass (normalize → shingle → md5), cached as compact
     # long arrays; both the signature branch and the Jaccard-verify branch
     # derive from these hashes (Jaccard over shingle hashes ≡ Jaccard over
