@@ -58,6 +58,39 @@ def word_ngrams(toks: Column, n: int = 3) -> Column:
     )
 
 
+# Base for the polynomial rolling hash below. Any value coprime with the
+# Mersenne prime works; 65599 (sdbm) keeps every fold step well inside int64
+# when reduced mod 2^31-1 after each multiply-add.
+POLY_BASE = 65599
+
+
+def poly_char_hash(col: Column, pos: Column, k: int, prime: int) -> Column:
+    """Polynomial hash of the k-char substring of ``col`` at 1-based ``pos``.
+
+    h ← code(c₀); h ← (h·B + code(cⱼ)) mod prime — pure integer arithmetic
+    that stays inside whole-stage codegen, unlike an md5-per-shingle pass
+    (md5 + hex + base-conv was the profiled floor of the MinHash pipeline).
+    Reproducible in any engine with ord/substr (DuckDB:
+    ``(h * 65599 + ord(substr(s, i, 1))) % prime`` folds). Char codes match
+    across engines for BMP text; the test corpus is ASCII.
+    """
+    h = F.ascii(col.substr(pos, F.lit(1))).cast("long")
+    for j in range(1, k):
+        c = F.ascii(col.substr(pos + F.lit(j), F.lit(1))).cast("long")
+        h = (h * F.lit(POLY_BASE) + c) % F.lit(prime)
+    return h
+
+
+def poly_char_hash_sql(text_expr: str, pos_expr: str, k: int, prime: int) -> str:
+    """DuckDB twin of :func:`poly_char_hash` — identical fold, literal for
+    literal, so hash values are bit-equal across engines."""
+    h = f"CAST(ord(substr({text_expr}, {pos_expr}, 1)) AS BIGINT)"
+    for j in range(1, k):
+        c = f"ord(substr({text_expr}, {pos_expr} + {j}, 1))"
+        h = f"(({h}) * {POLY_BASE} + {c}) % {prime}"
+    return h
+
+
 def md5_long(col: Column, bits: int = 32) -> Column:
     """Deterministic non-negative integer hash from the md5 hex digest.
 

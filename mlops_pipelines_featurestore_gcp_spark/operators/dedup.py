@@ -26,7 +26,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from mlops_pipelines_featurestore_gcp_spark.functions.text import char_shingles, md5_long, normalize, seeded_md5_long, tokens, word_ngrams
+from mlops_pipelines_featurestore_gcp_spark.functions.text import (
+    char_shingles,
+    md5_long,
+    normalize,
+    poly_char_hash,
+    seeded_md5_long,
+    tokens,
+    word_ngrams,
+)
 
 
 # Universal-hash family for MinHash: h_i(x) = (a_i·md5_32(x) + b_i) mod p.
@@ -96,12 +104,22 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + banded LSH + exact-Jaccard verify.
 
-    Plan shape (all distributed):
-      1. explode distinct k-shingles          — narrow
-      2. per (doc, seed) min of seeded hash   — shuffle on doc id
-      3. band keys = md5 of rows-per-band     — narrow
-      4. self-join on (band, band_key)        — shuffle on band key (buckets)
-      5. exact Jaccard of candidates via the inverted index — shuffle on shingle
+    Plan shape (all distributed, signature pass fully inside codegen):
+      1. explode shingle positions → polynomial char hash — narrow, codegen
+      2. num_hashes min() aggregates (universal-hash mixes) — map-side
+         partial combine, so the shuffle is ONE row per doc: the shingle
+         explode never crosses an exchange
+      3. band keys = md5 of rows-per-band slices   — narrow (docs × bands)
+      4. self-join on (band, band_key)             — shuffle on bucket key
+      5. exact Jaccard of candidate docs only via the inverted index
+
+    The shingle hash is a polynomial char-code fold (functions/text.py
+    ``poly_char_hash``), not md5: the md5-per-shingle pass (HOF transform,
+    interpreted) was profiled at ~10s/1.4M shingles at sf0.1; the integer
+    fold does the same work inside whole-stage codegen. MinHash needs no
+    per-doc distinct (min over a multiset == min over its set), and Jaccard
+    is computed over distinct hash values on both engines, so results stay
+    bit-equal with the oracle.
 
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard ≥ threshold.
     Jaccard is an int/int division — bit-exact across engines.
@@ -112,49 +130,53 @@ def minhash_lsh_pairs(
     # (verify filters them), but at corpus scale that single bucket is a
     # quadratic candidate blowup. They can never reach the verified output
     # (no shingles → no shared shingles), so drop them before signing.
-    spread = (
+    base = (
         _spread(df)
         .select(F.col(id_col), normalize(F.col(text_col)).alias("__nt"))
         .where(F.length("__nt") >= k)
+        .cache()  # one small row per doc; feeds signature + verify branches
     )
-
-    # Signature entirely inside one row via higher-order functions — no 16×
-    # explode, no shuffle (the groupBy(doc, seed) formulation shuffled 16M
-    # rows at sf0.1). Each select is a materialization boundary: the shingle
-    # hash array is computed ONCE per row (CollapseProject keeps multi-use
-    # non-cheap projections apart), then each MinHash is a cheap integer mix.
-    sh_arr = F.array_distinct(char_shingles(F.col("__nt"), k))
-    # ONE string-side pass (normalize → shingle → md5), cached as compact
-    # long arrays; both the signature branch and the Jaccard-verify branch
-    # derive from these hashes (Jaccard over shingle hashes ≡ Jaccard over
-    # shingles up to md5 collisions, and the oracle computes the identical
-    # hash-space formula, so results are bit-equal across engines).
-    hashed = spread.select(
-        F.col(id_col), F.transform(sh_arr, lambda x: md5_long(x)).alias("__h")
-    ).cache()
+    pos = base.select(
+        F.col(id_col),
+        "__nt",
+        F.explode(F.sequence(F.lit(1), F.length("__nt") - (k - 1))).alias("__i"),
+    )
+    sh_all = pos.select(
+        F.col(id_col),
+        poly_char_hash(F.col("__nt"), F.col("__i"), k, MINHASH_PRIME).alias("h"),
+    )
     coeffs = minhash_coeffs(num_hashes)
-
-    def _mix(a: int, b: int):
-        return lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_PRIME
-
-    sig = F.array(*[F.array_min(F.transform(F.col("__h"), _mix(a, b))) for a, b in coeffs])
-    sigs = hashed.select(F.col(id_col), sig.alias("__sig"))
-
-    # band key b = md5 of the comma-joined signature slice, identical string
-    # construction to the oracle's string_agg(... ORDER BY hi)
-    bkeys = F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.md5(
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band),
-                    lambda v: v.cast("string"),
-                ),
-            )
-        ),
+    sigs = sh_all.groupBy(id_col).agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_PRIME).alias(f"__m{i}")
+            for i, (a, b) in enumerate(coeffs)
+        ]
     )
-    band_keys = sigs.select(F.col(id_col), F.posexplode(bkeys).alias("band", "bkey"))
+
+    # band key = md5 of the comma-joined signature slice, identical string
+    # construction to the oracle's string_agg(... ORDER BY hi)
+    bkeys = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"__m{b * rows_per_band + j}").cast("string")
+                            for j in range(rows_per_band)
+                        ],
+                    )
+                ).alias("bkey"),
+            )
+            for b in range(bands)
+        ]
+    )
+    band_keys = (
+        sigs.select(F.col(id_col), F.explode(bkeys).alias("x"))
+        .select(id_col, "x.band", "x.bkey")
+        .cache()  # consumed twice by the self-join below
+    )
 
     a = band_keys.select(F.col(id_col).alias("doc_a"), "band", "bkey")
     b = band_keys.select(F.col(id_col).alias("doc_b"), "band", "bkey")
@@ -168,13 +190,25 @@ def minhash_lsh_pairs(
         .cache()
     )
 
-    # verify only candidate docs: semi-joins shrink the inverted index
-    # before its own shuffle (candidates ≪ corpus)
-    sh = hashed.select(F.col(id_col), F.explode("__h").alias("sh"))
+    # verify only candidate docs: the broadcast semi-join shrinks the corpus
+    # to the candidate set (≪ corpus) BEFORE re-shingling, so the exact-
+    # Jaccard inverted index is built over candidates only
     cand_docs = cand.select(F.col("doc_a").alias(id_col)).union(
         cand.select(F.col("doc_b").alias(id_col))
     ).distinct()
-    sh_cand = sh.join(F.broadcast(cand_docs), id_col, "left_semi")
+    vbase = base.join(F.broadcast(cand_docs), id_col, "left_semi")
+    sh_cand = (
+        vbase.select(
+            F.col(id_col),
+            "__nt",
+            F.explode(F.sequence(F.lit(1), F.length("__nt") - (k - 1))).alias("__i"),
+        )
+        .select(
+            F.col(id_col),
+            poly_char_hash(F.col("__nt"), F.col("__i"), k, MINHASH_PRIME).alias("sh"),
+        )
+        .distinct()
+    )
     return _jaccard_verify(cand, sh_cand, id_col, threshold)
 
 

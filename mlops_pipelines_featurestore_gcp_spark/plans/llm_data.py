@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mlops_pipelines_featurestore_gcp_spark.functions.text import poly_char_hash_sql
 from mlops_pipelines_featurestore_gcp_spark.operators import dedup, multimodal, similarity, text_analysis
 from mlops_pipelines_featurestore_gcp_spark.plans.registry import register
 from mlops_pipelines_featurestore_gcp_spark.sources.catalog import load_table
@@ -58,18 +59,19 @@ def d01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "d02_minhash_lsh_neardup",
     oracle=f"""
-    WITH sh AS (
-      SELECT doc_id, {_md5_long_sql("unnest(" + _shingles_sql(5) + ")")} AS s
-      FROM (SELECT doc_id, {_NORM} AS nt FROM documents)
+    WITH base AS (
+      SELECT doc_id, nt FROM (SELECT doc_id, {_NORM} AS nt FROM documents)
+      WHERE len(nt) >= 5
     ),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    sh AS (
+      SELECT doc_id, {poly_char_hash_sql('nt', 'i', 5, dedup.MINHASH_PRIME)} AS h
+      FROM (SELECT doc_id, nt, unnest(range(1, len(nt) - 3)) AS i FROM base)
+    ),
     seeds(hi, a, b) AS (VALUES {", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(dedup.minhash_coeffs(16)))}),
-    hashed AS (
-      SELECT doc_id, seeds.hi AS hi,
-             (seeds.a * s + seeds.b) % {dedup.MINHASH_PRIME} AS hv
-      FROM sh, seeds
+    mh AS (
+      SELECT doc_id, seeds.hi AS hi, MIN((seeds.a * h + seeds.b) % {dedup.MINHASH_PRIME}) AS mhv
+      FROM sh, seeds GROUP BY doc_id, seeds.hi
     ),
-    mh AS (SELECT doc_id, hi, MIN(hv) AS mhv FROM hashed GROUP BY doc_id, hi),
     bands AS (
       SELECT doc_id, hi // 4 AS band,
              md5(string_agg(CAST(mhv AS VARCHAR), ',' ORDER BY hi)) AS bkey
@@ -79,11 +81,16 @@ def d01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
     ),
+    cd AS (SELECT doc_a AS doc_id FROM cand UNION SELECT doc_b FROM cand),
+    dsh AS (
+      SELECT DISTINCT doc_id, h FROM sh WHERE doc_id IN (SELECT doc_id FROM cd)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM dsh GROUP BY doc_id),
     inter AS (
       SELECT c.doc_a, c.doc_b, COUNT(*) AS ni
       FROM cand c
-      JOIN sh x ON x.doc_id = c.doc_a
-      JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+      JOIN dsh x ON x.doc_id = c.doc_a
+      JOIN dsh y ON y.doc_id = c.doc_b AND y.h = x.h
       GROUP BY c.doc_a, c.doc_b
     )
     SELECT i.doc_a, i.doc_b, i.ni / (sa.n + sb.n - i.ni) AS jaccard
