@@ -29,16 +29,17 @@ HEADLINE = [
     "q05_nation_volume",
     "q06_forecast_revenue",
     "q08_outer_join_counts",
-    "q09_topn_per_group",
-    "q12_rollup",
-    "q14_distinct_agg",
+    "q09_window_navigation",
+    "q12_rollup_cube",
+    "q17_date_conditional_agg",
     "q20_range_join_latency",
     "q25_json_and_case",
     # LLM-corpus operators
     "d01_exact_dedup",
     "d02_minhash_lsh_neardup",
+    "d05_embedding_neardup",
     "s01_ann_bruteforce_topk",
-    "t01_token_stats",
+    "t01_text_profile",
     "t04_doc_fingerprint",
     # event-time windows
     "st01_tumbling_window",

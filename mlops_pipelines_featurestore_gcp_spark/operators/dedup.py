@@ -61,9 +61,11 @@ def _spread(df: DataFrame) -> DataFrame:
     per-row work. Fixture tables arrive as one parquet file → one input
     partition → single-core execution; a round-robin repartition to the
     cluster's default parallelism costs one tiny shuffle and recovers full
-    parallelism. At real scale inputs already have many splits and this is
-    a near-no-op coalesce-to-same-width."""
+    parallelism. Guarded: when the input already has at least that many
+    splits (any real 100 TB scan), no Exchange is inserted at all."""
     target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
     return df.repartition(target)
 
 
@@ -286,9 +288,16 @@ def simhash_signatures(
     """
     from functools import reduce
 
-    sh_arr = F.array_distinct(char_shingles(normalize(F.col(text_col)), k))
-    hashed = _spread(df).select(
-        F.col(id_col), F.transform(sh_arr, lambda x: md5_long(x, bits=bits)).alias("__h")
+    # Docs shorter than k shingle to nothing → signature 0 for ALL of them →
+    # one shared hamming-0 block (quadratic blowup) that the SQL twin never
+    # even sees (zero shingle rows drops the doc there). Same guard as
+    # minhash_lsh_pairs: sub-k docs can never share a shingle, so drop them.
+    sh_arr = F.array_distinct(char_shingles(F.col("__nt"), k))
+    hashed = (
+        _spread(df)
+        .withColumn("__nt", normalize(F.col(text_col)))
+        .where(F.length("__nt") >= k)
+        .select(F.col(id_col), F.transform(sh_arr, lambda x: md5_long(x, bits=bits)).alias("__h"))
     )
 
     def _bit_count(j: int):

@@ -44,8 +44,9 @@ def brute_force_topk(
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
     # single-file sources arrive as one partition; rebalance so the
-    # n·N scoring pass uses every core (at scale this is a same-width noop)
-    c = c.repartition(c.sparkSession.sparkContext.defaultParallelism)
+    # n·N scoring pass uses every core (guarded: no Exchange when the
+    # input already has enough splits, as a real 100 TB scan would)
+    c = _maybe_spread(c)
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("neighbor_id") != F.col("query_id"))
@@ -84,6 +85,72 @@ def cosine_neardup_pairs(
         )
         .where(F.col("cos_sim") >= threshold)
     )
+
+
+def lsh_blocked_pairs(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    planes: int = 6,
+    tables: int = 8,
+    threshold: float = 0.45,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Near-dup pairs via hyperplane-LSH blocking + exact rescoring.
+
+    The scale path for embedding near-dup: ``tables`` signature tables of
+    ``planes`` sign-bits each; a pair is a candidate iff it shares a full
+    signature in ≥1 table, so the join is a single equi shuffle on
+    (table, signature) and cost is Σ bucket² instead of the all-pairs n²
+    cartesian. Recall follows the standard OR-of-tables LSH curve — pairs
+    the blocking misses are missed identically by the SQL oracle twin,
+    which replays the same md5-derived hyperplanes.
+
+    Projections are rounded before the sign test (like ``cos_sim`` before
+    ranking) so the bucket assignment is bit-identical across engines.
+    """
+    base = corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+    base = _maybe_spread(base)
+    sig_cols = []
+    sigged = base
+    for t in range(tables):
+        col = f"sig{t}"
+        sigged = _signature_for_table(sigged, "v", t, planes, dim, col)
+        sig_cols.append(col)
+    bucketed = sigged.select(
+        "vid",
+        "v",
+        F.explode(
+            F.array(*[F.struct(F.lit(t).alias("t"), F.col(f"sig{t}").alias("sig")) for t in range(tables)])
+        ).alias("b"),
+    ).select("vid", "v", "b.t", "b.sig")
+    a = bucketed.select(F.col("vid").alias("id_a"), F.col("v").alias("va"), "t", "sig")
+    b = bucketed.select(F.col("vid").alias("id_b"), F.col("v").alias("vb"), "t", "sig")
+    cand = (
+        a.join(b, ["t", "sig"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), round_digits).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
+def _maybe_spread(df: DataFrame) -> DataFrame:
+    """Rebalance single-file fixture inputs across all cores; no-op when the
+    input already has at least default-parallelism splits (so no Exchange is
+    inserted for an already-split 100 TB scan)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
 
 
 def _hyperplane_components(planes: int, dim: int) -> list[list[float]]:
@@ -192,7 +259,9 @@ def _signature_for_table(df: DataFrame, vec_col: str, table: int, planes: int, d
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        sig = sig + F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
+        # round before the sign test so bucket assignment is bit-identical
+        # across engines even when summation order differs in the last ulp
+        sig = sig + F.when(F.round(proj, 6) > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
     return df.withColumn(out_col, sig)
 
 

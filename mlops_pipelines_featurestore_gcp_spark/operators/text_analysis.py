@@ -63,6 +63,41 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Token statistics + quality features in ONE row-local pass.
+
+    The union of ``token_stats`` and ``quality_score`` columns computed from a
+    single scan — at corpus scale the text column is read once, not twice,
+    and there is no join to reconcile the two projections.
+    """
+    toks = tokens(F.col(text_col))
+    n_tok = F.size(toks)
+    n_char = F.length(F.col(text_col))
+    n_punct = F.size(F.regexp_extract_all(F.col(text_col), F.lit(PUNCT_RE), 0))
+    n_stop = stopword_hits(toks, "en")
+    uniq_ratio = F.size(F.array_distinct(toks)) / F.greatest(n_tok, F.lit(1))
+    stop_ratio = n_stop / F.greatest(n_tok, F.lit(1))
+    punct_ratio = n_punct / F.greatest(n_char, F.lit(1))
+    length_term = F.least(n_tok, F.lit(100)) / F.lit(100.0)
+    score = F.round(
+        length_term * 0.4 + stop_ratio * 0.2 + uniq_ratio * 0.3 + (1.0 - punct_ratio) * 0.1, 6
+    )
+    return df.select(
+        F.col(id_col),
+        n_tok.cast("long").alias("n_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_RE), 0)).cast("long").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_uniq_tokens"),
+        (
+            F.aggregate(toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+            / F.greatest(n_tok, F.lit(1))
+        ).alias("avg_token_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(uniq_ratio, 6).alias("uniq_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        score.alias("quality"),
+    )
+
+
 def _lang_scores(toks: Column) -> dict[str, Column]:
     return {lang: stopword_hits(toks, lang) for lang in STOPWORDS}
 

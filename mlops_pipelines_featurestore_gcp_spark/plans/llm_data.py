@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mlops_pipelines_featurestore_gcp_spark.functions.canonical import ser_long_array, sql_long_array
 from mlops_pipelines_featurestore_gcp_spark.functions.text import poly_char_hash_sql
 from mlops_pipelines_featurestore_gcp_spark.operators import dedup, multimodal, similarity, text_analysis
 from mlops_pipelines_featurestore_gcp_spark.plans.registry import register
@@ -191,24 +192,64 @@ def d04_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DOT_SQL = "list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
 
 
+_D05_DIM, _D05_PLANES, _D05_TABLES = 64, 6, 8
+
+
 @register(
     "d05_embedding_neardup",
     oracle=f"""
-    WITH pairs AS (
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    WITH plane_tbl AS (
+      SELECT p.generate_series AS p, d.generate_series AS d,
+             CASE WHEN CAST(concat('0x', substr(md5(concat(CAST(p.generate_series AS VARCHAR), ':',
+                       CAST(d.generate_series AS VARCHAR))), 1, 8)) AS BIGINT) % 2 = 1
+                  THEN 1.0 ELSE -1.0 END AS h
+      FROM generate_series(0, {_D05_TABLES * _D05_PLANES - 1}) p,
+           generate_series(0, {_D05_DIM - 1}) d
+    ),
+    plane_vecs AS (SELECT p, list(h ORDER BY d) AS hv FROM plane_tbl GROUP BY p),
+    projs AS (
+      SELECT e.vec_id, pv.p,
+             ROUND(list_sum(list_transform(range(1, {_D05_DIM + 1}),
+                   i -> e.embedding[i]::DOUBLE * pv.hv[i])), 6) AS proj
+      FROM embeddings e, plane_vecs pv
+    ),
+    sigs AS (
+      SELECT vec_id, p // {_D05_PLANES} AS t,
+             SUM(CASE WHEN proj > 0 THEN (CAST(1 AS BIGINT) << (p % {_D05_PLANES})) ELSE 0 END) AS sig
+      FROM projs GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM sigs a JOIN sigs b ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id
+    ),
+    pairs AS (
+      SELECT c.id_a, c.id_b,
              ROUND({_DOT_SQL.format(a='a.embedding', b='b.embedding')}
                    / SQRT({_DOT_SQL.format(a='a.embedding', b='a.embedding')}
                           * {_DOT_SQL.format(a='b.embedding', b='b.embedding')}), 6) AS cos_sim
-      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      FROM cand c
+      JOIN embeddings a ON a.vec_id = c.id_a
+      JOIN embeddings b ON b.vec_id = c.id_b
     )
     SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.45
     """,
-    tags=("dedup", "llm", "embedding"),
+    tags=("dedup", "llm", "embedding", "lsh"),
 )
 def d05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (rounded cosine ≥ 0.45)."""
+    """Embedding near-dup pairs via hyperplane-LSH blocking + exact cosine
+    verify (rounded cosine ≥ 0.45 within candidate buckets).
+
+    The r1 registered plan was an all-pairs ``crossJoin`` — correct at
+    fixture scale, a cartesian scale-killer at 100 TB. This plan blocks on
+    8 tables of 6 md5-derived sign-bits (single equi shuffle, Σ bucket²
+    candidates) and the oracle replays the identical blocking, so the
+    documented LSH recall trade-off is shared bit-for-bit by both engines.
+    The exact all-pairs baseline remains available as
+    ``similarity.cosine_neardup_pairs``."""
     emb = load_table(spark, "embeddings", sf_dir)
-    return similarity.cosine_neardup_pairs(emb, threshold=0.45)
+    return similarity.lsh_blocked_pairs(
+        emb, dim=_D05_DIM, planes=_D05_PLANES, tables=_D05_TABLES, threshold=0.45
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -276,25 +317,7 @@ def s03_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "t01_token_stats",
-    oracle=f"""
-    SELECT doc_id,
-           CAST(len(t) AS BIGINT) AS n_tokens,
-           CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT) AS n_bpe_tokens,
-           CAST(len(list_distinct(t)) AS BIGINT) AS n_uniq_tokens,
-           CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE) / greatest(len(t), 1) AS avg_token_len
-    FROM (SELECT doc_id, text, {_TOKS.format(col='text')} AS t FROM documents)
-    """,
-    tags=("text", "llm"),
-)
-def t01_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whitespace + BPE-ish token counts, distinct tokens, avg token length."""
-    docs = load_table(spark, "documents", sf_dir)
-    return text_analysis.token_stats(docs, "doc_id", "text")
-
-
-@register(
-    "t02_quality_score",
+    "t01_text_profile",
     oracle=f"""
     WITH base AS (
       SELECT doc_id, text, {_TOKS.format(col='text')} AS t,
@@ -302,7 +325,7 @@ def t01_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ),
     feats AS (
-      SELECT doc_id,
+      SELECT doc_id, text, t,
              len(t) AS n_tok,
              len(list_filter(t, x -> list_contains(['the','a','of','to','and','in','is','it','that','for'], x)))
                / greatest(len(t), 1) AS stop_ratio,
@@ -312,6 +335,9 @@ def t01_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            CAST(n_tok AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT) AS n_bpe_tokens,
+           CAST(len(list_distinct(t)) AS BIGINT) AS n_uniq_tokens,
+           CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE) / greatest(len(t), 1) AS avg_token_len,
            ROUND(stop_ratio, 6) AS stopword_ratio,
            ROUND(uniq_ratio, 6) AS uniq_ratio,
            ROUND(punct_ratio, 6) AS punct_ratio,
@@ -321,10 +347,12 @@ def t01_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("text", "llm"),
 )
-def t02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cheap quality pre-filter features + composite score per document."""
+def t01_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token statistics (whitespace + BPE-ish counts, distinct tokens, avg
+    token length) AND quality pre-filter features + composite score — one
+    row-local scan over the corpus (token_stats + quality_score fused)."""
     docs = load_table(spark, "documents", sf_dir)
-    return text_analysis.quality_score(docs, "doc_id", "text")
+    return text_analysis.text_profile(docs, "doc_id", "text")
 
 
 _LANGS_SQL = {
@@ -389,44 +417,27 @@ def t03_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_sort(list_transform(grams, x -> {_md5_long_sql('x')})) AS hs
       FROM sh
     )
-    SELECT doc_id, hs[1:4] AS fp_sketch, hs[1] AS fp_min FROM hashes
+    SELECT doc_id, {sql_long_array('hs[1:4]')} AS fp_sketch, hs[1] AS fp_min FROM hashes
     """,
     tags=("text", "llm", "fingerprint"),
 )
 def t04_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling-hash document fingerprint: bottom-4 sketch of 8-gram hashes."""
+    """Rolling-hash document fingerprint: bottom-4 sketch of 8-gram hashes.
+
+    The sketch (array<bigint>) is serialized at the output boundary
+    (functions/canonical.py) so the driver's canonicalizer can hash it."""
     docs = load_table(spark, "documents", sf_dir)
-    return text_analysis.doc_fingerprint(docs, "doc_id", "text", k=8, sketch_size=4)
+    out = text_analysis.doc_fingerprint(docs, "doc_id", "text", k=8, sketch_size=4)
+    return out.select("doc_id", ser_long_array("fp_sketch").alias("fp_sketch"), "fp_min")
 
 
 @register(
-    "mm01_payload_metadata",
+    "mm01_payload_decode",
     oracle="""
     SELECT doc_id,
-           'text/plain' AS mime,
+           'image/png' AS mime,
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-           md5(text) AS fingerprint
-    FROM documents
-    """,
-    tags=("multimodal", "llm"),
-)
-def mm01_payload_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Opaque binary payload + typed metadata; metadata is JVM-only (the
-    payload column is pruned from this scan — multimodal at rest is free)."""
-    docs = load_table(spark, "documents", sf_dir)
-    mm = multimodal.attach_payload(docs, "text", mime="text/plain")
-    return mm.select(
-        "doc_id",
-        F.col("media_meta.mime").alias("mime"),
-        F.col("media_meta.n_bytes").alias("n_bytes"),
-        F.col("media_meta.fingerprint").alias("fingerprint"),
-    )
-
-
-@register(
-    "mm02_decode_stub",
-    oracle="""
-    SELECT doc_id,
+           md5(text) AS fingerprint,
            16 + CAST(concat('0x', substr(md5(text), 1, 2)) AS INT) % 240 AS width,
            16 + CAST(concat('0x', substr(md5(text), 3, 2)) AS INT) % 240 AS height,
            1 + CAST(concat('0x', substr(md5(text), 5, 2)) AS INT) % 4 AS channels
@@ -434,14 +445,24 @@ def mm01_payload_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("multimodal", "llm", "pandas-udf"),
 )
-def mm02_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode stub through the real mapInPandas plumbing (Arrow batches of
-    binary payloads → typed dims); the fake decoder is digest-derived so the
-    SQL oracle reproduces it exactly."""
+def mm01_payload_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque binary payload + typed JVM-side metadata (mime, size,
+    fingerprint — the payload-at-rest surface) AND the decode stub through
+    real mapInPandas plumbing (Arrow batches of binary payloads → typed
+    dims). The fake decoder is digest-derived so the SQL oracle reproduces
+    it exactly; metadata-only reads still prune the payload column."""
     docs = load_table(spark, "documents", sf_dir)
     mm = multimodal.attach_payload(docs, "text", mime="image/png")
     decoded = multimodal.decode_media(mm)
-    return decoded.select("doc_id", "width", "height", "channels")
+    return decoded.select(
+        "doc_id",
+        F.col("media_meta.mime").alias("mime"),
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.col("media_meta.fingerprint").alias("fingerprint"),
+        "width",
+        "height",
+        "channels",
+    )
 
 
 @register("mm03_frame_sample", oracle=None, tags=("multimodal", "llm", "video"))

@@ -2,6 +2,10 @@
 flatten/explode round-trips — the trajectory-schema operations (SURVEY.md
 §1.1-1.2, FIXTURES.md §2) exercised on the TPC-H-ish fixtures so DuckDB can
 oracle them.
+
+Array-typed OUTPUT columns are serialized at the boundary (see
+``functions/canonical.py``) because the driver's pandas canonicalizer cannot
+hash lists; the nested computation itself stays native on both engines.
 """
 
 from __future__ import annotations
@@ -9,86 +13,72 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mlops_pipelines_featurestore_gcp_spark.functions.canonical import (
+    ser_double_array,
+    ser_long_array,
+    sql_double_array,
+    sql_long_array,
+)
 from mlops_pipelines_featurestore_gcp_spark.plans.registry import register
 from mlops_pipelines_featurestore_gcp_spark.sources.catalog import load_table
 
 
 @register(
-    "n01_collect_sorted_arrays",
-    oracle="""
-    SELECT l_orderkey,
-           list(l_quantity ORDER BY l_linenumber, l_quantity) AS quantities,
-           list(l_linenumber ORDER BY l_linenumber, l_quantity) AS linenumbers,
-           CAST(len(list(l_quantity ORDER BY l_linenumber, l_quantity)) AS BIGINT) AS n_items
-    FROM lineitem
-    WHERE l_orderkey < 500
-    GROUP BY l_orderkey
-    """,
-    tags=("nested", "agg"),
-)
-def n01_collect_sorted_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Build REPEATED columns: per-order arrays ordered by line number (the
-    trajectory batch-array shape, deterministic order)."""
-    li = load_table(spark, "lineitem", sf_dir).where(F.col("l_orderkey") < 500)
-    return (
-        li.groupBy("l_orderkey")
-        .agg(
-            F.sort_array(F.collect_list(F.struct("l_linenumber", "l_quantity"))).alias("z"),
-        )
-        .select(
-            "l_orderkey",
-            F.col("z.l_quantity").alias("quantities"),
-            F.col("z.l_linenumber").alias("linenumbers"),
-            F.size("z").cast("long").alias("n_items"),
-        )
-    )
-
-
-@register(
-    "n02_nested_projection",
-    oracle="""
+    "n01_array_build_transform",
+    oracle=f"""
     WITH arrs AS (
-      SELECT l_orderkey, list(l_quantity ORDER BY l_linenumber, l_quantity) AS q
-      FROM lineitem WHERE l_orderkey < 500 GROUP BY l_orderkey
+      SELECT l_orderkey,
+             list(l_quantity ORDER BY l_linenumber, l_quantity) AS q,
+             list(l_linenumber ORDER BY l_linenumber, l_quantity) AS ln
+      FROM lineitem
+      WHERE l_orderkey < 500
+      GROUP BY l_orderkey
     )
     SELECT l_orderkey,
-           list_transform(q, x -> x * 2.0) AS doubled,
+           {sql_double_array('q')} AS quantities,
+           {sql_long_array('ln')} AS linenumbers,
+           CAST(len(q) AS BIGINT) AS n_items,
+           {sql_double_array('list_transform(q, x -> x * 2.0)')} AS doubled,
            q[1] AS first_qty,
            CAST(list_sum(q) AS DOUBLE) AS total_qty,
-           list_reverse(q) AS reversed
+           {sql_double_array('list_reverse(q)')} AS reversed
     FROM arrs
     """,
-    tags=("nested", "projection"),
+    tags=("nested", "agg", "projection"),
 )
-def n02_nested_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array transforms: element-wise map, indexing, fold, reverse (P1/P3's
-    reshape surface)."""
+def n01_array_build_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build REPEATED columns (per-order arrays in deterministic line order,
+    the trajectory batch-array shape) and transform them in place: element-wise
+    map, indexing, fold, reverse (P1/P3's reshape surface in one pass)."""
     li = load_table(spark, "lineitem", sf_dir).where(F.col("l_orderkey") < 500)
     arrs = (
         li.groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_list(F.struct("l_linenumber", "l_quantity"))).alias("z"))
-        .select("l_orderkey", F.col("z.l_quantity").alias("q"))
+        .select("l_orderkey", F.col("z.l_quantity").alias("q"), F.col("z.l_linenumber").alias("ln"))
     )
     return arrs.select(
         "l_orderkey",
-        F.transform("q", lambda x: x * 2.0).alias("doubled"),
+        ser_double_array("q").alias("quantities"),
+        ser_long_array("ln").alias("linenumbers"),
+        F.size("q").cast("long").alias("n_items"),
+        ser_double_array(F.transform("q", lambda x: x * 2.0)).alias("doubled"),
         F.element_at("q", 1).alias("first_qty"),
         F.aggregate("q", F.lit(0.0), lambda acc, x: acc + x).alias("total_qty"),
-        F.reverse("q").alias("reversed"),
+        ser_double_array(F.reverse("q")).alias("reversed"),
     )
 
 
 @register(
     "n03_struct_of_arrays",
-    oracle="""
+    oracle=f"""
     WITH nested AS (
       SELECT o_custkey,
-             {'order_keys': list(o_orderkey ORDER BY o_orderkey),
-              'prices': list(o_totalprice ORDER BY o_orderkey)} AS orders_struct
+             {{'order_keys': list(o_orderkey ORDER BY o_orderkey),
+              'prices': list(o_totalprice ORDER BY o_orderkey)}} AS orders_struct
       FROM orders WHERE o_custkey < 100 GROUP BY o_custkey
     )
     SELECT o_custkey,
-           orders_struct.order_keys AS order_keys,
+           {sql_long_array('orders_struct.order_keys')} AS order_keys,
            CAST(len(orders_struct.prices) AS BIGINT) AS n_orders,
            orders_struct.prices[1] AS first_price
     FROM nested
@@ -107,7 +97,7 @@ def n03_struct_of_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return nested.select(
         "o_custkey",
-        F.col("orders_struct.order_keys").alias("order_keys"),
+        ser_long_array(F.col("orders_struct.order_keys")).alias("order_keys"),
         F.size("orders_struct.prices").cast("long").alias("n_orders"),
         F.element_at(F.col("orders_struct.prices"), 1).alias("first_price"),
     )
@@ -146,10 +136,10 @@ def n04_explode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "n05_depth3_trajectory_shape",
-    oracle="""
+    oracle=f"""
     WITH obs AS (
       SELECT o_custkey,
-             list({'observation_batch': ob} ORDER BY ok) AS observation
+             list({{'observation_batch': ob}} ORDER BY ok) AS observation
       FROM (
         SELECT o.o_custkey, o.o_orderkey AS ok,
                list(l.l_quantity ORDER BY l.l_linenumber, l.l_quantity) AS ob
@@ -161,7 +151,7 @@ def n04_explode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT o_custkey,
            CAST(len(observation) AS BIGINT) AS batch,
-           list_transform(observation, x -> CAST(len(x.observation_batch) AS BIGINT)) AS inner_sizes,
+           {sql_long_array('list_transform(observation, x -> CAST(len(x.observation_batch) AS BIGINT))')} AS inner_sizes,
            CAST(list_sum(list_transform(observation,
                 x -> CAST(list_sum(x.observation_batch) AS DOUBLE))) AS DOUBLE) AS total
     FROM obs
@@ -188,7 +178,9 @@ def n05_depth3_trajectory_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     return obs.select(
         "o_custkey",
         F.size("observation").cast("long").alias("batch"),
-        F.transform("observation", lambda x: F.size(x.observation_batch).cast("long")).alias("inner_sizes"),
+        ser_long_array(
+            F.transform("observation", lambda x: F.size(x.observation_batch).cast("long"))
+        ).alias("inner_sizes"),
         F.aggregate(
             F.transform(
                 "observation",

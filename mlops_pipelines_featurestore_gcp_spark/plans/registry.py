@@ -45,7 +45,14 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()) -
 
 
 def queries_map() -> dict[str, QueryFn]:
-    return {name: spec.fn for name, spec in QUERIES.items()}
+    """Registration-ordered query dict, oracle-bearing queries FIRST.
+
+    The driver verifies only the first 50 entries of this dict; rows-only
+    (oracle=None) queries would burn verified slots without producing a
+    hash check, so they always sort to the end (stable within each group).
+    """
+    specs = sorted(QUERIES.values(), key=lambda s: s.oracle is None)
+    return {s.name: s.fn for s in specs}
 
 
 def oracle_sql_map() -> dict[str, str]:

@@ -419,94 +419,87 @@ def q21_in_and_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q09_topn_per_group",
+    "q09_window_navigation",
     oracle="""
-    SELECT c_custkey, o_orderkey, o_totalprice, rn
+    SELECT c_custkey, o_orderkey, o_totalprice, rn, days_since_prev, next_key
     FROM (
       SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice,
-             ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+             CAST(date_diff('day',
+                  CAST(LAG(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DATE),
+                  CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_prev,
+             LEAD(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_key
       FROM orders
     )
     WHERE rn <= 3
     """,
     tags=("window", "topk"),
 )
-def q09_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 orders per customer via row_number — the window pattern that
-    also implements feature-store latest/point-in-time reads (SURVEY §2.3 J2)."""
+def q09_window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer via row_number (the window pattern that
+    also implements feature-store latest/point-in-time reads, SURVEY §2.3 J2)
+    PLUS lag/lead navigation (days since previous order, next order key) —
+    two sort orders over ONE partition-by-customer shuffle (r1's q09 + q11)."""
     o = load_table(spark, "orders", sf_dir)
-    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    w_price = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    w_date = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     return (
-        o.withColumn("rn", F.row_number().over(w))
+        o.withColumn("rn", F.row_number().over(w_price))
+        .withColumn("prev_date", F.lag("o_orderdate").over(w_date))
+        .withColumn("next_key", F.lead("o_orderkey").over(w_date))
         .where(F.col("rn") <= 3)
         .select(
             F.col("o_custkey").alias("c_custkey"),
             "o_orderkey",
             "o_totalprice",
             "rn",
+            F.datediff(F.col("o_orderdate"), F.col("prev_date")).cast("long").alias("days_since_prev"),
+            "next_key",
         )
     )
 
 
 @register(
-    "q10_running_total",
+    "q10_running_first_last",
     oracle="""
     SELECT o_custkey, o_orderkey, o_orderdate,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+           FIRST_VALUE(o_orderkey) OVER wfull AS first_order,
+           LAST_VALUE(o_orderkey)  OVER wfull AS latest_order,
+           COUNT(*) OVER wfull AS n_orders
     FROM orders
     WHERE o_custkey < 100
+    WINDOW wfull AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
     """,
     tags=("window", "agg"),
 )
-def q10_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-customer running spend — cumulative window sum in DECIMAL so the
-    result is identical regardless of the engine's frame evaluation order."""
+def q10_running_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer running spend (cumulative DECIMAL window sum, identical
+    under any frame evaluation order) plus first/last/count over the
+    unbounded frame — running + full-extent frames sharing one window
+    shuffle (r1's q10 + q24)."""
     o = load_table(spark, "orders", sf_dir).where(F.col("o_custkey") < 100)
-    w = (
+    w_run = (
         Window.partitionBy("o_custkey")
         .orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_full = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
     return o.select(
         "o_custkey",
         "o_orderkey",
         "o_orderdate",
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").alias("running_spend"),
-    )
-
-
-@register(
-    "q11_order_gaps",
-    oracle="""
-    SELECT o_custkey, o_orderkey,
-           CAST(date_diff('day', CAST(prev_date AS DATE), CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_prev,
-           next_key
-    FROM (
-      SELECT o_custkey, o_orderkey, o_orderdate,
-             LAG(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_date,
-             LEAD(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_key
-      FROM orders
-    )
-    WHERE o_custkey < 200
-    """,
-    tags=("window",),
-)
-def q11_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lag/lead: days between consecutive orders per customer."""
-    o = load_table(spark, "orders", sf_dir)
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    return (
-        o.withColumn("prev_date", F.lag("o_orderdate").over(w))
-        .withColumn("next_key", F.lead("o_orderkey").over(w))
-        .where(F.col("o_custkey") < 200)
-        .select(
-            "o_custkey",
-            "o_orderkey",
-            F.datediff(F.col("o_orderdate"), F.col("prev_date")).cast("long").alias("days_since_prev"),
-            "next_key",
-        )
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w_run).cast("double").alias("running_spend"),
+        F.first("o_orderkey").over(w_full).alias("first_order"),
+        F.last("o_orderkey").over(w_full).alias("latest_order"),
+        F.count("*").over(w_full).alias("n_orders"),
     )
 
 
@@ -536,33 +529,9 @@ def q23_rank_flavors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q24_first_last_window",
-    oracle="""
-    SELECT DISTINCT o_custkey,
-           FIRST_VALUE(o_orderkey) OVER w AS first_order,
-           LAST_VALUE(o_orderkey)  OVER w AS latest_order,
-           COUNT(*) OVER w AS n_orders
-    FROM orders
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-    """,
-    tags=("window", "distinct"),
-)
-def q24_first_last_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """first/last order per customer via an unbounded window + DISTINCT."""
-    o = load_table(spark, "orders", sf_dir)
-    w = (
-        Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    )
-    return o.select(
-        "o_custkey",
-        F.first("o_orderkey").over(w).alias("first_order"),
-        F.last("o_orderkey").over(w).alias("latest_order"),
-        F.count("*").over(w).alias("n_orders"),
-    ).distinct()
+# (r1's q24_first_last_window was folded into q10_running_first_last; r1's
+# q11_order_gaps into q09_window_navigation — the driver checks only the
+# first 50 registered queries, so the window surface shares slots.)
 
 
 # ---------------------------------------------------------------------------
@@ -571,62 +540,49 @@ def q24_first_last_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q12_rollup",
+    "q12_rollup_cube",
     oracle="""
-    SELECT l_returnflag, l_linestatus,
+    SELECT 'rollup' AS op, l_returnflag AS dim1, l_linestatus AS dim2,
            COUNT(*) AS n_rows,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
-    """,
-    tags=("agg", "rollup"),
-)
-def q12_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP: per-(flag,status), per-flag subtotal, grand total."""
-    li = load_table(spark, "lineitem", sf_dir)
-    return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.count("*").alias("n_rows"),
-        _dec_sum(F.col("l_quantity")).alias("total_qty"),
-    )
-
-
-@register(
-    "q13_cube",
-    oracle="""
-    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    UNION ALL
+    SELECT 'cube' AS op, o_orderstatus AS dim1, o_orderpriority AS dim2,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
-    tags=("agg", "cube"),
+    tags=("agg", "rollup", "cube"),
 )
-def q13_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE over status × priority."""
+def q12_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (per-(flag,status), per-flag subtotal, grand total over
+    lineitem) unioned with CUBE (status × priority over orders) — the two
+    grouping-set expansions in one registered slot (r1's q12 + q13)."""
+    li = load_table(spark, "lineitem", sf_dir)
     o = load_table(spark, "orders", sf_dir)
-    return o.cube("o_orderstatus", "o_orderpriority").agg(
-        F.count("*").alias("n_orders"),
-        _dec_sum(F.col("o_totalprice")).alias("total_price"),
+    rollup = li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"),
+        _dec_sum(F.col("l_quantity")).alias("total"),
+    ).select(
+        F.lit("rollup").alias("op"),
+        F.col("l_returnflag").alias("dim1"),
+        F.col("l_linestatus").alias("dim2"),
+        "n_rows",
+        "total",
     )
-
-
-@register(
-    "q14_distinct_agg",
-    oracle="""
-    SELECT o_orderstatus,
-           COUNT(DISTINCT o_custkey) AS n_distinct_customers,
-           COUNT(*) AS n_orders
-    FROM orders
-    GROUP BY o_orderstatus
-    """,
-    tags=("agg", "distinct"),
-)
-def q14_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """COUNT(DISTINCT) alongside a plain count (two-phase expand agg)."""
-    o = load_table(spark, "orders", sf_dir)
-    return o.groupBy("o_orderstatus").agg(
-        F.countDistinct("o_custkey").alias("n_distinct_customers"),
-        F.count("*").alias("n_orders"),
+    cube = o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_rows"),
+        _dec_sum(F.col("o_totalprice")).alias("total"),
+    ).select(
+        F.lit("cube").alias("op"),
+        F.col("o_orderstatus").alias("dim1"),
+        F.col("o_orderpriority").alias("dim2"),
+        "n_rows",
+        "total",
     )
+    return rollup.unionByName(cube)
 
 
 @register(
@@ -664,7 +620,7 @@ def q15_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q16_string_funcs",
+    "q16_scalar_funcs",
     oracle="""
     SELECT p_partkey,
            UPPER(p_brand) AS brand_upper,
@@ -673,17 +629,33 @@ def q15_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
            CONCAT(p_brand, ':', p_type) AS brand_type,
            REPLACE(p_type, ' ', '_') AS type_snake,
            CAST(CONTAINS(p_type, 'SMALL') AS BOOLEAN) AS is_small,
-           LTRIM(RTRIM(p_name)) AS name_trim
+           LTRIM(RTRIM(p_name)) AS name_trim,
+           to_base64(encode(p_name)) AS name_b64,
+           decode(from_base64(to_base64(encode(p_name)))) AS name_roundtrip,
+           ROUND(ABS(p_retailprice - 1000.0), 2) AS price_dev,
+           CAST(CEIL(p_retailprice) AS BIGINT) AS price_ceil,
+           CAST(FLOOR(p_retailprice) AS BIGINT) AS price_floor,
+           ROUND(SQRT(p_retailprice), 6) AS price_sqrt,
+           ROUND(LN(p_retailprice + 1), 6) AS price_ln,
+           CAST(p_size % 7 AS BIGINT) AS size_mod,
+           ROUND(POW(p_size, 2), 1) AS size_sq
     FROM part
-    WHERE p_name LIKE '%e%' AND p_partkey <= 1200
+    WHERE p_name LIKE '%e%' AND p_partkey <= 1200 AND p_retailprice > 0
     """,
-    tags=("scalar", "string"),
+    tags=("scalar", "string", "math", "encoding"),
 )
-def q16_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """String surface: upper/substring/length/concat/replace/contains/trim/LIKE."""
+def q16_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function surface in one slot (r1's q16 + q18 + the previously
+    unexercised F2/F3 encodings): strings (upper/substring/length/concat/
+    replace/contains/trim/LIKE), byte encodings (UTF-8 encode → base64 →
+    unbase64 → decode round-trip — the reference's logger payload path,
+    ``logger/main.py:158-159``), and math (abs/ceil/floor/sqrt/ln/mod/pow,
+    transcendentals rounded to 6 places — JVM and C libm may differ in the
+    final ulp)."""
     p = load_table(spark, "part", sf_dir)
+    name_bytes = F.encode(F.col("p_name"), "UTF-8")
     return (
-        p.where(F.col("p_name").like("%e%") & (F.col("p_partkey") <= 1200))
+        p.where(F.col("p_name").like("%e%") & (F.col("p_partkey") <= 1200) & (F.col("p_retailprice") > 0))
         .select(
             "p_partkey",
             F.upper("p_brand").alias("brand_upper"),
@@ -693,63 +665,8 @@ def q16_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
             F.col("p_type").contains("SMALL").alias("is_small"),
             F.ltrim(F.rtrim(F.col("p_name"))).alias("name_trim"),
-        )
-    )
-
-
-@register(
-    "q17_date_funcs",
-    oracle="""
-    SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
-           CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS order_month,
-           MIN(o_orderdate) AS first_order,
-           CAST(MAX(date_trunc('month', o_orderdate)) AS TIMESTAMP) AS month_start,
-           COUNT(*) AS n_orders
-    FROM orders
-    GROUP BY 1, 2
-    """,
-    tags=("scalar", "date", "agg"),
-)
-def q17_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Date/time surface: extract, trunc, min/max over timestamps."""
-    o = load_table(spark, "orders", sf_dir)
-    return (
-        o.groupBy(
-            F.year("o_orderdate").cast("long").alias("order_year"),
-            F.month("o_orderdate").cast("long").alias("order_month"),
-        )
-        .agg(
-            F.min("o_orderdate").alias("first_order"),
-            F.max(F.date_trunc("month", F.col("o_orderdate"))).alias("month_start"),
-            F.count("*").alias("n_orders"),
-        )
-    )
-
-
-@register(
-    "q18_math_funcs",
-    oracle="""
-    SELECT p_partkey,
-           ROUND(ABS(p_retailprice - 1000.0), 2) AS price_dev,
-           CAST(CEIL(p_retailprice) AS BIGINT) AS price_ceil,
-           CAST(FLOOR(p_retailprice) AS BIGINT) AS price_floor,
-           ROUND(SQRT(p_retailprice), 6) AS price_sqrt,
-           ROUND(LN(p_retailprice + 1), 6) AS price_ln,
-           CAST(p_size % 7 AS BIGINT) AS size_mod,
-           ROUND(POW(p_size, 2), 1) AS size_sq
-    FROM part
-    WHERE p_partkey <= 1000 AND p_retailprice > 0
-    """,
-    tags=("scalar", "math"),
-)
-def q18_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Math surface: abs/ceil/floor/sqrt/ln/mod/pow (transcendentals rounded
-    to 6 places — JVM and C libm may differ in the final ulp)."""
-    p = load_table(spark, "part", sf_dir)
-    return (
-        p.where((F.col("p_partkey") <= 1000) & (F.col("p_retailprice") > 0))
-        .select(
-            "p_partkey",
+            F.base64(name_bytes).alias("name_b64"),
+            F.decode(F.unbase64(F.base64(name_bytes)), "UTF-8").alias("name_roundtrip"),
             F.round(F.abs(F.col("p_retailprice") - 1000.0), 2).alias("price_dev"),
             F.ceil("p_retailprice").cast("long").alias("price_ceil"),
             F.floor("p_retailprice").cast("long").alias("price_floor"),
@@ -762,33 +679,51 @@ def q18_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q22_conditional_pivot",
+    "q17_date_conditional_agg",
     oracle="""
     SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+           CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS order_month,
+           MIN(o_orderdate) AS first_order,
+           CAST(MAX(date_trunc('month', o_orderdate)) AS TIMESTAMP) AS month_start,
+           COUNT(*) AS n_orders,
            COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
            COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
            COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p,
            CAST(SUM(CAST(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
-                        THEN o_totalprice ELSE 0 END AS DECIMAL(18,2))) AS DOUBLE) AS urgent_value
+                        THEN o_totalprice ELSE 0 END AS DECIMAL(18,2))) AS DOUBLE) AS urgent_value,
+           COUNT(DISTINCT o_custkey) AS n_distinct_customers
     FROM orders
-    GROUP BY 1
+    GROUP BY 1, 2
     """,
-    tags=("agg", "pivot", "conditional"),
+    tags=("scalar", "date", "agg", "pivot", "conditional", "distinct"),
 )
-def q22_conditional_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Manual pivot via conditional aggregation (CASE WHEN / FILTER)."""
+def q17_date_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalars (extract, trunc, min/max over timestamps), manual
+    pivot via conditional aggregation (CASE WHEN / FILTER), and
+    COUNT(DISTINCT) alongside plain counts (two-phase expand agg) — one
+    grouped scan over orders (r1's q17 + q22 + q14)."""
     o = load_table(spark, "orders", sf_dir)
-    return o.groupBy(F.year("o_orderdate").cast("long").alias("order_year")).agg(
-        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_f"),
-        F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_o"),
-        F.count(F.when(F.col("o_orderstatus") == "P", 1)).alias("n_p"),
-        F.sum(
-            F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), F.col("o_totalprice"))
-            .otherwise(0.0)
-            .cast("decimal(18,2)")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("long").alias("order_year"),
+            F.month("o_orderdate").cast("long").alias("order_month"),
         )
-        .cast("double")
-        .alias("urgent_value"),
+        .agg(
+            F.min("o_orderdate").alias("first_order"),
+            F.max(F.date_trunc("month", F.col("o_orderdate"))).alias("month_start"),
+            F.count("*").alias("n_orders"),
+            F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_f"),
+            F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_o"),
+            F.count(F.when(F.col("o_orderstatus") == "P", 1)).alias("n_p"),
+            F.sum(
+                F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), F.col("o_totalprice"))
+                .otherwise(0.0)
+                .cast("decimal(18,2)")
+            )
+            .cast("double")
+            .alias("urgent_value"),
+            F.countDistinct("o_custkey").alias("n_distinct_customers"),
+        )
     )
 
 

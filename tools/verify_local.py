@@ -74,6 +74,18 @@ def main() -> int:
             failures.append((name, f"SPARK ERROR: {e}"))
             print(f"  {name}: SPARK ERROR {str(e)[:300]}")
             continue
+        # The DRIVER's canonicalizer (pandas sort_values over all columns)
+        # crashes on list/dict cells — reject nested output types up front
+        # even though this script's own canon() could compare them.
+        nested = [
+            f.name
+            for f in sdf.schema.fields
+            if f.dataType.typeName() in ("array", "map", "struct")
+        ]
+        if nested:
+            failures.append((name, f"DRIVER-UNSAFE nested output columns: {nested}"))
+            print(f"  {name}: DRIVER-UNSAFE nested output columns {nested}")
+            continue
         if spec.oracle is None:
             rows_only.append(name)
             print(f"  {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
