@@ -31,7 +31,6 @@ from mlops_pipelines_featurestore_gcp_spark.functions.text import (
     md5_long,
     normalize,
     poly_char_hash,
-    seeded_md5_long,
     tokens,
     word_ngrams,
 )
@@ -87,13 +86,6 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def _distinct_shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
-    """(id, shingle) pairs, distinct per doc — the corpus inverted index."""
-    return (
-        df.select(F.col(id_col), F.explode(F.array_distinct(char_shingles(normalize(F.col(text_col)), k))).alias("sh"))
-    )
-
-
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -132,27 +124,43 @@ def minhash_lsh_pairs(
     # (verify filters them), but at corpus scale that single bucket is a
     # quadratic candidate blowup. They can never reach the verified output
     # (no shingles → no shared shingles), so drop them before signing.
-    base = (
+    #
+    # The shingle hashes are computed via explode + poly_char_hash — plain
+    # projections that stay inside WHOLE-STAGE CODEGEN (the same fold as a
+    # higher-order ``transform`` lambda runs ~5× slower because Spark HOFs
+    # are CodegenFallback). One collect_set shuffle then materializes the
+    # per-doc DISTINCT hash set exactly once — reused by both the signature
+    # pass and the exact-Jaccard verify, so the text is shingled ONCE (the
+    # r1 plan re-exploded the corpus a second time for verification).
+    nt = normalize(F.col(text_col))
+    pos = (
         _spread(df)
-        .select(F.col(id_col), normalize(F.col(text_col)).alias("__nt"))
+        .select(F.col(id_col), nt.alias("__nt"))
         .where(F.length("__nt") >= k)
-        .cache()  # one small row per doc; feeds signature + verify branches
+        .select(
+            F.col(id_col),
+            "__nt",
+            F.explode(F.sequence(F.lit(1), F.length("__nt") - (k - 1))).alias("__i"),
+        )
     )
-    pos = base.select(
-        F.col(id_col),
-        "__nt",
-        F.explode(F.sequence(F.lit(1), F.length("__nt") - (k - 1))).alias("__i"),
-    )
-    sh_all = pos.select(
+    sh = pos.select(
         F.col(id_col),
         poly_char_hash(F.col("__nt"), F.col("__i"), k, MINHASH_PRIME).alias("h"),
     )
+    doc_hashes = (
+        sh.groupBy(id_col)
+        .agg(F.collect_set("h").alias("__hs"))
+        .cache()  # one row per doc (distinct hash array, ~num-shingle longs)
+    )
     coeffs = minhash_coeffs(num_hashes)
-    sigs = sh_all.groupBy(id_col).agg(
+    # min over the distinct set == min over the multiset; each signature is
+    # a row-local array fold over the cached set — no further shuffle
+    sigs = doc_hashes.select(
+        F.col(id_col),
         *[
-            F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_PRIME).alias(f"__m{i}")
+            F.array_min(F.transform("__hs", lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_PRIME)).alias(f"__m{i}")
             for i, (a, b) in enumerate(coeffs)
-        ]
+        ],
     )
 
     # band key = md5 of the comma-joined signature slice, identical string
@@ -182,56 +190,25 @@ def minhash_lsh_pairs(
 
     a = band_keys.select(F.col(id_col).alias("doc_a"), "band", "bkey")
     b = band_keys.select(F.col(id_col).alias("doc_b"), "band", "bkey")
-    # cache: the candidate set is tiny but its lineage is the whole
-    # signature pipeline; it is consumed twice below (doc filter + verify)
     cand = (
         a.join(b, ["band", "bkey"])
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
-        .cache()
     )
 
-    # verify only candidate docs: the broadcast semi-join shrinks the corpus
-    # to the candidate set (≪ corpus) BEFORE re-shingling, so the exact-
-    # Jaccard inverted index is built over candidates only
-    cand_docs = cand.select(F.col("doc_a").alias(id_col)).union(
-        cand.select(F.col("doc_b").alias(id_col))
-    ).distinct()
-    vbase = base.join(F.broadcast(cand_docs), id_col, "left_semi")
-    sh_cand = (
-        vbase.select(
-            F.col(id_col),
-            "__nt",
-            F.explode(F.sequence(F.lit(1), F.length("__nt") - (k - 1))).alias("__i"),
-        )
-        .select(
-            F.col(id_col),
-            poly_char_hash(F.col("__nt"), F.col("__i"), k, MINHASH_PRIME).alias("sh"),
-        )
-        .distinct()
-    )
-    return _jaccard_verify(cand, sh_cand, id_col, threshold)
-
-
-def _jaccard_verify(cand: DataFrame, sh: DataFrame, id_col: str, threshold: float) -> DataFrame:
-    """Exact Jaccard for candidate pairs using the (id, shingle) index."""
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
-    inter = (
-        cand.join(sh.withColumnRenamed(id_col, "doc_a").withColumnRenamed("sh", "s"), "doc_a")
-        .join(
-            sh.withColumnRenamed(id_col, "doc_b").withColumnRenamed("sh", "s"),
-            ["doc_b", "s"],
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("ni"))
-    )
-    na = sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed("n", "na")
-    nb = sizes.withColumnRenamed(id_col, "doc_b").withColumnRenamed("n", "nb")
+    # Exact-Jaccard verify, row-local per pair: inner-join the pair table to
+    # the cached per-doc hash sets on each side (the join itself prunes
+    # doc_hashes to candidate docs), then array_intersect. No inverted-index
+    # explode, no re-shingling, and the only data moved is the candidate
+    # pairs plus their two hash sets.
+    ha = doc_hashes.select(F.col(id_col).alias("doc_a"), F.col("__hs").alias("__ha"))
+    hb = doc_hashes.select(F.col(id_col).alias("doc_b"), F.col("__hs").alias("__hb"))
+    paired = cand.join(ha, "doc_a").join(hb, "doc_b")
+    ni = F.size(F.array_intersect("__ha", "__hb"))
+    na, nb = F.size("__ha"), F.size("__hb")
     return (
-        inter.join(na, "doc_a")
-        .join(nb, "doc_b")
-        .withColumn("jaccard", F.col("ni") / (F.col("na") + F.col("nb") - F.col("ni")))
+        paired.withColumn("jaccard", ni / (na + nb - ni))
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from mlops_pipelines_featurestore_gcp_spark.functions.vectors import cosine
+from mlops_pipelines_featurestore_gcp_spark.functions.vectors import cosine, dot, norm_sq, signed_sum
 
 
 def brute_force_topk(
@@ -30,6 +30,7 @@ def brute_force_topk(
     vec_col: str = "embedding",
     k: int = 5,
     round_digits: int = 6,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
@@ -41,8 +42,20 @@ def brute_force_topk(
     across engines even when two candidates differ only in the last float
     ulp.
     """
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    # Per-vector squared norms are computed ONCE per side and carried
+    # through the join, so the per-pair expression is a single dot product —
+    # n+N norm evaluations instead of n·N, and the pair stage stays far
+    # below the 64KB codegen method limit even with dim-expanded chains.
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm_sq(F.col(vec_col), dim).alias("__qn"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        norm_sq(F.col(vec_col), dim).alias("__cn"),
+    )
     # single-file sources arrive as one partition; rebalance so the
     # n·N scoring pass uses every core (guarded: no Exchange when the
     # input already has enough splits, as a real 100 TB scan would)
@@ -53,7 +66,10 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), round_digits).alias("cos_sim"),
+            F.round(
+                dot(F.col("qv"), F.col("cv"), dim) / F.sqrt(F.col("__qn") * F.col("__cn")),
+                round_digits,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
@@ -67,6 +83,7 @@ def cosine_neardup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.45,
     round_digits: int = 6,
+    dim: int | None = None,
 ) -> DataFrame:
     """All pairs (a < b) with rounded cosine ≥ threshold.
 
@@ -81,7 +98,7 @@ def cosine_neardup_pairs(
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), round_digits).alias("cos_sim"),
+            F.round(cosine(F.col("va"), F.col("vb"), dim), round_digits).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
     )
@@ -137,7 +154,85 @@ def lsh_blocked_pairs(
         cand.select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), round_digits).alias("cos_sim"),
+            F.round(cosine(F.col("va"), F.col("vb"), dim), round_digits).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
+def coord_sign_blocked_pairs(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    coords_per_table: int = 7,
+    tables: int = 8,
+    threshold: float = 0.45,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Near-dup pairs via coordinate-sign LSH blocking + exact rescoring.
+
+    Axis-aligned hyperplane LSH: table t's signature is the sign pattern of
+    coordinates [t·c, (t+1)·c) — a candidate pair must agree on every sign
+    in ≥1 table. Properties that make this the *registered* embedding-dedup
+    plan:
+
+    - **No floating-point arithmetic in the blocking at all** — each bit is
+      ``element > 0`` on the stored value, so Spark and the SQL oracle agree
+      bit-for-bit with zero summation-order risk.
+    - **Tiny expressions** — tables × coords sign tests (64 total), safely
+      inside whole-stage codegen (random-hyperplane projections at the same
+      table count overflow the 64KB codegen method limit and de-optimize
+      the whole stage).
+    - **Same cost shape as any LSH**: one equi shuffle on (table, signature),
+      Σ bucket² candidate pairs, exact cosine verify inside buckets only.
+      Recall follows the OR-of-tables curve; missed pairs are missed
+      identically by the oracle, which replays the same blocking.
+
+    ``lsh_blocked_pairs`` (md5-derived random hyperplanes) remains the
+    generic alternative for data whose axes are degenerate (e.g. one-hot).
+    """
+    base = _maybe_spread(
+        corpus.select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).alias("v"),
+            # squared norm once per VECTOR (not per pair): cheaper and keeps
+            # the pair-verify expression inside the codegen method limit
+            norm_sq(F.col(vec_col), dim).alias("nrm"),
+        )
+    )
+    sig_exprs = []
+    for t in range(tables):
+        bits = [
+            F.when(F.element_at("v", t * coords_per_table + j + 1) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+            for j in range(coords_per_table)
+        ]
+        sig = bits[0]
+        for b in bits[1:]:
+            sig = sig + b
+        sig_exprs.append(F.struct(F.lit(t).alias("t"), sig.cast("long").alias("sig")))
+    bucketed = (
+        base.select("vid", "v", "nrm", F.explode(F.array(*sig_exprs)).alias("b"))
+        .select("vid", "v", "nrm", "b.t", "b.sig")
+        .cache()  # consumed by BOTH self-join sides: sign exprs run once,
+        # and the cache boundary keeps each downstream stage codegen-sized
+    )
+    a = bucketed.select(F.col("vid").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"), "t", "sig")
+    b = bucketed.select(F.col("vid").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"), "t", "sig")
+    cand = (
+        a.join(b, ["t", "sig"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.select(
+            "id_a",
+            "id_b",
+            F.round(
+                dot(F.col("va"), F.col("vb"), dim) / F.sqrt(F.col("na") * F.col("nb")),
+                round_digits,
+            ).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
     )
@@ -241,7 +336,7 @@ def lsh_topk(
     scored = cand.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("qv"), F.col("cv")), round_digits).alias("cos_sim"),
+        F.round(cosine(F.col("qv"), F.col("cv"), dim), round_digits).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return scored.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
@@ -254,6 +349,9 @@ def _signature_for_table(df: DataFrame, vec_col: str, table: int, planes: int, d
     sig = F.lit(0).cast("long")
     v = F.col(vec_col).cast("array<double>")
     for p, row in enumerate(comps):
+        # HOF fold, not an expanded ±element chain: tables×planes×dim chain
+        # terms overflow the 64KB codegen method limit and force the WHOLE
+        # stage into interpreted mode — far worse than the HOF fallback.
         proj = F.aggregate(
             F.zip_with(v, F.array(*[F.lit(x) for x in row]), lambda x, y: x * y),
             F.lit(0.0),
@@ -277,6 +375,7 @@ def ivf_topk(
     seed: int = 42,
     max_iter: int = 10,
     round_digits: int = 6,
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: k-means coarse quantizer.
 
@@ -334,7 +433,7 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), round_digits).alias("cos_sim"),
+            F.round(cosine(F.col("qv"), F.col("cv"), dim), round_digits).alias("cos_sim"),
         )
         .dropDuplicates(["query_id", "neighbor_id"])
     )

@@ -192,31 +192,26 @@ def d04_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DOT_SQL = "list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
 
 
-_D05_DIM, _D05_PLANES, _D05_TABLES = 64, 6, 8
+_D05_DIM, _D05_COORDS, _D05_TABLES = 64, 7, 8
+
+
+def _d05_sig_sql(t: int) -> str:
+    """Coordinate-sign signature of table t — same bits as the Spark plan."""
+    terms = " + ".join(
+        f"(CASE WHEN embedding[{t * _D05_COORDS + j + 1}] > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(_D05_COORDS)
+    )
+    return f"({terms})"
 
 
 @register(
     "d05_embedding_neardup",
     oracle=f"""
-    WITH plane_tbl AS (
-      SELECT p.generate_series AS p, d.generate_series AS d,
-             CASE WHEN CAST(concat('0x', substr(md5(concat(CAST(p.generate_series AS VARCHAR), ':',
-                       CAST(d.generate_series AS VARCHAR))), 1, 8)) AS BIGINT) % 2 = 1
-                  THEN 1.0 ELSE -1.0 END AS h
-      FROM generate_series(0, {_D05_TABLES * _D05_PLANES - 1}) p,
-           generate_series(0, {_D05_DIM - 1}) d
-    ),
-    plane_vecs AS (SELECT p, list(h ORDER BY d) AS hv FROM plane_tbl GROUP BY p),
-    projs AS (
-      SELECT e.vec_id, pv.p,
-             ROUND(list_sum(list_transform(range(1, {_D05_DIM + 1}),
-                   i -> e.embedding[i]::DOUBLE * pv.hv[i])), 6) AS proj
-      FROM embeddings e, plane_vecs pv
-    ),
-    sigs AS (
-      SELECT vec_id, p // {_D05_PLANES} AS t,
-             SUM(CASE WHEN proj > 0 THEN (CAST(1 AS BIGINT) << (p % {_D05_PLANES})) ELSE 0 END) AS sig
-      FROM projs GROUP BY 1, 2
+    WITH sigs AS (
+      SELECT vec_id, t.generate_series AS t,
+             CASE {' '.join(f'WHEN t.generate_series = {t} THEN {_d05_sig_sql(t)}' for t in range(_D05_TABLES))}
+             END AS sig
+      FROM embeddings, generate_series(0, {_D05_TABLES - 1}) t
     ),
     cand AS (
       SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
@@ -236,19 +231,22 @@ _D05_DIM, _D05_PLANES, _D05_TABLES = 64, 6, 8
     tags=("dedup", "llm", "embedding", "lsh"),
 )
 def d05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs via hyperplane-LSH blocking + exact cosine
-    verify (rounded cosine ≥ 0.45 within candidate buckets).
+    """Embedding near-dup pairs via coordinate-sign LSH blocking + exact
+    cosine verify (rounded cosine >= 0.45 within candidate buckets).
 
     The r1 registered plan was an all-pairs ``crossJoin`` — correct at
     fixture scale, a cartesian scale-killer at 100 TB. This plan blocks on
-    8 tables of 6 md5-derived sign-bits (single equi shuffle, Σ bucket²
-    candidates) and the oracle replays the identical blocking, so the
-    documented LSH recall trade-off is shared bit-for-bit by both engines.
-    The exact all-pairs baseline remains available as
-    ``similarity.cosine_neardup_pairs``."""
+    8 tables × 7 coordinate-sign bits (axis-aligned hyperplane LSH: one
+    equi shuffle on (table, signature), Σ bucket² candidates, ZERO float
+    arithmetic in the blocking so both engines agree bit-for-bit with no
+    summation-order risk) and the oracle replays the identical blocking —
+    the documented LSH recall trade-off is shared exactly. The exact
+    all-pairs baseline remains ``similarity.cosine_neardup_pairs``;
+    md5-derived random hyperplanes (for axis-degenerate data) remain
+    ``similarity.lsh_blocked_pairs``."""
     emb = load_table(spark, "embeddings", sf_dir)
-    return similarity.lsh_blocked_pairs(
-        emb, dim=_D05_DIM, planes=_D05_PLANES, tables=_D05_TABLES, threshold=0.45
+    return similarity.coord_sign_blocked_pairs(
+        emb, dim=_D05_DIM, coords_per_table=_D05_COORDS, tables=_D05_TABLES, threshold=0.45
     )
 
 
