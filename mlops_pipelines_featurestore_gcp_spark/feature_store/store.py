@@ -65,25 +65,33 @@ def point_in_time_values(values: DataFrame, spine: DataFrame, *, spine_key: str,
     """Attach, for every spine row, each feature's latest value at or before
     the spine row's own timestamp — the training-set construction read.
 
-    Implemented per feature via the as-of union-merge join (one shuffle per
-    feature name on the entity key)."""
-    out = spine
-    feature_names = [r.feature_name for r in values.select("feature_name").distinct().collect()]
-    for fname in sorted(feature_names):
-        fv = values.where(F.col("feature_name") == fname).select(
-            F.col("entity_id").alias(spine_key),
-            F.col("feature_time"),
-            F.col("value").alias(fname),
-        )
-        out = asof_join(
-            out,
-            fv,
-            spine_key,
-            left_time=spine_time,
-            right_time="feature_time",
-            tie_break=fname,
-        ).drop("feature_time")
-    return out
+    ONE as-of union-merge join over the long values table keyed by
+    (entity, feature) — the spine fans out by the (small, registry-sized)
+    feature-name list, the as-of runs once, and a pivot restores the wide
+    shape. A per-feature join loop would be N shuffles for N features —
+    the wrong shape at 400 features; this is one as-of shuffle plus one
+    pivot aggregation regardless of N.
+
+    Spine rows are assumed distinct (training spines are); exact duplicates
+    would collapse in the pivot's group-by.
+    """
+    feature_names = sorted(r.feature_name for r in values.select("feature_name").distinct().collect())
+    spine_x = spine.withColumn("feature_name", F.explode(F.array(*[F.lit(f) for f in feature_names])))
+    fv = values.select(
+        F.col("entity_id").alias(spine_key),
+        "feature_name",
+        F.col("feature_time"),
+        F.col("value"),
+    )
+    joined = asof_join(
+        spine_x,
+        fv,
+        [spine_key, "feature_name"],
+        left_time=spine_time,
+        right_time="feature_time",
+        tie_break="value",
+    )
+    return joined.groupBy(*spine.columns).pivot("feature_name", feature_names).agg(F.first("value"))
 
 
 # ---------------------------------------------------------------------------
@@ -238,14 +246,19 @@ class FeatureStore:
             "feature_time",
             F.to_date("feature_time").alias("feature_date"),
         )
-        n = long_df.count()
+        # One pass: the row count is observed DURING the write action (the
+        # r1 version ran a separate count() first — two full source scans).
+        from pyspark.sql import Observation
+
+        obs = Observation("import_feature_values")
         (
-            long_df.repartition(worker_count)
+            long_df.observe(obs, F.count(F.lit(1)).alias("n"))
+            .repartition(worker_count)
             .write.mode("append")
             .partitionBy("feature_date")
             .parquet(self._values_path(featurestore_id, entity_type_id))
         )
-        return n
+        return obs.get["n"]
 
     def values(self, featurestore_id: str, entity_type_id: str) -> DataFrame:
         return self.spark.read.schema(VALUES_SCHEMA + ", feature_date date").parquet(

@@ -927,3 +927,66 @@ def q30_ordered_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("rich_names", F.nullif(F.col("rich_names"), F.lit("")))
     )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed co-located join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q31_bucketed_colocated_join",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey < 2000
+    GROUP BY 1, 2
+    """,
+    tags=("join", "bucketing", "agg"),
+)
+def q31_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join with ZERO read-time shuffle: both tables are stored
+    bucketed by the join key (sources/bucketing.py), so the sort-merge join
+    reads bucket-to-bucket with no Exchange on either side, and the
+    follow-up aggregate keyed on a superset of the bucket key reuses the
+    same distribution — the write-time-shuffle trade that carries fact-fact
+    joins at 100 TB (tests/test_bucketing.py asserts the shuffle-free plan).
+
+    The bucketed tables are created once per fixture dir (content-addressed
+    table names) — re-runs read the already-bucketed storage, which is the
+    production shape: bucket at ingest, join forever.
+    """
+    import hashlib
+
+    from mlops_pipelines_featurestore_gcp_spark.sources.bucketing import read_bucketed, save_bucketed
+
+    tag = hashlib.md5(f"v1|{sf_dir}".encode()).hexdigest()[:8]
+    o_tbl, l_tbl = f"bkt_orders_{tag}", f"bkt_lineitem_{tag}"
+    if not spark.catalog.tableExists(o_tbl):
+        save_bucketed(
+            load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey"),
+            o_tbl,
+            bucket_cols="o_orderkey",
+            buckets=8,
+            sort_cols="o_orderkey",
+        )
+    if not spark.catalog.tableExists(l_tbl):
+        save_bucketed(
+            load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_extendedprice", "l_discount"),
+            l_tbl,
+            bucket_cols="l_orderkey",
+            buckets=8,
+            sort_cols="l_orderkey",
+        )
+    o = read_bucketed(spark, o_tbl).where(F.col("o_orderkey") < 2000)
+    li = read_bucketed(spark, l_tbl)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(
+            F.count("*").alias("n_lines"),
+            _dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=4).alias("revenue"),
+        )
+    )

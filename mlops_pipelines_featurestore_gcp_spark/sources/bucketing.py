@@ -13,6 +13,8 @@ Uses the session catalog's managed tables (`saveAsTable` + `bucketBy`);
 
 from __future__ import annotations
 
+from pathlib import Path
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -27,6 +29,18 @@ def save_bucketed(
 ) -> None:
     """Write ``df`` as a managed table bucketed (and optionally sorted)
     by the join/aggregation key."""
+    spark = df.sparkSession
+    if not spark.catalog.tableExists(table):
+        # A fresh session's catalog does not know tables written by earlier
+        # sessions, but their warehouse directories survive on disk — a
+        # create would fail with LOCATION_ALREADY_EXISTS. Remove the orphan.
+        import shutil
+        from urllib.parse import urlparse
+
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")).path
+        orphan = Path(wh) / table.lower()
+        if orphan.exists():
+            shutil.rmtree(orphan)
     cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
     writer = df.write.mode(mode).format("parquet").bucketBy(buckets, *cols)
     if sort_cols:

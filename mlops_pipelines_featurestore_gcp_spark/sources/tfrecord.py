@@ -217,12 +217,23 @@ def write_tfrecords(df: DataFrame, out_dir: str) -> None:
 
     Executor-side via mapInPandas — the write parallelism IS the partition
     count; repartition upstream to size files.
+
+    Retry safety: the output filename is DETERMINISTIC per partition
+    (``part-<partitionId>``) and each attempt writes to an attempt-private
+    temp file followed by an atomic ``os.replace`` — a retried or
+    speculative task replaces the same file with identical content instead
+    of leaving an extra part file (a random-uuid filename per attempt would
+    silently duplicate data). Scope note: this writes through the local
+    filesystem, which is correct where executors share a POSIX-rename
+    filesystem (local mode, NFS); an object-store deployment would route
+    this through a Hadoop committer / custom datasource instead.
     """
     cols = df.columns
 
     def _write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import os
-        import uuid
+
+        from pyspark import TaskContext
 
         records = []
         for pdf in batches:
@@ -233,10 +244,14 @@ def write_tfrecords(df: DataFrame, out_dir: str) -> None:
                 }
                 records.append(encode_example(clean))
         if records:
+            ctx = TaskContext.get()
+            part, attempt = ctx.partitionId(), ctx.taskAttemptId()
             os.makedirs(out_dir, exist_ok=True)
-            fname = f"{out_dir}/part-{uuid.uuid4().hex}.tfrecord"
-            with open(fname, "wb") as f:
+            final = f"{out_dir}/part-{part:05d}.tfrecord"
+            tmp = f"{final}.{attempt}.tmp"
+            with open(tmp, "wb") as f:
                 f.write(frame_records(records))
+            os.replace(tmp, final)
         yield pd.DataFrame({"n": [len(records)]})
 
     # count() forces the write on every partition

@@ -5,6 +5,8 @@ BigQuery-append loop (SURVEY.md §2.7 ST1-ST5) re-expressed as
 from mlops_pipelines_featurestore_gcp_spark.streaming.log_loop import (
     MESSAGE_SCHEMA,
     enrich_with_reward,
+    kafka_reader_options,
+    parse_message_json,
     read_prediction_stream,
     run_log_loop,
 )
@@ -16,6 +18,8 @@ from mlops_pipelines_featurestore_gcp_spark.streaming.windows import (
 
 __all__ = [
     "MESSAGE_SCHEMA",
+    "kafka_reader_options",
+    "parse_message_json",
     "read_prediction_stream",
     "enrich_with_reward",
     "run_log_loop",

@@ -44,10 +44,47 @@ MESSAGE_SCHEMA = T.StructType(
 )
 
 
-def read_prediction_stream(spark: SparkSession, message_dir: str, *, max_files_per_trigger: int | None = None) -> DataFrame:
-    """S9: message-queue source. File-based stand-in for Pub/Sub: each NDJSON
-    line is one message (``logger/main.py:153-162`` does base64+JSON decode;
-    the file source hands us the JSON directly)."""
+def kafka_reader_options(bootstrap_servers: str, topic: str, *, starting_offsets: str = "earliest") -> dict[str, str]:
+    """Reader options for the Kafka flavor of the message source (S9).
+
+    Factored out so the option construction is unit-testable without a
+    broker: ``failOnDataLoss=false`` mirrors Pub/Sub's redelivery-tolerant
+    consumption (``logger/main.py:153``), and offsets start from earliest so
+    a fresh checkpoint drains the full topic like the file source drains the
+    directory.
+    """
+    return {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+        "failOnDataLoss": "false",
+    }
+
+
+def read_prediction_stream(
+    spark: SparkSession,
+    message_dir: str,
+    *,
+    max_files_per_trigger: int | None = None,
+    source: str = "files",
+    bootstrap_servers: str = "localhost:9092",
+) -> DataFrame:
+    """S9: message-queue source, config-selectable.
+
+    ``source="files"`` (default, the tested path — no broker exists in this
+    environment): each NDJSON line in ``message_dir`` is one message
+    (``logger/main.py:153-162`` does base64+JSON decode; the file source
+    hands us the JSON directly). ``source="kafka"``: ``message_dir`` is the
+    topic name; the Kafka ``(key, value binary, timestamp)`` rows go through
+    the same ``parse_message_json`` → an identical downstream plan.
+    """
+    if source == "kafka":
+        reader = spark.readStream.format("kafka")
+        for opt, val in kafka_reader_options(bootstrap_servers, message_dir).items():
+            reader = reader.option(opt, val)
+        return parse_message_json(reader.load())
+    if source != "files":
+        raise ValueError(f"unknown message source {source!r} (expected 'files' or 'kafka')")
     reader = spark.readStream.schema(MESSAGE_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -130,14 +167,29 @@ def run_log_loop(
     *,
     dedup_watermark: str = "10 minutes",
     available_now: bool = True,
+    source: str = "files",
+    bootstrap_servers: str = "localhost:9092",
 ) -> StreamingQuery:
     """ST2+ST4: consume → enrich → exactly-once append.
 
-    ``dropDuplicates(["message_id"])`` under a ``publish_time`` watermark
-    upgrades the reference's at-least-once delivery to exactly-once in the
-    sink table; the checkpoint makes restarts idempotent. ``available_now=
-    True`` = drain-everything-then-stop (the cron-triggered micro-batch of
-    ST1/ST5); pass False for a continuous 5-minute processing-time trigger.
+    Exactly-once is built from two halves, each individually safe:
+
+    - **Bounded stateful dedup**: ``dropDuplicatesWithinWatermark`` on
+      ``message_id`` under a ``publish_time`` watermark. Unlike plain
+      ``dropDuplicates`` (whose state never evicts when the event-time
+      column is not part of the key), per-key state is dropped once the
+      watermark passes — redeliveries inside the watermark window collapse,
+      state stays O(messages-per-window).
+    - **Idempotent sink**: each micro-batch writes its rows into the
+      deterministic ``_batch=<batch_id>`` partition with DYNAMIC partition
+      overwrite, so a batch retried after partial failure replaces its own
+      partition instead of appending duplicates (a blind ``append`` here
+      would silently re-create the reference's at-least-once duplication,
+      ``logger/main.py:107-150``).
+
+    ``available_now=True`` = drain-everything-then-stop (the cron-triggered
+    micro-batch of ST1/ST5); pass False for a continuous 5-minute
+    processing-time trigger.
 
     Structure note: the stateful dedup lives in the stream (rows pass
     through immediately — the watermark only bounds dedup state), while the
@@ -145,11 +197,18 @@ def run_log_loop(
     *batch* aggregation, so append mode never delays emission of the newest
     messages behind the watermark.
     """
-    stream = read_prediction_stream(spark, message_dir)
-    deduped = stream.withWatermark("publish_time", dedup_watermark).dropDuplicates(["message_id"])
+    stream = read_prediction_stream(spark, message_dir, source=source, bootstrap_servers=bootstrap_servers)
+    deduped = stream.withWatermark("publish_time", dedup_watermark).dropDuplicatesWithinWatermark(["message_id"])
 
-    def _emit(batch_df: DataFrame, _batch_id: int) -> None:
-        enrich_with_reward(batch_df, item_factors).write.mode("append").parquet(sink_path)
+    def _emit(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            enrich_with_reward(batch_df, item_factors)
+            .withColumn("_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch")
+            .parquet(sink_path)
+        )
 
     writer = (
         deduped.writeStream.outputMode("append")

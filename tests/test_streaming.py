@@ -152,3 +152,18 @@ def test_parse_message_json_kafka_shape(spark):
     assert row.message_id == "m9"
     assert row.observations == [[1.5, 2.5]]
     assert row.predicted_actions == [3]
+
+
+def test_kafka_reader_options_shape():
+    from mlops_pipelines_featurestore_gcp_spark.streaming import kafka_reader_options
+
+    opts = kafka_reader_options("broker1:9092,broker2:9092", "predictions")
+    assert opts["kafka.bootstrap.servers"] == "broker1:9092,broker2:9092"
+    assert opts["subscribe"] == "predictions"
+    assert opts["startingOffsets"] == "earliest"
+    assert opts["failOnDataLoss"] == "false"
+
+
+def test_unknown_source_rejected(spark, tmp_path):
+    with pytest.raises(ValueError, match="unknown message source"):
+        read_prediction_stream(spark, str(tmp_path), source="carrier-pigeon")
