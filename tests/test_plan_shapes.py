@@ -1,0 +1,55 @@
+"""Physical-plan shape assertions — the 100 TB posture checks.
+
+Correctness tests prove the small-scale answer; these prove the PLAN that
+produces it survives scale-up: no cartesian products on blocked paths, no
+gratuitous Exchange for already-split inputs, O(1) shuffles where the
+operator promises them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mlops_pipelines_featurestore_gcp_spark.feature_store.store import point_in_time_values
+from mlops_pipelines_featurestore_gcp_spark.operators import dedup, similarity
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_d05_blocked_plan_has_no_cartesian(spark):
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + d) % 5 - 2) for d in range(64)]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    out = similarity.coord_sign_blocked_pairs(emb, dim=64, threshold=0.45)
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_spread_is_noop_for_presplit_input(spark):
+    target = spark.sparkContext.defaultParallelism
+    df = spark.range(0, 10_000, numPartitions=target + 2).withColumn("text", F.concat(F.lit("doc "), F.col("id")))
+    spread = dedup._spread(df)
+    assert spread is df  # guard returns the input untouched — no Exchange
+    small = spark.range(0, 10, numPartitions=1)
+    assert dedup._spread(small).rdd.getNumPartitions() == target
+
+
+def test_point_in_time_is_single_asof_pass(spark):
+    values = spark.createDataFrame(
+        [(str(e), f, f"v{e}{f}{t}", f"2024-01-0{t} 00:00:00") for e in range(3) for f in ("a", "b", "c", "d") for t in (1, 2)],
+        "entity_id string, feature_name string, value string, feature_time string",
+    ).withColumn("feature_time", F.col("feature_time").cast("timestamp"))
+    spine = spark.createDataFrame(
+        [(str(e), "2024-01-03 00:00:00") for e in range(3)], "entity_id string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = point_in_time_values(values, spine, spine_key="entity_id", spine_time="ts")
+    # 4 features → the r1 shape was one window (one sort+exchange) PER
+    # feature; the single-pass shape has exactly one window regardless of N
+    plan = _plan(out)
+    assert plan.count("RunningWindowFunction") + plan.count("Window") <= 2, plan
+    # and the values are still the as-of-correct ones
+    row = {r.entity_id: r for r in out.collect()}
+    assert row["0"].a == "v0a2" and row["2"].d == "v2d2"
