@@ -147,21 +147,23 @@ def minhash_lsh_pairs(
         F.col(id_col),
         poly_char_hash(F.col("__nt"), F.col("__i"), k, MINHASH_PRIME).alias("h"),
     )
+    coeffs = minhash_coeffs(num_hashes)
+    # ONE partial-combined aggregation produces BOTH the verify-side
+    # distinct hash set and all 16 signature minima (min over the multiset
+    # == min over the set): whole-stage-codegen min() aggregates, one
+    # shuffle of one row per doc, no second pass over the hash arrays.
     doc_hashes = (
         sh.groupBy(id_col)
-        .agg(F.collect_set("h").alias("__hs"))
-        .cache()  # one row per doc (distinct hash array, ~num-shingle longs)
+        .agg(
+            F.collect_set("h").alias("__hs"),
+            *[
+                F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_PRIME).alias(f"__m{i}")
+                for i, (a, b) in enumerate(coeffs)
+            ],
+        )
+        .cache()  # one row per doc; feeds band keys AND the verify joins
     )
-    coeffs = minhash_coeffs(num_hashes)
-    # min over the distinct set == min over the multiset; each signature is
-    # a row-local array fold over the cached set — no further shuffle
-    sigs = doc_hashes.select(
-        F.col(id_col),
-        *[
-            F.array_min(F.transform("__hs", lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_PRIME)).alias(f"__m{i}")
-            for i, (a, b) in enumerate(coeffs)
-        ],
-    )
+    sigs = doc_hashes.select(F.col(id_col), *[f"__m{i}" for i in range(num_hashes)])
 
     # band key = md5 of the comma-joined signature slice, identical string
     # construction to the oracle's string_agg(... ORDER BY hi)
@@ -182,10 +184,12 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
+    # no cache: both self-join sides recompute the band keys from the
+    # CACHED doc_hashes — a row-local md5 projection, cheaper than a
+    # materialization barrier
     band_keys = (
         sigs.select(F.col(id_col), F.explode(bkeys).alias("x"))
         .select(id_col, "x.band", "x.bkey")
-        .cache()  # consumed twice by the self-join below
     )
 
     a = band_keys.select(F.col(id_col).alias("doc_a"), "band", "bkey")
