@@ -1,0 +1,89 @@
+"""End-to-end training-corpus preparation: the composition a real LLM data
+pipeline runs nightly, built from the engine's own operators.
+
+    raw documents
+      → quality gate       (text_profile thresholds — row-local, codegen)
+      → exact dedup        (md5 group, keep canonical doc — one shuffle)
+      → near-dup removal   (MinHash+LSH pairs → connected keep-set)
+      → profiled output    (per-doc token/quality stats attached)
+
+Shuffle budget at 100 TB: the quality gate is map-only; exact dedup is one
+shuffle on a high-entropy fingerprint; the near-dup stage is the bucketed
+MinHash plan (Σ bucket², no cartesian); the final semi-joins broadcast only
+id sets. Nothing collects to the driver.
+
+Near-dup "removal" keeps, for every near-dup pair, the LOWER doc id (the
+same canonical-id convention as ``exact_dedup``): a doc is dropped iff it
+appears as the *greater* side of any verified pair. This is a one-pass
+approximation of connected-component dedup (a doc that only chains through
+a dropped doc survives) — the standard first-pass trade; full transitive
+closure needs an iterative algorithm, out of scope for a single pass.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mlops_pipelines_featurestore_gcp_spark.operators import dedup, text_analysis
+
+
+@dataclass(frozen=True)
+class CorpusPrepStats:
+    """Row counts at each gate — the pipeline's audit trail."""
+
+    input_docs: int
+    after_quality: int
+    after_exact_dedup: int
+    after_near_dedup: int
+
+
+def prepare_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_tokens: int = 5,
+    min_quality: float = 0.3,
+    near_dup_threshold: float = 0.7,
+    shingle_k: int = 5,
+    with_stats: bool = False,
+) -> DataFrame | tuple[DataFrame, CorpusPrepStats]:
+    """Quality-gate, exact-dedup, and near-dedup a document corpus.
+
+    Returns the surviving docs with their text profile attached
+    (``n_tokens``, ``quality`` etc. — the columns downstream samplers weight
+    by). ``with_stats=True`` additionally returns per-stage row counts
+    (forces evaluation — four count jobs; leave off in production DAGs).
+    """
+    profile = text_analysis.text_profile(docs, id_col, text_col)
+    profiled = docs.join(profile, id_col)
+
+    kept_quality = profiled.where(
+        (F.col("n_tokens") >= min_tokens) & (F.col("quality") >= min_quality)
+    )
+
+    # exact dedup: keep each group's canonical (smallest-id) doc
+    canonical = dedup.exact_dedup(kept_quality, id_col, text_col).select(
+        F.col("canonical_id").alias(id_col)
+    )
+    kept_exact = kept_quality.join(F.broadcast(canonical), id_col, "left_semi")
+
+    # near-dup removal: drop the greater side of every verified pair
+    pairs = dedup.minhash_lsh_pairs(
+        kept_exact, id_col, text_col, k=shingle_k, threshold=near_dup_threshold
+    )
+    drop_ids = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+    kept_near = kept_exact.join(F.broadcast(drop_ids), id_col, "left_anti")
+
+    if not with_stats:
+        return kept_near
+    stats = CorpusPrepStats(
+        input_docs=docs.count(),
+        after_quality=kept_quality.count(),
+        after_exact_dedup=kept_exact.count(),
+        after_near_dedup=kept_near.count(),
+    )
+    return kept_near, stats

@@ -475,3 +475,17 @@ def mm03_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_frames"),
         F.sum(F.col("frame_meta.n_bytes")).cast("long").alias("sampled_bytes"),
     )
+
+
+@register("c01_prepare_corpus", oracle=None, tags=("llm", "pipeline", "dedup", "text"))
+def c01_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus preparation (operators/corpus.py): quality gate →
+    exact dedup → MinHash near-dup removal → profiled survivors. Rows-only:
+    the composition is the product of three oracle-verified stages (t01,
+    d01, d02); per-stage counts + survivor sets are asserted in
+    tests/test_corpus.py on a hand-built fixture."""
+    from mlops_pipelines_featurestore_gcp_spark.operators.corpus import prepare_corpus
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = prepare_corpus(docs, "doc_id", "text", min_tokens=5, min_quality=0.3, near_dup_threshold=0.7)
+    return out.select("doc_id", "lang", "n_tokens", "quality")

@@ -1,0 +1,39 @@
+"""End-to-end corpus preparation: each gate drops exactly the right docs."""
+
+from __future__ import annotations
+
+from mlops_pipelines_featurestore_gcp_spark.operators.corpus import prepare_corpus
+
+GOOD = "the cat sat on the mat and it was a good day for sitting in the sun"
+
+
+def _docs(spark):
+    rows = [
+        (1, GOOD),                                  # keeper
+        (2, GOOD),                                  # exact dup of 1 -> dropped (canonical=1)
+        (3, GOOD + " indeed"),                      # near dup of 1 -> dropped (3 > 1)
+        (4, "tiny"),                                # fails min_tokens
+        (5, "the dog ran to the park and it was a fine day for running around outside"),  # keeper
+        (6, "zzz qqq xxx vvv www yyy kkk jjj hhh ggg fff ddd sss aaa ppp"),  # no stopwords, low quality but uniq -> keeper
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_prepare_corpus_gates(spark):
+    out, stats = prepare_corpus(
+        _docs(spark), "doc_id", "text",
+        min_tokens=5, min_quality=0.3, near_dup_threshold=0.5, with_stats=True,
+    )
+    assert stats.input_docs == 6
+    assert stats.after_quality == 5          # doc 4 gated out
+    assert stats.after_exact_dedup == 4      # doc 2 collapsed into 1
+    assert stats.after_near_dedup == 3       # doc 3 near-dups doc 1
+    assert sorted(r.doc_id for r in out.collect()) == [1, 5, 6]
+
+
+def test_prepare_corpus_attaches_profile(spark):
+    out = prepare_corpus(_docs(spark), "doc_id", "text", near_dup_threshold=0.5)
+    cols = set(out.columns)
+    assert {"n_tokens", "quality", "stopword_ratio", "uniq_ratio"} <= cols
+    row = {r.doc_id: r for r in out.collect()}
+    assert row[1].n_tokens == len(GOOD.split())

@@ -69,3 +69,24 @@ def test_rows_only_queries_run(spark, sf_small):
         if spec.oracle is None:
             df = spec.fn(spark, sf_small)
             assert df.count() >= 0, name
+
+
+def test_approx_aggregates_within_tolerance(spark, sf_medium):
+    """SURVEY §2.4 approximate aggregates: sketch results are engine-specific
+    (HLL++/KLL vs DuckDB's sketches never hash-match), so the contract is a
+    tolerance band against the exact answer, not an oracle row."""
+    from pyspark.sql import functions as F
+
+    from mlops_pipelines_featurestore_gcp_spark.sources.catalog import load_table
+
+    o = load_table(spark, "orders", sf_medium)
+    exact = o.select(
+        F.countDistinct("o_custkey").alias("nd"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+    ).first()
+    approx = o.select(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("nd"),
+        F.percentile_approx("o_totalprice", 0.5, 10_000).alias("p50"),
+    ).first()
+    assert abs(approx.nd - exact.nd) / exact.nd < 0.05
+    assert abs(approx.p50 - exact.p50) / exact.p50 < 0.05
