@@ -10,6 +10,7 @@ from mlops_pipelines_featurestore_gcp_spark.streaming.log_loop import (
     read_prediction_stream,
     run_log_loop,
 )
+from mlops_pipelines_featurestore_gcp_spark.streaming.joins import interval_join
 from mlops_pipelines_featurestore_gcp_spark.streaming.windows import (
     session_window_agg,
     sliding_window_agg,
@@ -23,6 +24,7 @@ __all__ = [
     "read_prediction_stream",
     "enrich_with_reward",
     "run_log_loop",
+    "interval_join",
     "tumbling_window_agg",
     "sliding_window_agg",
     "session_window_agg",
