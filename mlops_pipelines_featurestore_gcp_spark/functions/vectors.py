@@ -51,22 +51,3 @@ def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
     """dot(a,b) / sqrt(‖a‖²·‖b‖²) — one combined sqrt, matching the oracle
     formula exactly. Pass ``dim`` to stay in codegen (see :func:`dot`)."""
     return dot(a, b, dim) / F.sqrt(norm_sq(a, dim) * norm_sq(b, dim))
-
-
-def signed_sum(a: Column, signs: list[float], dim: int | None = None) -> Column:
-    """Σ signᵢ·aᵢ for a ±1 sign vector — the hyperplane projection.
-
-    Built as an explicit add/subtract chain (no multiplies, no HOF): with
-    ±1 components the product is just a sign flip, and the chain stays in
-    whole-stage codegen. Left-to-right order matches the oracle's
-    ``list_sum`` fold exactly.
-    """
-    n = dim or len(signs)
-    out = None
-    for i in range(1, n + 1):
-        term = F.element_at(a, i).cast("double")
-        if signs[i - 1] < 0:
-            out = -term if out is None else out - term
-        else:
-            out = term if out is None else out + term
-    return out

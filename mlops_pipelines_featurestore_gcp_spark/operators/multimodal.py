@@ -53,21 +53,49 @@ def _fake_decode(blob: bytes) -> tuple[int, int, int]:
     return 16 + d[0] % 240, 16 + d[1] % 240, 1 + d[2] % 4
 
 
-def decode_media(df: DataFrame, *, payload_col: str = "payload", use_real_codecs: bool = False) -> DataFrame:
-    """Decode stub: payload → (width, height, channels) via ``mapInPandas``.
+def _real_decode(blob: bytes) -> tuple[int, int, int]:
+    """Actual image decode via PIL — the drop-in the stub stands in for.
 
-    ``use_real_codecs=True`` raises until a codec library is installed —
-    clearly marking the stub boundary per the build contract.
+    The container has no codec libraries, so this path is exercised only
+    where PIL exists; the Spark-side plumbing (schema, Arrow batches,
+    partition flow) is identical either way.
     """
-    if use_real_codecs:
-        raise NotImplementedError("image/audio codec libraries are not available in this environment")
+    import io
 
+    try:
+        from PIL import Image
+    except ImportError as e:  # codec libs not in this environment
+        raise NotImplementedError(
+            "use_real_codecs=True needs an image codec library (PIL); "
+            "install pillow or use the deterministic stub decoder"
+        ) from e
+    with Image.open(io.BytesIO(blob)) as im:
+        return im.width, im.height, len(im.getbands())
+
+
+def decode_media(df: DataFrame, *, payload_col: str = "payload", use_real_codecs: bool = False) -> DataFrame:
+    """Decode: payload → (width, height, channels) via ``mapInPandas``.
+
+    ``use_real_codecs=True`` routes each payload through PIL (raises
+    ``NotImplementedError`` where no codec library exists — this container);
+    the default is the deterministic digest-derived stub, which keeps the
+    plumbing testable and SQL-oracle-reproducible.
+    """
+    decode = _real_decode if use_real_codecs else _fake_decode
+    if use_real_codecs:
+        import importlib.util
+
+        if importlib.util.find_spec("PIL") is None:  # fail fast on the driver
+            raise NotImplementedError(
+                "use_real_codecs=True needs an image codec library (PIL); "
+                "install pillow or use the deterministic stub decoder"
+            )
     out_schema = ", ".join(f"{c} {t}" for c, t in _schema_of(df).items()) + ", width int, height int, channels int"
     passthrough = [c for c in df.columns]
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            decoded = [_fake_decode(bytes(b)) for b in pdf[payload_col]]
+            decoded = [decode(bytes(b)) for b in pdf[payload_col]]
             res = pdf[passthrough].copy()
             res["width"] = [d[0] for d in decoded]
             res["height"] = [d[1] for d in decoded]

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from mlops_pipelines_featurestore_gcp_spark.functions.vectors import cosine, dot, norm_sq, signed_sum
+from mlops_pipelines_featurestore_gcp_spark.functions.vectors import cosine, dot, norm_sq
 
 
 def brute_force_topk(
