@@ -268,8 +268,16 @@ class FeatureStore:
     def read_latest(self, featurestore_id: str, entity_type_id: str, *, at=None, entity_ids=None) -> DataFrame:
         """FS7/J2: wide latest-row per entity (optionally as of ``at`` /
         restricted to ``entity_ids`` — the ``FeatureSelector(IdMatcher(...))``
-        equivalent, notebook cell 7)."""
+        equivalent, notebook cell 7).
+
+        A point-in-time read also bounds the ``feature_date`` PARTITION
+        column, so the scan prunes every partition after the cutoff before
+        any file is opened — the row-level ``feature_time <= at`` filter
+        alone would still enumerate all partitions at 100 TB.
+        """
         v = self.values(featurestore_id, entity_type_id)
+        if at is not None:
+            v = v.where(F.col("feature_date") <= F.to_date(F.lit(at).cast("timestamp")))
         if entity_ids is not None:
             v = v.where(F.col("entity_id").isin([str(e) for e in entity_ids]))
         latest = latest_values(v, at=at)

@@ -53,3 +53,40 @@ def test_point_in_time_is_single_asof_pass(spark):
     # and the values are still the as-of-correct ones
     row = {r.entity_id: r for r in out.collect()}
     assert row["0"].a == "v0a2" and row["2"].d == "v2d2"
+
+
+def test_read_latest_prunes_partitions(spark, tmp_path):
+    from mlops_pipelines_featurestore_gcp_spark.feature_store.store import FeatureStore
+
+    fs = FeatureStore(spark, str(tmp_path / "store"))
+    src = spark.createDataFrame(
+        [(1, 10.0, "2024-01-01 12:00:00"), (1, 20.0, "2024-02-01 12:00:00"), (2, 30.0, "2024-03-01 12:00:00")],
+        "uid long, bal double, t string",
+    ).withColumn("t", F.col("t").cast("timestamp"))
+    fs.import_feature_values("s", "user", src, entity_id_field="uid", feature_time="t")
+
+    wide = fs.read_latest("s", "user", at="2024-01-15 00:00:00")
+    plan = _plan(wide)
+    # the feature_date partition filter must reach the scan: only the
+    # 2024-01-01 partition survives (1 of 3)
+    assert "PartitionFilters" in plan and "feature_date" in plan.split("PartitionFilters", 1)[1][:200], plan
+    rows = {r.entity_id: r.bal for r in wide.collect()}
+    assert rows == {"1": "10.0"}
+
+
+def test_sql_api_matches_dataframe_path(spark, sf_small):
+    """spark.sql over the registered views is a first-class way in — same
+    answer as the DataFrame plan for a representative query."""
+    from mlops_pipelines_featurestore_gcp_spark import plans
+    from mlops_pipelines_featurestore_gcp_spark.sources.catalog import register_temp_views
+
+    register_temp_views(spark, sf_small)
+    sql_out = spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+        FROM orders WHERE o_orderstatus = 'O' AND o_totalprice > 1000.0
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+        """
+    ).collect()
+    df_out = plans.QUERIES["q02_filter_project_topk"].fn(spark, sf_small).collect()
+    assert [tuple(r) for r in sql_out] == [tuple(r) for r in df_out]
