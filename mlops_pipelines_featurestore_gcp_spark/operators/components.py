@@ -1,0 +1,82 @@
+"""Connected components over near-duplicate pair graphs — the iterative
+closure that turns pairwise dedup verdicts into duplicate CLUSTERS.
+
+``prepare_corpus`` drops the greater side of each verified pair (one-pass;
+a doc chained only through a dropped doc survives). When exact transitive
+closure matters — "keep ONE doc per duplicate cluster" — run label
+propagation to a fixed point:
+
+  each node starts labeled with itself; every iteration, each node takes
+  the MIN label among itself and its neighbors; stop when no label changes.
+
+Converges in O(diameter) iterations; near-dup graphs are unions of small
+cliques/chains, so diameter is tiny in practice (``max_iter`` guards
+pathological chains). Each iteration is one join + one aggregate on the
+edge list — all distributed, no driver-side graph. The early-stop check is
+a count of changed labels per iteration (one action per iteration — the
+unavoidable cost of a data-dependent fixed point).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    *,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Label each node of the pair graph with its component's MIN node id.
+
+    Input: an edge list (undirected; ``src``/``dst`` columns). Output:
+    ``(node, component)`` — one row per distinct node. Deterministic:
+    component ids are the smallest member id.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .cache()
+    )
+    for _ in range(max_iter):
+        # neighbor-min proposal: for each node, the smallest label among its
+        # neighbors; keep min(own, proposal)
+        prop = (
+            edges.join(labels.withColumnRenamed("node", "v"), "v")
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        # localCheckpoint truncates the lineage every iteration — without it
+        # the plan doubles per round (the classic iterative-algorithm trap)
+        # and the optimizer re-analyzes an exponentially growing tree.
+        updated = labels.join(prop, "node", "left").select(
+            "node",
+            F.least(F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))).alias("component"),
+            (F.col("nbr_min") < F.col("component")).alias("__changed"),
+        ).localCheckpoint()
+        changed = updated.where(F.col("__changed")).count()
+        labels = updated.drop("__changed")
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def dedup_keep_set(pairs: DataFrame, all_ids: DataFrame, id_col: str, *, src: str = "doc_a", dst: str = "doc_b") -> DataFrame:
+    """Ids to KEEP after exact cluster dedup: every id not in the pair graph,
+    plus each component's canonical (minimum) member."""
+    comp = connected_components(pairs, src=src, dst=dst)
+    keep_in_graph = comp.groupBy("component").agg(F.min("node").alias(id_col)).select(id_col)
+    graph_nodes = comp.select(F.col("node").alias(id_col))
+    untouched = all_ids.select(id_col).join(graph_nodes, id_col, "left_anti")
+    return untouched.union(keep_in_graph)

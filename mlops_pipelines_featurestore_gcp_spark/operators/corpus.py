@@ -50,6 +50,7 @@ def prepare_corpus(
     near_dup_threshold: float = 0.7,
     shingle_k: int = 5,
     with_stats: bool = False,
+    exact_clusters: bool = False,
 ) -> DataFrame | tuple[DataFrame, CorpusPrepStats]:
     """Quality-gate, exact-dedup, and near-dedup a document corpus.
 
@@ -57,6 +58,11 @@ def prepare_corpus(
     (``n_tokens``, ``quality`` etc. — the columns downstream samplers weight
     by). ``with_stats=True`` additionally returns per-stage row counts
     (forces evaluation — four count jobs; leave off in production DAGs).
+
+    ``exact_clusters=True`` replaces the one-pass drop rule with iterative
+    connected components over the verified pairs
+    (``operators/components.py``): exactly one survivor per duplicate
+    CLUSTER, at the cost of O(cluster diameter) extra join rounds.
     """
     profile = text_analysis.text_profile(docs, id_col, text_col)
     profiled = docs.join(profile, id_col)
@@ -71,12 +77,19 @@ def prepare_corpus(
     )
     kept_exact = kept_quality.join(F.broadcast(canonical), id_col, "left_semi")
 
-    # near-dup removal: drop the greater side of every verified pair
+    # near-dup removal: drop the greater side of every verified pair, or —
+    # with exact_clusters — keep exactly the per-component canonical docs
     pairs = dedup.minhash_lsh_pairs(
         kept_exact, id_col, text_col, k=shingle_k, threshold=near_dup_threshold
     )
-    drop_ids = pairs.select(F.col("doc_b").alias(id_col)).distinct()
-    kept_near = kept_exact.join(F.broadcast(drop_ids), id_col, "left_anti")
+    if exact_clusters:
+        from mlops_pipelines_featurestore_gcp_spark.operators.components import dedup_keep_set
+
+        keep_ids = dedup_keep_set(pairs, kept_exact.select(id_col), id_col)
+        kept_near = kept_exact.join(keep_ids, id_col, "left_semi")
+    else:
+        drop_ids = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+        kept_near = kept_exact.join(F.broadcast(drop_ids), id_col, "left_anti")
 
     if not with_stats:
         return kept_near

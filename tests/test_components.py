@@ -1,0 +1,30 @@
+"""Connected components: chains, cliques, singletons, determinism."""
+
+from __future__ import annotations
+
+from mlops_pipelines_featurestore_gcp_spark.operators.components import connected_components, dedup_keep_set
+
+
+def test_chain_and_clique_components(spark):
+    # chain 1-2-3-4 (diameter 3) + clique {10,11,12} + isolated edge 20-21
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    comp = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_dedup_keep_set(spark):
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long")
+    all_ids = spark.createDataFrame([(i,) for i in (1, 2, 3, 5, 10, 11, 99)], "doc_id long")
+    keep = sorted(r.doc_id for r in dedup_keep_set(pairs, all_ids, "doc_id").collect())
+    # clusters {1,2,3}->keep 1, {10,11}->keep 10; 5 and 99 untouched
+    assert keep == [1, 5, 10, 99]
+
+
+def test_transitive_chain_beats_one_pass(spark):
+    # one-pass "drop greater side" would drop 2 and 3 but KEEP 4 only if
+    # 3-4 was verified; with a chain 1-2, 2-3, 3-4 the closure keeps just 1
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "doc_a long, doc_b long")
+    all_ids = spark.createDataFrame([(i,) for i in (1, 2, 3, 4)], "doc_id long")
+    keep = sorted(r.doc_id for r in dedup_keep_set(pairs, all_ids, "doc_id").collect())
+    assert keep == [1]

@@ -37,3 +37,12 @@ def test_prepare_corpus_attaches_profile(spark):
     assert {"n_tokens", "quality", "stopword_ratio", "uniq_ratio"} <= cols
     row = {r.doc_id: r for r in out.collect()}
     assert row[1].n_tokens == len(GOOD.split())
+
+
+def test_prepare_corpus_exact_clusters(spark):
+    out = prepare_corpus(
+        _docs(spark), "doc_id", "text",
+        min_tokens=5, min_quality=0.3, near_dup_threshold=0.5, exact_clusters=True,
+    )
+    # same survivors as the one-pass rule on this fixture (single-edge cluster)
+    assert sorted(r.doc_id for r in out.collect()) == [1, 5, 6]
