@@ -369,6 +369,112 @@ def _signature_for_table(df: DataFrame, vec_col: str, table: int, planes: int, d
     return df.withColumn(out_col, sig)
 
 
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    seed: int = 42,
+    max_iter: int = 10,
+) -> None:
+    """Persist an IVF index: build ONCE, search many times.
+
+    Writes ``{path}/centroids`` (the tiny coarse-quantizer table) and
+    ``{path}/assigned`` — every corpus vector PARTITIONED BY its cell, so a
+    probe that touches ``n_probe`` of ``n_centroids`` cells prunes the rest
+    at the file level (plus dynamic partition pruning on the probe join).
+    This is the production ANN shape: the KMeans fit and the full-corpus
+    assignment pass amortize across every subsequent query batch.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    km = KMeans(k=n_centroids, seed=seed, maxIter=max_iter, featuresCol="__v", predictionCol="cell")
+    model = km.fit(c.select(array_to_vector(F.col("cv").cast("array<double>")).alias("__v")))
+    assigned = model.transform(
+        c.select("neighbor_id", "cv", array_to_vector(F.col("cv").cast("array<double>")).alias("__v"))
+    ).select("neighbor_id", "cv", "cell")
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/assigned")
+    spark = corpus.sparkSession
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())],
+        "cell int, centroid array<double>",
+    )
+    centroids.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_search(
+    spark,
+    path: str,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 4,
+    k: int = 5,
+    round_digits: int = 6,
+    dim: int | None = None,
+) -> DataFrame:
+    """Approximate top-k against a persisted IVF index (``build_ivf_index``).
+
+    Only the probed cells' partitions are read — the index does its job at
+    the storage layer, not just the compute layer.
+    """
+    assigned = spark.read.parquet(f"{path}/assigned")
+    centroids = spark.read.parquet(f"{path}/centroids")
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    return _ivf_probe(assigned, centroids, q, n_probe=n_probe, k=k, round_digits=round_digits, dim=dim)
+
+
+def _ivf_probe(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    q: DataFrame,
+    *,
+    n_probe: int,
+    k: int,
+    round_digits: int,
+    dim: int | None = None,
+) -> DataFrame:
+    """Probe phase shared by ``ivf_topk`` (in-memory) and ``ivf_search``
+    (persisted): each query scores the broadcast centroid table, keeps its
+    ``n_probe`` nearest cells, and rescoring joins only those cells."""
+    probe_w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("cell"))
+    probed = (
+        q.crossJoin(F.broadcast(centroids))
+        .select(
+            "query_id",
+            "qv",
+            "cell",
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(F.col("qv").cast("array<double>"), F.col("centroid"), lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ).alias("dist"),
+        )
+        .withColumn("pr", F.row_number().over(probe_w))
+        .where(F.col("pr") <= n_probe)
+        .select("query_id", "qv", "cell")
+    )
+    scored = (
+        assigned.join(F.broadcast(probed), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv"), dim), round_digits).alias("cos_sim"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -396,7 +502,7 @@ def ivf_topk(
     in tests).
     """
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
@@ -406,42 +512,9 @@ def ivf_topk(
     assigned = model.transform(
         c.select("neighbor_id", "cv", array_to_vector(F.col("cv").cast("array<double>")).alias("__v"))
     ).select("neighbor_id", "cv", "cell")
-
-    # broadcast the centroid table; a query probes its n_probe nearest cells
     spark = corpus.sparkSession
     centroids = spark.createDataFrame(
         [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())],
         "cell int, centroid array<double>",
     )
-    probe_w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("cell"))
-    probed = (
-        q.crossJoin(F.broadcast(centroids))
-        .select(
-            "query_id",
-            "qv",
-            "cell",
-            F.sqrt(
-                F.aggregate(
-                    F.zip_with(F.col("qv").cast("array<double>"), F.col("centroid"), lambda a, b: (a - b) * (a - b)),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-            ).alias("dist"),
-        )
-        .withColumn("pr", F.row_number().over(probe_w))
-        .where(F.col("pr") <= n_probe)
-        .select("query_id", "qv", "cell")
-    )
-
-    scored = (
-        assigned.join(F.broadcast(probed), "cell")
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv"), dim), round_digits).alias("cos_sim"),
-        )
-        .dropDuplicates(["query_id", "neighbor_id"])
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
-    return scored.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
+    return _ivf_probe(assigned, centroids, q, n_probe=n_probe, k=k, round_digits=round_digits, dim=dim)

@@ -39,3 +39,19 @@ def test_hyperplane_signature_deterministic(emb):
     rb = {r.vec_id: r.sig for r in b.collect()}
     assert ra == rb
     assert all(0 <= s < 256 for s in ra.values())
+
+
+def test_ivf_index_persist_and_search(spark, emb, tmp_path):
+    """build_ivf_index → ivf_search returns the SAME answer as the in-memory
+    ivf_topk (same seed → same quantizer), and only probed cells are read."""
+    path = str(tmp_path / "ivf")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    similarity.build_ivf_index(emb, path, n_centroids=8, seed=42)
+    searched = similarity.ivf_search(spark, path, queries, n_probe=3, k=5, dim=64)
+    in_mem = similarity.ivf_topk(emb, queries, n_centroids=8, n_probe=3, k=5, seed=42, dim=64)
+    got = sorted((r.query_id, r.neighbor_id, r.cos_sim, r.rnk) for r in searched.collect())
+    want = sorted((r.query_id, r.neighbor_id, r.cos_sim, r.rnk) for r in in_mem.collect())
+    assert got == want and len(got) > 0
+    # the assigned table is cell-partitioned: probing must not scan all cells
+    plan = searched._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan or "dynamicpruning" in plan, plan
