@@ -1,0 +1,93 @@
+"""Deterministic sampling & source mixing — training-mix construction.
+
+Every sampler here is HASH-based, not RNG-based: a doc's keep/drop decision
+is a pure function of (id, salt), so
+
+- reruns and retried tasks make identical decisions (no ``rand()`` seed
+  drift across partitionings — ``F.rand`` is seeded PER PARTITION and
+  reshuffles change its output);
+- upstream/downstream systems (or a SQL oracle) can replay the exact
+  sample;
+- incremental corpus growth leaves previously-sampled docs' fates fixed —
+  the property that makes dataset versions diffable.
+
+The uniform variate is ``md5(salt|id)``'s first 8 hex digits / 2³² — the
+same construction the dedup family uses, replayable in any engine with md5.
+All samplers are map-only (one filter per row); only the audit counts
+aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def uniform_hash(id_col: Column | str, salt: str) -> Column:
+    """Deterministic U[0,1) from (salt, id) — md5-derived, engine-portable."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    bucket = F.conv(F.substring(F.md5(F.concat(F.lit(salt), F.lit("|"), c.cast("string"))), 1, 8), 16, 10)
+    return bucket.cast("double") / float(1 << 32)
+
+
+def deterministic_sample(df: DataFrame, id_col: str, fraction: float, *, salt: str = "sample") -> DataFrame:
+    """Keep ~``fraction`` of rows, decided per row by the id hash."""
+    return df.where(uniform_hash(id_col, salt) < fraction)
+
+
+def stratified_sample(
+    df: DataFrame, id_col: str, strata_col: str, fractions: dict[str, float], *, salt: str = "strata"
+) -> DataFrame:
+    """Per-stratum deterministic fractions (e.g. per-language mixing rates).
+
+    Strata absent from ``fractions`` are dropped — a training mix is an
+    explicit allowlist.
+    """
+    frac = None
+    for value, p in sorted(fractions.items()):
+        branch = F.when(F.col(strata_col) == value, F.lit(float(p)))
+        frac = branch if frac is None else frac.when(F.col(strata_col) == value, F.lit(float(p)))
+    frac = (frac.otherwise(F.lit(0.0))) if frac is not None else F.lit(0.0)
+    return df.where(uniform_hash(id_col, salt) < frac)
+
+
+def token_budget_sample(
+    profiled: DataFrame,
+    token_budget: int,
+    *,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    salt: str = "budget",
+) -> DataFrame:
+    """Sample down to ~``token_budget`` total tokens, uniformly over docs.
+
+    Scale-right formulation: one aggregate computes the corpus' total
+    tokens, the keep-probability is ``budget/total``, and the per-doc
+    decision is the deterministic hash — a map-only filter, NO global sort
+    or cumulative window (an exact running-total cut needs a single-task
+    global window: the 100 TB anti-pattern). The realized token count
+    concentrates tightly around the budget for any corpus with many docs.
+    """
+    total = profiled.agg(F.sum(tokens_col).alias("t")).first().t or 0
+    if total <= token_budget:
+        return profiled
+    p = token_budget / float(total)
+    return profiled.where(uniform_hash(id_col, salt) < p)
+
+
+def mix_sources(
+    sources: dict[str, DataFrame], id_col: str, weights: dict[str, float], *, salt: str = "mix"
+) -> DataFrame:
+    """Weighted union of corpora: source s keeps fraction ``weights[s]``,
+    rows tagged with their origin. The canonical data-mixture builder —
+    each source's sample is independently deterministic, so re-weighting
+    one source never perturbs another's sample."""
+    out = None
+    for name, df in sorted(sources.items()):
+        w = float(weights.get(name, 0.0))
+        part = (
+            deterministic_sample(df, id_col, w, salt=f"{salt}|{name}")
+            .withColumn("mix_source", F.lit(name))
+        )
+        out = part if out is None else out.unionByName(part)
+    return out

@@ -489,3 +489,21 @@ def c01_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     out = prepare_corpus(docs, "doc_id", "text", min_tokens=5, min_quality=0.3, near_dup_threshold=0.7)
     return out.select("doc_id", "lang", "n_tokens", "quality")
+
+
+@register("s04_training_mix", oracle=None, tags=("llm", "sampling", "mix"))
+def s04_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-mix construction (operators/sampling.py):
+    per-language stratified rates + a token budget over the profiled corpus.
+    Rows-only (slot cap — the md5-uniform decision IS SQL-replayable);
+    determinism, rates, and mixing independence are asserted in
+    tests/test_sampling.py."""
+    from mlops_pipelines_featurestore_gcp_spark.operators import sampling
+
+    docs = load_table(spark, "documents", sf_dir)
+    profiled = docs.join(text_analysis.text_profile(docs, "doc_id", "text"), "doc_id")
+    mixed = sampling.stratified_sample(
+        profiled, "doc_id", "lang", {"en": 0.9, "es": 0.5, "fr": 0.5, "de": 0.5}
+    )
+    out = sampling.token_budget_sample(mixed, token_budget=20_000)
+    return out.select("doc_id", "lang", "n_tokens", "quality")

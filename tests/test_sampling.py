@@ -1,0 +1,59 @@
+"""Deterministic sampling: reproducibility, rate accuracy, independence."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mlops_pipelines_featurestore_gcp_spark.operators import sampling
+from mlops_pipelines_featurestore_gcp_spark.sources.catalog import load_table
+
+
+def _ids(df):
+    return sorted(r.doc_id for r in df.select("doc_id").collect())
+
+
+def test_sample_is_deterministic_and_rate_accurate(spark, sf_medium):
+    docs = load_table(spark, "documents", sf_medium)
+    a = sampling.deterministic_sample(docs, "doc_id", 0.3)
+    b = sampling.deterministic_sample(docs, "doc_id", 0.3)
+    assert _ids(a) == _ids(b)
+    n, total = a.count(), docs.count()
+    assert abs(n / total - 0.3) < 0.08
+    # a larger fraction with the same salt is a SUPERSET (nested samples)
+    bigger = sampling.deterministic_sample(docs, "doc_id", 0.6)
+    assert set(_ids(a)) <= set(_ids(bigger))
+
+
+def test_stratified_allowlist(spark, sf_medium):
+    docs = load_table(spark, "documents", sf_medium)
+    out = sampling.stratified_sample(docs, "doc_id", "lang", {"en": 1.0, "es": 0.0})
+    langs = {r.lang for r in out.select("lang").distinct().collect()}
+    assert langs == {"en"}  # es sampled at 0, others dropped entirely
+
+
+def test_token_budget(spark, sf_medium):
+    from mlops_pipelines_featurestore_gcp_spark.operators.text_analysis import text_profile
+
+    docs = load_table(spark, "documents", sf_medium)
+    profiled = docs.join(text_profile(docs, "doc_id", "text"), "doc_id")
+    total = profiled.agg(F.sum("n_tokens")).first()[0]
+    budget = int(total * 0.4)
+    out = sampling.token_budget_sample(profiled, budget)
+    got = out.agg(F.sum("n_tokens")).first()[0]
+    assert abs(got - budget) / budget < 0.15
+    # under-budget corpus passes through untouched
+    assert sampling.token_budget_sample(profiled, int(total * 10)).count() == profiled.count()
+
+
+def test_mix_sources_independent(spark, sf_medium):
+    docs = load_table(spark, "documents", sf_medium)
+    en = docs.where(F.col("lang") == "en")
+    es = docs.where(F.col("lang") == "es")
+    m1 = sampling.mix_sources({"en": en, "es": es}, "doc_id", {"en": 0.5, "es": 0.5})
+    m2 = sampling.mix_sources({"en": en, "es": es}, "doc_id", {"en": 0.5, "es": 0.1})
+    kept_en_1 = {r.doc_id for r in m1.where(F.col("mix_source") == "en").collect()}
+    kept_en_2 = {r.doc_id for r in m2.where(F.col("mix_source") == "en").collect()}
+    assert kept_en_1 == kept_en_2  # re-weighting es never perturbs en's sample
+    kept_es_2 = {r.doc_id for r in m2.where(F.col("mix_source") == "es").collect()}
+    kept_es_1 = {r.doc_id for r in m1.where(F.col("mix_source") == "es").collect()}
+    assert kept_es_2 <= kept_es_1  # nested: lower rate is a subset
