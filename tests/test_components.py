@@ -28,3 +28,11 @@ def test_transitive_chain_beats_one_pass(spark):
     all_ids = spark.createDataFrame([(i,) for i in (1, 2, 3, 4)], "doc_id long")
     keep = sorted(r.doc_id for r in dedup_keep_set(pairs, all_ids, "doc_id").collect())
     assert keep == [1]
+
+
+def test_empty_pair_graph(spark):
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    all_ids = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    assert connected_components(pairs).count() == 0
+    keep = sorted(r.doc_id for r in dedup_keep_set(pairs, all_ids, "doc_id").collect())
+    assert keep == [1, 2]  # nothing paired -> everything kept

@@ -46,3 +46,9 @@ def test_prepare_corpus_exact_clusters(spark):
     )
     # same survivors as the one-pass rule on this fixture (single-edge cluster)
     assert sorted(r.doc_id for r in out.collect()) == [1, 5, 6]
+
+
+def test_prepare_corpus_all_filtered(spark):
+    docs = spark.createDataFrame([(1, "x"), (2, "y")], "doc_id long, text string")
+    out, stats = prepare_corpus(docs, "doc_id", "text", min_tokens=5, with_stats=True)
+    assert stats.after_quality == 0 and out.count() == 0

@@ -80,3 +80,15 @@ def test_interval_join_streaming_matches_batch(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted((r.user_id, str(r.ts), r.label) for r in spark.read.parquet(sink).collect())
     assert got == expected and len(got) > 0
+
+
+def test_interval_join_left_outer_batch(spark):
+    preds = _events(spark, [(1, "2024-01-01 00:00:00", 10.0), (9, "2024-01-01 00:00:00", 90.0)])
+    fb = spark.createDataFrame(
+        [(1, "2024-01-01 00:02:00", 1.0)], "user_id long, fts string, label double"
+    ).withColumn("fts", F.col("fts").cast("timestamp"))
+    out = interval_join(
+        preds, fb, key="user_id", left_time="ts", right_time="fts", upper="5 minutes", how="left_outer"
+    ).select("user_id", "v", "label")
+    got = sorted((r.user_id, r.v, r.label) for r in out.collect())
+    assert got == [(1, 10.0, 1.0), (9, 90.0, None)]
