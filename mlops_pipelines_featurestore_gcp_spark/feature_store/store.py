@@ -76,6 +76,11 @@ def point_in_time_values(values: DataFrame, spine: DataFrame, *, spine_key: str,
     would collapse in the pivot's group-by.
     """
     feature_names = sorted(r.feature_name for r in values.select("feature_name").distinct().collect())
+    if not feature_names:
+        # An empty values table means "no features to attach" — return the
+        # spine unchanged (exploding an empty name array would drop every
+        # spine row instead).
+        return spine
     spine_x = spine.withColumn("feature_name", F.explode(F.array(*[F.lit(f) for f in feature_names])))
     fv = values.select(
         F.col("entity_id").alias(spine_key),

@@ -48,6 +48,8 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .cache()
     )
+    seed = labels
+    changed = -1
     for _ in range(max_iter):
         # neighbor-min proposal: for each node, the smallest label among its
         # neighbors; keep min(own, proposal)
@@ -69,6 +71,17 @@ def connected_components(
         if changed == 0:
             break
     edges.unpersist()
+    seed.unpersist()
+    if changed != 0:
+        # A silent exit here would return SPLIT components and downstream
+        # dedup would keep several docs per duplicate cluster with no
+        # signal — fail loudly instead; the per-iteration changed count
+        # makes detection free.
+        raise RuntimeError(
+            f"connected_components did not reach a fixed point in {max_iter} "
+            f"iterations ({changed} labels still changing); the pair graph "
+            f"has diameter > {max_iter} — rerun with a larger max_iter"
+        )
     return labels
 
 

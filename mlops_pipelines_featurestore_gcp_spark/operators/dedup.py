@@ -161,7 +161,11 @@ def minhash_lsh_pairs(
                 for i, (a, b) in enumerate(coeffs)
             ],
         )
-        .cache()  # one row per doc; feeds band keys AND the verify joins
+        # one row per doc; feeds band keys AND the verify joins. Lazy
+        # localCheckpoint, not cache(): blocks are GC-reclaimed with this
+        # DataFrame instead of pinning storage until an explicit unpersist
+        # (repeated operator calls in a long session would accumulate).
+        .localCheckpoint(eager=False)
     )
     sigs = doc_hashes.select(F.col(id_col), *[f"__m{i}" for i in range(num_hashes)])
 

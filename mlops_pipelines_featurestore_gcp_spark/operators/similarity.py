@@ -224,7 +224,13 @@ def coord_sign_blocked_pairs(
     bucketed = (
         base.select("vid", "v", "nrm", F.explode(F.array(*sig_exprs)).alias("b"))
         .select("vid", "v", "nrm", "b.t", "b.sig")
-        .cache()  # consumed by BOTH self-join sides: sign exprs run once
+        # consumed by BOTH self-join sides: sign exprs run once. Lazy
+        # localCheckpoint, not cache(): checkpoint blocks are reclaimed by
+        # the ContextCleaner when this DataFrame is garbage-collected,
+        # whereas cache() pins storage in the catalog until an explicit
+        # unpersist — a leak across repeated operator calls in a long
+        # session.
+        .localCheckpoint(eager=False)
     )
     a = bucketed.select(F.col("vid").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"), "t", "sig")
     b = bucketed.select(F.col("vid").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"), "t", "sig")

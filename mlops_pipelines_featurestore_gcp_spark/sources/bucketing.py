@@ -33,14 +33,26 @@ def save_bucketed(
     if not spark.catalog.tableExists(table):
         # A fresh session's catalog does not know tables written by earlier
         # sessions, but their warehouse directories survive on disk — a
-        # create would fail with LOCATION_ALREADY_EXISTS. Remove the orphan.
+        # create would fail with LOCATION_ALREADY_EXISTS. Only an
+        # 'overwrite' write is allowed to clear the orphan: for any other
+        # mode the on-disk data may be live (external metastore out of sync,
+        # concurrent session) and deleting it would silently destroy a table
+        # the caller asked us NOT to replace.
         import shutil
         from urllib.parse import urlparse
 
         wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")).path
         orphan = Path(wh) / table.lower()
         if orphan.exists():
-            shutil.rmtree(orphan)
+            if mode == "overwrite":
+                shutil.rmtree(orphan)
+            else:
+                raise FileExistsError(
+                    f"warehouse location {orphan} exists but table {table!r} is "
+                    f"not in the catalog; refusing to delete it for mode={mode!r} "
+                    f"— use mode='overwrite' to replace it, or register/repair "
+                    f"the table in the metastore first"
+                )
     cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
     writer = df.write.mode(mode).format("parquet").bucketBy(buckets, *cols)
     if sort_cols:

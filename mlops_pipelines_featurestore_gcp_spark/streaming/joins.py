@@ -37,8 +37,10 @@ def interval_join(
     the batch-parity test runs the same function both ways. Outer variants
     emit unmatched rows only once the watermark closes their interval.
 
-    Output carries the left key column once; all non-key right columns are
-    attached as-is (callers alias beforehand on name collisions).
+    Output carries the key column once; all non-key right columns are
+    attached as-is (callers alias beforehand on name collisions). For
+    right/full outer joins the surviving key is COALESCE(left, right) so
+    unmatched right rows keep their join key instead of surfacing NULL.
     """
     l_wm = left.withWatermark(left_time, watermark)
     r_wm = right.withWatermark(right_time, watermark)
@@ -48,4 +50,12 @@ def interval_join(
         & (r_wm[right_time] <= l_wm[left_time] + F.expr(f"INTERVAL {upper}"))
     )
     joined = l_wm.join(r_wm, cond, how)
+    if how in {"right", "rightouter", "right_outer", "full", "fullouter", "full_outer", "outer"}:
+        # the left key is NULL on right-unmatched rows — keep whichever side
+        # matched, in the left key's original column position
+        sel = [
+            F.coalesce(l_wm[key], r_wm[key]).alias(key) if c == key else l_wm[c]
+            for c in left.columns
+        ] + [r_wm[c] for c in right.columns if c != key]
+        return joined.select(*sel)
     return joined.drop(r_wm[key])

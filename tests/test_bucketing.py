@@ -56,3 +56,26 @@ def test_unbucketed_join_shuffles(spark, sf_small):
         assert not bucketing.join_is_shuffle_free(joined)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_orphan_dir_protected_unless_overwrite(spark, sf_small):
+    # a warehouse dir the catalog doesn't know about may be live data from
+    # another session — only mode='overwrite' may delete it
+    from pathlib import Path
+    from urllib.parse import urlparse
+
+    wh = Path(urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")).path)
+    orphan = wh / "b_orphan_test"
+    orphan.mkdir(parents=True, exist_ok=True)
+    sentinel = orphan / "sentinel.txt"
+    sentinel.write_text("live data")
+    df = load_table(spark, "region", sf_small)
+    try:
+        for mode in ("error", "append"):
+            with pytest.raises(FileExistsError, match="refusing to delete"):
+                bucketing.save_bucketed(df, "b_orphan_test", bucket_cols="r_regionkey", buckets=2, mode=mode)
+            assert sentinel.exists(), "non-overwrite mode must not touch the orphan"
+        bucketing.save_bucketed(df, "b_orphan_test", bucket_cols="r_regionkey", buckets=2, mode="overwrite")
+        assert spark.table("b_orphan_test").count() == df.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orphan_test")

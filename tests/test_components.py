@@ -36,3 +36,14 @@ def test_empty_pair_graph(spark):
     assert connected_components(pairs).count() == 0
     keep = sorted(r.doc_id for r in dedup_keep_set(pairs, all_ids, "doc_id").collect())
     assert keep == [1, 2]  # nothing paired -> everything kept
+
+
+def test_nonconvergence_raises_instead_of_silent_split(spark):
+    # 7-node chain has diameter 6; 2 iterations cannot reach the fixed
+    # point — a silent return here would hand downstream dedup SPLIT
+    # components, so the operator must fail loudly.
+    import pytest
+
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(1, 7)], "doc_a long, doc_b long")
+    with pytest.raises(RuntimeError, match="fixed point"):
+        connected_components(pairs, max_iter=2)

@@ -8,6 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from mlops_pipelines_featurestore_gcp_spark.feature_store import FeatureStore
+from mlops_pipelines_featurestore_gcp_spark.feature_store.store import point_in_time_values
 from mlops_pipelines_featurestore_gcp_spark.operators.asof import asof_join
 
 
@@ -96,3 +97,17 @@ def test_asof_join_inclusive_and_ties(spark):
     got = {(r.k, r.t): r.v for r in out.collect()}
     # inclusive boundary; tie at rt=10 resolved to the larger tie_break value
     assert got == {(1, 10): "at10b", (1, 20): "at15", (2, 15): None}
+
+
+def test_point_in_time_empty_values_returns_spine(spark):
+    # no registered feature values -> the spine comes back unchanged (the
+    # explode-over-feature-names path would otherwise drop every row)
+    values = spark.createDataFrame(
+        [], "entity_id long, feature_name string, feature_time timestamp, value double"
+    )
+    spine = spark.createDataFrame([(7, "2024-01-01 00:00:00")], "entity_id long, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = point_in_time_values(values, spine, spine_key="entity_id", spine_time="ts")
+    assert out.columns == spine.columns
+    assert out.count() == 1

@@ -92,3 +92,21 @@ def test_interval_join_left_outer_batch(spark):
     ).select("user_id", "v", "label")
     got = sorted((r.user_id, r.v, r.label) for r in out.collect())
     assert got == [(1, 10.0, 1.0), (9, 90.0, None)]
+
+
+def test_interval_join_full_outer_coalesces_key(spark):
+    # right-unmatched rows must keep their join key (coalesced), not NULL
+    preds = _events(spark, [(1, "2024-01-01 00:00:00", 10.0)])
+    fb = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:02:00", 1.0),  # matches pred for user 1
+            (7, "2024-01-01 00:02:00", 7.0),  # no pred for user 7 at all
+        ],
+        "user_id long, fts string, label double",
+    ).withColumn("fts", F.col("fts").cast("timestamp"))
+    out = interval_join(
+        preds, fb, key="user_id", left_time="ts", right_time="fts", upper="5 minutes", how="full_outer"
+    ).select("user_id", "v", "label")
+    got = {(r.user_id, r.v, r.label) for r in out.collect()}
+    assert got == {(1, 10.0, 1.0), (7, None, 7.0)}
+    assert out.columns == ["user_id", "v", "label"]
