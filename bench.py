@@ -2,9 +2,15 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
 JSON line with per-query wall times.
 
-Each query is forced to full materialization with a count-style action that
-cannot be optimized into metadata-only access (we aggregate over every result
-column via a cheap reduce), so the timing covers scan → shuffle → final stage.
+Each query is forced to FULL materialization: the timing action aggregates a
+hash over every result column, so Catalyst cannot prune final-projection
+expressions the way a bare count() would (a narrow per-row transform query
+timed with count() reads as nearly free — its projections never run).
+
+Each query is timed $SPARK_GRAFT_BENCH_REPEATS times (default 2) and the
+MINIMUM is reported: the steady-state number a long-lived cluster sees,
+with scheduler/GC jitter — which at local fixture scale is the same order
+as the queries themselves — filtered out.
 """
 
 from __future__ import annotations
@@ -15,6 +21,8 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
 
 from mlops_pipelines_featurestore_gcp_spark import get_spark, plans  # noqa: E402
 
@@ -66,18 +74,33 @@ def main() -> None:
     if os.path.isdir(warm_dir) and os.path.abspath(warm_dir) != os.path.abspath(sf_dir):
         for name in names:
             try:
-                plans.QUERIES[name].fn(spark, warm_dir).count()
+                wdf = plans.QUERIES[name].fn(spark, warm_dir)
+                # same action shape as the timed runs so codegen/JIT warms
+                # the code that is actually measured
+                wdf.agg(
+                    F.count(F.lit(1)), F.sum(F.hash(*wdf.columns).cast("long"))
+                ).collect()
             except Exception as e:  # noqa: BLE001 — warm-up must never kill the bench
                 print(f"# warmup {name} failed: {e}", file=sys.stderr)
     else:
         plans.QUERIES[names[0]].fn(spark, sf_dir).limit(1).collect()
 
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2")))
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        df = plans.QUERIES[name].fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best, n = float("inf"), 0
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            df = plans.QUERIES[name].fn(spark, sf_dir)
+            # one tiny aggregate that touches EVERY output column — full
+            # materialization without collecting the result to the driver
+            row = df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.hash(*df.columns).cast("long")).alias("h"),
+            ).collect()[0]
+            best = min(best, time.perf_counter() - t0)
+            n = row["n"]
+        timings[name] = round(best, 4)
         print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)

@@ -406,24 +406,28 @@ def t03_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "t04_doc_fingerprint",
     oracle=f"""
-    WITH sh AS (
-      SELECT doc_id, {_shingles_sql(8)} AS grams
-      FROM (SELECT doc_id, {_NORM} AS nt FROM documents)
+    WITH base AS (SELECT doc_id, {_NORM} AS nt FROM documents),
+    sh AS (
+      SELECT doc_id, {poly_char_hash_sql('nt', 'i', 8, dedup.MINHASH_PRIME)} AS h
+      FROM (SELECT doc_id, nt, unnest(range(1, greatest(len(nt) - 6, 1))) AS i FROM base)
     ),
-    hashes AS (
-      SELECT doc_id,
-             list_sort(list_transform(grams, x -> {_md5_long_sql('x')})) AS hs
-      FROM sh
+    sk AS (
+      SELECT doc_id, list_sort(list(DISTINCT h))[1:4] AS sketch
+      FROM sh GROUP BY doc_id
     )
-    SELECT doc_id, {sql_long_array('hs[1:4]')} AS fp_sketch, hs[1] AS fp_min FROM hashes
+    SELECT b.doc_id, {sql_long_array('sk.sketch')} AS fp_sketch, sk.sketch[1] AS fp_min
+    FROM base b LEFT JOIN sk USING (doc_id)
     """,
     tags=("text", "llm", "fingerprint"),
 )
 def t04_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash document fingerprint: bottom-4 sketch of 8-gram hashes.
 
-    The sketch (array<bigint>) is serialized at the output boundary
-    (functions/canonical.py) so the driver's canonicalizer can hash it."""
+    The gram hash is the codegen polynomial char fold shared with MinHash
+    (an interpreted md5-per-shingle HOF was ~18× slower — see
+    operators/text_analysis.py docstring). The sketch (array<bigint>) is
+    serialized at the output boundary (functions/canonical.py) so the
+    driver's canonicalizer can hash it."""
     docs = load_table(spark, "documents", sf_dir)
     out = text_analysis.doc_fingerprint(docs, "doc_id", "text", k=8, sketch_size=4)
     return out.select("doc_id", ser_long_array("fp_sketch").alias("fp_sketch"), "fp_min")

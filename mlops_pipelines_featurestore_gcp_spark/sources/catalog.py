@@ -126,12 +126,42 @@ SCHEMAS: dict[str, T.StructType] = {
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Fact tables whose fixture files are big enough that single-threaded
+# decode+aggregate dominates a query. Dimensions stay un-rebalanced: an extra
+# Exchange on a 25-row table is pure stage overhead and they broadcast anyway.
+_REBALANCE_MIN_BYTES = int(float(os.environ.get("SPARK_GRAFT_REBALANCE_MIN_MB", "4")) * 1024 * 1024)
+
+
+def _rebalance_unsplittable(df: DataFrame, path: str) -> DataFrame:
+    """Round-robin repartition a scan whose file layout defeats parallelism.
+
+    Parquet is splittable only at ROW-GROUP boundaries, and the fixture
+    files are written as a single row group — so however many byte-range
+    splits Spark creates, exactly one task emits all the rows and every
+    downstream partial aggregate runs on one core. A production table is
+    many files × many row groups and never hits this; the guard makes this
+    a no-op there (enough partitions → untouched, small file → untouched).
+    Catalyst still pushes filters and column pruning THROUGH the
+    repartition into the scan, so pushdown is unaffected.
+    """
+    try:
+        size = os.path.getsize(path)
+    except OSError:  # non-local filesystem — a real deployment, splits fine
+        return df
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if size < _REBALANCE_MIN_BYTES or df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
 
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     """Read one testdata table with its explicit schema (no inference)."""
     if name not in SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
-    df = spark.read.schema(SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.schema(SCHEMAS[name]).parquet(path)
+    df = _rebalance_unsplittable(df, path)
     if name == "events":
         # nanoseconds → microsecond timestamp; integer div keeps exactness
         # (ns values exceed double's 2^53 mantissa) and matches DuckDB's
