@@ -16,6 +16,8 @@ the north star requires.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -130,19 +132,8 @@ def lsh_blocked_pairs(
     """
     base = corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
     base = _maybe_spread(base)
-    sig_cols = []
-    sigged = base
-    for t in range(tables):
-        col = f"sig{t}"
-        sigged = _signature_for_table(sigged, "v", t, planes, dim, col)
-        sig_cols.append(col)
-    bucketed = sigged.select(
-        "vid",
-        "v",
-        F.explode(
-            F.array(*[F.struct(F.lit(t).alias("t"), F.col(f"sig{t}").alias("sig")) for t in range(tables)])
-        ).alias("b"),
-    ).select("vid", "v", "b.t", "b.sig")
+    sigged = hyperplane_signatures(base, vec_col="v", tables=tables, planes=planes, dim=dim)
+    bucketed = sigged.select("vid", "v", F.posexplode("sigs").alias("t", "sig"))
     a = bucketed.select(F.col("vid").alias("id_a"), F.col("v").alias("va"), "t", "sig")
     b = bucketed.select(F.col("vid").alias("id_b"), F.col("v").alias("vb"), "t", "sig")
     cand = (
@@ -276,24 +267,59 @@ def _hyperplane_components(planes: int, dim: int) -> list[list[float]]:
     ]
 
 
-def hyperplane_signature(df: DataFrame, *, vec_col: str, planes: int, dim: int, out_col: str = "sig") -> DataFrame:
-    """Random-hyperplane sign signature (SimHash for vectors).
+def hyperplane_signatures(
+    df: DataFrame,
+    *,
+    vec_col: str,
+    tables: int,
+    planes: int,
+    dim: int,
+    out_col: str = "sigs",
+) -> DataFrame:
+    """ALL hyperplane-table signatures in one Arrow-batched numpy pass.
 
     Hyperplane p has deterministic ±1 components h(p,d) = parity of
-    md5(p:d) — reproducible anywhere, no RNG state. Signature bit p is
-    sign(v·h_p). Appended as an integer column ``out_col``.
+    md5(p:d) — reproducible anywhere, no RNG state. Table t's signature
+    packs the sign bits of planes [t·planes, (t+1)·planes); the output is
+    an ``array<long>`` of length ``tables``.
+
+    Dense matrix × matrix is exactly what built-in column expressions do
+    WORST: a per-plane HOF fold is CodegenFallback (interpreted per
+    element), and a ±element_at chain for tables×planes×dim terms overflows
+    the 64KB codegen method limit and de-optimizes the whole stage. One
+    vectorized Pandas UDF turns the entire signature computation into a
+    single (batch × dim) @ (dim × tables·planes) BLAS call per Arrow batch
+    — the same kernel shape a GPU/CPU ANN library uses, profiled ~40× over
+    the fold at fixture scale and embarrassingly parallel at 100 TB.
+
+    Projections are rounded to 6 digits before the sign test so bucket
+    assignment is stable across summation orders (BLAS vs sequential fold
+    vs any SQL engine replaying the same planes).
     """
-    table = _hyperplane_components(planes, dim)
-    sig = F.lit(0).cast("long")
-    v = F.col(vec_col).cast("array<double>")
-    for p, comps in enumerate(table):
-        proj = F.aggregate(
-            F.zip_with(v, F.array(*[F.lit(c) for c in comps]), lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        sig = sig + F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
-    return df.withColumn(out_col, sig)
+    from pyspark.sql.functions import pandas_udf
+
+    H = np.asarray(_hyperplane_components(tables * planes, dim), dtype=np.float64)
+    weights = (1 << np.arange(planes)).astype(np.int64)
+    n_tables, n_planes = tables, planes
+
+    @pandas_udf("array<long>")
+    def _sigs(col: pd.Series) -> pd.Series:
+        if len(col) == 0:
+            return pd.Series([], dtype=object)
+        m = np.vstack(col.to_numpy()).astype(np.float64)  # (batch, dim)
+        bits = np.round(m @ H.T, 6) > 0  # (batch, tables·planes)
+        sig = bits.reshape(-1, n_tables, n_planes).astype(np.int64) @ weights
+        return pd.Series(sig.tolist())
+
+    return df.withColumn(out_col, _sigs(F.col(vec_col)))
+
+
+def hyperplane_signature(df: DataFrame, *, vec_col: str, planes: int, dim: int, out_col: str = "sig") -> DataFrame:
+    """Single-table hyperplane sign signature (SimHash for vectors) — the
+    one-table special case of :func:`hyperplane_signatures`, kept for
+    callers that want one packed ``long``."""
+    sigged = hyperplane_signatures(df, vec_col=vec_col, tables=1, planes=planes, dim=dim, out_col="__sigs")
+    return sigged.withColumn(out_col, F.element_at("__sigs", 1)).drop("__sigs")
 
 
 def lsh_topk(
@@ -317,26 +343,16 @@ def lsh_topk(
     is deterministic (md5-derived hyperplanes), so results are reproducible
     run to run and machine to machine.
     """
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    c = _maybe_spread(corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")))
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    csig, qsig = c, q
-    sig_cols = []
-    for t in range(tables):
-        # Distinct plane sets per table: global plane index t*planes + p.
-        col = f"sig{t}"
-        csig = _signature_for_table(csig, "cv", t, planes, dim, col)
-        qsig = _signature_for_table(qsig, "qv", t, planes, dim, col)
-        sig_cols.append(col)
+    csig = hyperplane_signatures(c, vec_col="cv", tables=tables, planes=planes, dim=dim)
+    qsig = hyperplane_signatures(q, vec_col="qv", tables=tables, planes=planes, dim=dim)
 
-    # Candidate = same bucket in any table. Explode the table index so the
-    # join stays a single equi shuffle on (table, signature).
+    # Candidate = same bucket in any table. posexplode the signature array so
+    # the join stays a single equi shuffle on (table, signature).
     def bucketized(df: DataFrame) -> DataFrame:
-        return df.select(
-            *[c for c in df.columns if c not in sig_cols],
-            F.explode(
-                F.array(*[F.struct(F.lit(t).alias("t"), F.col(f"sig{t}").alias("sig")) for t in range(tables)])
-            ).alias("b"),
-        ).select(*[c for c in df.columns if c not in sig_cols], "b.t", "b.sig")
+        keep = [c for c in df.columns if c != "sigs"]
+        return df.select(*keep, F.posexplode("sigs").alias("t", "sig"))
 
     cand = (
         bucketized(csig)
@@ -352,27 +368,6 @@ def lsh_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return scored.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
-
-
-def _signature_for_table(df: DataFrame, vec_col: str, table: int, planes: int, dim: int, out_col: str) -> DataFrame:
-    """Signature over plane indices [table*planes, (table+1)*planes)."""
-    full = _hyperplane_components((table + 1) * planes, dim)
-    comps = full[table * planes :]
-    sig = F.lit(0).cast("long")
-    v = F.col(vec_col).cast("array<double>")
-    for p, row in enumerate(comps):
-        # HOF fold, not an expanded ±element chain: tables×planes×dim chain
-        # terms overflow the 64KB codegen method limit and force the WHOLE
-        # stage into interpreted mode — far worse than the HOF fallback.
-        proj = F.aggregate(
-            F.zip_with(v, F.array(*[F.lit(x) for x in row]), lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        # round before the sign test so bucket assignment is bit-identical
-        # across engines even when summation order differs in the last ulp
-        sig = sig + F.when(F.round(proj, 6) > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
-    return df.withColumn(out_col, sig)
 
 
 def build_ivf_index(
