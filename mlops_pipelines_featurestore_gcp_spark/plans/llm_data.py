@@ -467,11 +467,30 @@ def mm01_payload_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("mm03_frame_sample", oracle=None, tags=("multimodal", "llm", "video"))
+@register(
+    "mm03_frame_sample",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, octet_length(encode(text)) AS L FROM documents WHERE octet_length(encode(text)) >= 1
+    ),
+    f AS (SELECT doc_id, L, (L - 1) // 64 + 1 AS n FROM t)
+    SELECT doc_id,
+           CAST((n + 1) // 2 AS BIGINT) AS n_frames,
+           CAST(CASE WHEN (n - 1) % 2 = 0
+                     THEN 64 * ((n + 1) // 2 - 1) + (L - 64 * (n - 1))
+                     ELSE 64 * ((n + 1) // 2) END AS BIGINT) AS sampled_bytes
+    FROM f
+    """,
+    tags=("multimodal", "llm", "video"),
+)
 def mm03_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over video-shaped payloads (fixed-size byte frames,
-    every 2nd kept) — JVM array ops; exact per-frame math asserted in
-    tests/test_multimodal.py (byte-level substring is engine-specific SQL)."""
+    every 2nd kept) — JVM array ops, no Python. The per-frame byte-level
+    substring is engine-specific SQL, but the AGGREGATE is closed-form
+    arithmetic on the payload length (n frames of 64 bytes, last one
+    ragged, even indices kept) — so the oracle checks the exact frame
+    count and byte totals; tests/test_multimodal.py asserts the per-frame
+    contents."""
     docs = load_table(spark, "documents", sf_dir)
     mm = multimodal.attach_payload(docs, "text", mime="video/fake")
     frames = multimodal.frame_sample(mm, frame_bytes=64, every=2)
@@ -495,11 +514,50 @@ def c01_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "n_tokens", "quality")
 
 
-@register("s04_training_mix", oracle=None, tags=("llm", "sampling", "mix"))
+_U32 = 4294967296.0
+_UHASH = (
+    "CAST(concat('0x', substr(md5(concat('{salt}|', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) / " + str(_U32)
+)
+
+
+@register(
+    "s04_training_mix",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, lang, text, {_TOKS.format(col='text')} AS t,
+             len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id, lang,
+             CAST(len(t) AS BIGINT) AS n_tokens,
+             ROUND(least(len(t), 100) / 100.0 * 0.4
+                   + (len(list_filter(t, x -> list_contains(['the','a','of','to','and','in','is','it','that','for'], x)))
+                      / greatest(len(t), 1)) * 0.2
+                   + (len(list_distinct(t)) / greatest(len(t), 1)) * 0.3
+                   + (1.0 - n_punct / greatest(len(text), 1)) * 0.1, 6) AS quality
+      FROM base
+    ),
+    strat AS (
+      SELECT * FROM feats
+      WHERE {_UHASH.format(salt='strata')}
+            < CASE lang WHEN 'en' THEN 0.9 WHEN 'es' THEN 0.5
+                        WHEN 'fr' THEN 0.5 WHEN 'de' THEN 0.5 ELSE 0.0 END
+    ),
+    tot AS (SELECT SUM(n_tokens) AS total FROM strat)
+    SELECT s.doc_id, s.lang, s.n_tokens, s.quality
+    FROM strat s, tot
+    WHERE tot.total <= 20000
+       OR {_UHASH.format(salt='budget').replace('doc_id', 's.doc_id')} < 20000.0 / tot.total
+    """,
+    tags=("llm", "sampling", "mix"),
+)
 def s04_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-mix construction (operators/sampling.py):
     per-language stratified rates + a token budget over the profiled corpus.
-    Rows-only (slot cap — the md5-uniform decision IS SQL-replayable);
+    Every keep/drop decision is an md5-uniform hash of (salt, doc_id) — a
+    pure function the oracle replays exactly (no rand(): Spark's rand is
+    seeded per partition, so a reshuffle would change the sample);
     determinism, rates, and mixing independence are asserted in
     tests/test_sampling.py."""
     from mlops_pipelines_featurestore_gcp_spark.operators import sampling

@@ -421,32 +421,53 @@ def q21_in_and_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q09_window_navigation",
     oracle="""
-    SELECT c_custkey, o_orderkey, o_totalprice, rn, days_since_prev, next_key
+    SELECT c_custkey, o_orderkey, o_totalprice, rn, days_since_prev, next_key,
+           running_spend, first_order, latest_order, n_orders
     FROM (
       SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice,
              ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn,
              CAST(date_diff('day',
-                  CAST(LAG(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DATE),
+                  CAST(LAG(o_orderdate) OVER wdate AS DATE),
                   CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_prev,
-             LEAD(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_key
+             LEAD(o_orderkey) OVER wdate AS next_key,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+             FIRST_VALUE(o_orderkey) OVER wfull AS first_order,
+             LAST_VALUE(o_orderkey)  OVER wfull AS latest_order,
+             COUNT(*) OVER wfull AS n_orders
       FROM orders
+      WINDOW wdate AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+             wfull AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
     )
     WHERE rn <= 3
     """,
-    tags=("window", "topk"),
+    tags=("window", "topk", "agg"),
 )
 def q09_window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 orders per customer via row_number (the window pattern that
-    also implements feature-store latest/point-in-time reads, SURVEY §2.3 J2)
-    PLUS lag/lead navigation (days since previous order, next order key) —
-    two sort orders over ONE partition-by-customer shuffle (r1's q09 + q11)."""
+    """The window-function surface over ONE partition-by-customer shuffle:
+    top-3 per customer via row_number (the pattern that also implements
+    feature-store latest/point-in-time reads, SURVEY §2.3 J2), lag/lead
+    navigation (days since previous order, next order key), a cumulative
+    DECIMAL running sum, and first/last/count over the unbounded frame
+    (r1's q09 + q10 + q11 + q24 in one slot)."""
     o = load_table(spark, "orders", sf_dir)
     w_price = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
     w_date = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_run = w_date.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_full = w_date.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     return (
         o.withColumn("rn", F.row_number().over(w_price))
         .withColumn("prev_date", F.lag("o_orderdate").over(w_date))
         .withColumn("next_key", F.lead("o_orderkey").over(w_date))
+        .withColumn(
+            "running_spend",
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w_run).cast("double"),
+        )
+        .withColumn("first_order", F.first("o_orderkey").over(w_full))
+        .withColumn("latest_order", F.last("o_orderkey").over(w_full))
+        .withColumn("n_orders", F.count("*").over(w_full))
         .where(F.col("rn") <= 3)
         .select(
             F.col("o_custkey").alias("c_custkey"),
@@ -455,51 +476,11 @@ def q09_window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rn",
             F.datediff(F.col("o_orderdate"), F.col("prev_date")).cast("long").alias("days_since_prev"),
             "next_key",
+            "running_spend",
+            "first_order",
+            "latest_order",
+            "n_orders",
         )
-    )
-
-
-@register(
-    "q10_running_first_last",
-    oracle="""
-    SELECT o_custkey, o_orderkey, o_orderdate,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
-                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
-           FIRST_VALUE(o_orderkey) OVER wfull AS first_order,
-           LAST_VALUE(o_orderkey)  OVER wfull AS latest_order,
-           COUNT(*) OVER wfull AS n_orders
-    FROM orders
-    WHERE o_custkey < 100
-    WINDOW wfull AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-    """,
-    tags=("window", "agg"),
-)
-def q10_running_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-customer running spend (cumulative DECIMAL window sum, identical
-    under any frame evaluation order) plus first/last/count over the
-    unbounded frame — running + full-extent frames sharing one window
-    shuffle (r1's q10 + q24)."""
-    o = load_table(spark, "orders", sf_dir).where(F.col("o_custkey") < 100)
-    w_run = (
-        Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    w_full = (
-        Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    )
-    return o.select(
-        "o_custkey",
-        "o_orderkey",
-        "o_orderdate",
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w_run).cast("double").alias("running_spend"),
-        F.first("o_orderkey").over(w_full).alias("first_order"),
-        F.last("o_orderkey").over(w_full).alias("latest_order"),
-        F.count("*").over(w_full).alias("n_orders"),
     )
 
 
@@ -760,37 +741,6 @@ def q25_json_and_case(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q26_above_avg_orders",
-    oracle="""
-    WITH avgs AS (
-      SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS cavg
-      FROM orders GROUP BY o_custkey
-    )
-    SELECT o.o_custkey, CAST(COUNT(*) AS BIGINT) AS n_above
-    FROM orders o JOIN avgs a ON a.o_custkey = o.o_custkey
-    WHERE o.o_totalprice > a.cavg
-    GROUP BY o.o_custkey
-    """,
-    tags=("subquery", "window"),
-)
-def q26_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Correlated-scalar-subquery shape (orders above the customer's own
-    average) — decorrelated into a window average, no self-join."""
-    o = load_table(spark, "orders", sf_dir)
-    w = Window.partitionBy("o_custkey")
-    return (
-        o.withColumn(
-            "cavg",
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double")
-            / F.count("*").over(w),
-        )
-        .where(F.col("o_totalprice") > F.col("cavg"))
-        .groupBy("o_custkey")
-        .agg(F.count("*").cast("long").alias("n_above"))
-    )
-
-
-@register(
     "q27_grouping_sets",
     oracle="""
     SELECT n_name, r_name,
@@ -838,16 +788,29 @@ def q27_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
              PARTITION BY o_custkey ORDER BY o_totalprice
              RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW
-           ) AS DOUBLE) AS near_total
+           ) AS DOUBLE) AS near_total,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER wc AS DOUBLE)
+             / COUNT(*) OVER wc AS cavg,
+           o_totalprice > (CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER wc AS DOUBLE)
+                           / COUNT(*) OVER wc) AS above_avg
     FROM orders
     WHERE o_custkey < 200
+    WINDOW wc AS (PARTITION BY o_custkey)
     """,
-    tags=("window", "range-frame"),
+    tags=("window", "range-frame", "subquery"),
 )
 def q28_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Value-RANGE window frame (sum of orders within 1000 below the current
-    price, per customer) — RANGE BETWEEN, not ROWS BETWEEN."""
+    price, per customer — RANGE BETWEEN, not ROWS BETWEEN) PLUS the
+    correlated-scalar-subquery shape decorrelated into a frameless window
+    average (is this order above the customer's own mean?) — r1's q26
+    folded in; both windows share the one partition-by-customer shuffle.
+
+    cavg is an exact-DECIMAL sum divided by an exact count, so the double
+    quotient and the boolean comparison are bit-identical across engines."""
     o = load_table(spark, "orders", sf_dir).where(F.col("o_custkey") < 200)
+    w = Window.partitionBy("o_custkey")
+    cavg = F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double") / F.count("*").over(w)
     # value-typed RANGE offsets need the SQL frame syntax (the DataFrame
     # rangeBetween API accepts only long offsets)
     return o.select(
@@ -861,6 +824,8 @@ def q28_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             ) AS DOUBLE)
             """
         ).alias("near_total"),
+        cavg.alias("cavg"),
+        (F.col("o_totalprice") > cavg).alias("above_avg"),
     )
 
 
