@@ -229,32 +229,61 @@ def ngram_jaccard_pairs(
     *,
     n: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
-    """Exact word-n-gram Jaccard via inverted-index join (no approximation).
+    """Exact word-n-gram Jaccard via inverted-index join.
 
     Candidates = pairs sharing ≥1 n-gram; cost is Σ df(g)² over grams, which
-    is fine when grams are discriminative. For hot grams, the MinHash or
-    SimHash paths above are the scale fallback.
+    is fine when grams are discriminative — but ONE hot gram (a boilerplate
+    phrase in a million docs) makes its bucket quadratic. ``max_df`` is the
+    standard cap: grams appearing in more than ``max_df`` docs are dropped
+    from the CANDIDATE index only, and surviving candidate pairs are then
+    re-verified with the full exact Jaccard (60-bit gram-hash sets,
+    ``array_intersect``), so every reported score is still exact. The
+    documented trade: a pair whose shared grams are ALL hot is missed —
+    precisely the boilerplate-only overlap a near-dup pass should ignore.
+    ``max_df=None`` (default) keeps the fully exact one-join plan.
     """
     grams = _spread(df).select(
         F.col(id_col),
         F.explode(F.array_distinct(word_ngrams(tokens(normalize(F.col(text_col))), n))).alias("sh"),
     )
-    a = grams.withColumnRenamed(id_col, "doc_a").withColumnRenamed("sh", "s")
-    b = grams.withColumnRenamed(id_col, "doc_b").withColumnRenamed("sh", "s")
-    cand = (
-        a.join(b, "s")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("ni"))
-    )
-    sizes = grams.groupBy(id_col).agg(F.count("*").alias("n"))
-    na = sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed("n", "na")
-    nb = sizes.withColumnRenamed(id_col, "doc_b").withColumnRenamed("n", "nb")
+    if max_df is None:
+        a = grams.withColumnRenamed(id_col, "doc_a").withColumnRenamed("sh", "s")
+        b = grams.withColumnRenamed(id_col, "doc_b").withColumnRenamed("sh", "s")
+        cand = (
+            a.join(b, "s")
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("ni"))
+        )
+        sizes = grams.groupBy(id_col).agg(F.count("*").alias("n"))
+        na = sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed("n", "na")
+        nb = sizes.withColumnRenamed(id_col, "doc_b").withColumnRenamed("n", "nb")
+        return (
+            cand.join(na, "doc_a")
+            .join(nb, "doc_b")
+            .withColumn("jaccard", F.col("ni") / (F.col("na") + F.col("nb") - F.col("ni")))
+            .where(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard")
+        )
+    # capped path: per-doc distinct gram-hash sets once (one partial-combined
+    # shuffle, the minhash_lsh_pairs shape), candidates only from cool grams
+    hashed = grams.select(F.col(id_col), md5_long(F.col("sh"), bits=60).alias("h"))
+    doc_sets = hashed.groupBy(id_col).agg(F.collect_set("h").alias("__hs")).localCheckpoint(eager=False)
+    cool = hashed.groupBy("h").agg(F.countDistinct(id_col).alias("__df")).where(F.col("__df") <= max_df)
+    index = hashed.join(cool.select("h"), "h")
+    a = index.select(F.col(id_col).alias("doc_a"), "h")
+    b = index.select(F.col(id_col).alias("doc_b"), "h")
+    cand = a.join(b, "h").where(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b").distinct()
+    ha = doc_sets.select(F.col(id_col).alias("doc_a"), F.col("__hs").alias("__ha"))
+    hb = doc_sets.select(F.col(id_col).alias("doc_b"), F.col("__hs").alias("__hb"))
+    ni = F.size(F.array_intersect("__ha", "__hb"))
+    na_, nb_ = F.size("__ha"), F.size("__hb")
     return (
-        cand.join(na, "doc_a")
-        .join(nb, "doc_b")
-        .withColumn("jaccard", F.col("ni") / (F.col("na") + F.col("nb") - F.col("ni")))
+        cand.join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .withColumn("jaccard", ni / (na_ + nb_ - ni))
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )

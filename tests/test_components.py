@@ -47,3 +47,14 @@ def test_nonconvergence_raises_instead_of_silent_split(spark):
     pairs = spark.createDataFrame([(i, i + 1) for i in range(1, 7)], "doc_a long, doc_b long")
     with pytest.raises(RuntimeError, match="fixed point"):
         connected_components(pairs, max_iter=2)
+
+
+def test_long_chain_converges_via_pointer_doubling(spark):
+    # a 300-node chain has diameter 299: plain neighbor-min propagation
+    # would need 299 iterations; pointer doubling must finish in the
+    # default max_iter=20 (~log2 diameter + constant)
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(1, 300)], "doc_a long, doc_b long")
+    comp = connected_components(pairs)
+    got = {r.component for r in comp.collect()}
+    assert got == {1}
+    assert comp.count() == 300

@@ -81,3 +81,27 @@ def test_ivf_topk_recall_vs_bruteforce(spark, sf_small):
     for r in approx:
         if (r.query_id, r.neighbor_id) in exact_sims:
             assert abs(exact_sims[(r.query_id, r.neighbor_id)] - r.cos_sim) < 1e-9
+
+
+def test_ngram_jaccard_max_df_caps_hot_grams(spark):
+    from mlops_pipelines_featurestore_gcp_spark.operators import dedup
+
+    boiler = "copyright acme corp all rights reserved"
+    rows = [
+        (1, f"{boiler} the quick brown fox jumps over the lazy dog today"),
+        (2, f"{boiler} the quick brown fox jumps over the lazy dog tonight"),
+        (3, f"{boiler} completely different body about gardening and soil"),
+        (4, f"{boiler} another unrelated text discussing spark physical plans"),
+        (5, f"{boiler} a fifth document on something else entirely new here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {(r.doc_a, r.doc_b): r.jaccard for r in dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.3).collect()}
+    # boilerplate grams appear in all 5 docs; cap at 2 so only the
+    # discriminative grams generate candidates
+    capped = {(r.doc_a, r.doc_b): r.jaccard for r in dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.3, max_df=2).collect()}
+    assert (1, 2) in capped
+    # reported scores on surviving pairs are EXACT (identical to uncapped)
+    for pair, j in capped.items():
+        assert abs(exact[pair] - j) < 1e-12
+    # capped candidates are a subset of the exact ones
+    assert set(capped) <= set(exact)
