@@ -1,0 +1,86 @@
+"""Keyed upsert sink: insert/update/late-version semantics, bucket-pruned
+rewrites, idempotent batch replay, streaming foreachBatch parity."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from mlops_pipelines_featurestore_gcp_spark.streaming.upsert import (
+    read_upsert_table,
+    upsert_batch,
+    upsert_sink,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string, ver long")
+
+
+def test_upsert_insert_update_and_late_version(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    upsert_batch(path, _df(spark, [(1, "a", 1), (2, "b", 1)]), key="k", version_col="ver")
+    upsert_batch(path, _df(spark, [(2, "b2", 2), (3, "c", 1)]), key="k", version_col="ver")
+    # late replay of an OLD version must not regress key 2
+    upsert_batch(path, _df(spark, [(2, "stale", 1)]), key="k", version_col="ver")
+    got = {r.k: (r.v, r.ver) for r in read_upsert_table(spark, path).collect()}
+    assert got == {1: ("a", 1), 2: ("b2", 2), 3: ("c", 1)}
+
+
+def test_upsert_rewrites_only_touched_buckets(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    big = spark.range(0, 200).select(
+        F.col("id").alias("k"), F.concat(F.lit("v"), F.col("id")).alias("v"), F.lit(1).cast("long").alias("ver")
+    )
+    upsert_batch(path, big, key="k", version_col="ver", n_buckets=16)
+    before = {
+        d: sorted(os.listdir(os.path.join(path, d)))
+        for d in os.listdir(path)
+        if d.startswith("__kbucket=")
+    }
+    upsert_batch(path, _df(spark, [(7, "updated", 2)]), key="k", version_col="ver", n_buckets=16)
+    after = {
+        d: sorted(os.listdir(os.path.join(path, d)))
+        for d in os.listdir(path)
+        if d.startswith("__kbucket=")
+    }
+    changed = [d for d in before if before[d] != after[d]]
+    assert len(changed) == 1, f"exactly one bucket dir should be rewritten, got {changed}"
+    got = {r.k: r.v for r in read_upsert_table(spark, path).collect()}
+    assert got[7] == "updated" and len(got) == 200
+
+
+def test_upsert_batch_replay_is_idempotent(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    upsert_batch(path, _df(spark, [(1, "a", 1), (2, "b", 1)]), key="k", version_col="ver")
+    batch = _df(spark, [(1, "a2", 2), (9, "i", 1)])
+    upsert_batch(path, batch, key="k", version_col="ver")
+    state1 = sorted(map(tuple, read_upsert_table(spark, path).collect()))
+    upsert_batch(path, batch, key="k", version_col="ver")  # crash-replay
+    state2 = sorted(map(tuple, read_upsert_table(spark, path).collect()))
+    assert state1 == state2
+
+
+def test_upsert_streaming_foreachbatch(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = [
+        {"k": 1, "v": "a", "ver": 1},
+        {"k": 1, "v": "a2", "ver": 2},
+        {"k": 2, "v": "b", "ver": 1},
+    ]
+    (src / "r.json").write_text("\n".join(json.dumps(r) for r in rows))
+    stream = spark.readStream.schema("k long, v string, ver long").json(str(src))
+    q = upsert_sink(
+        stream,
+        str(tmp_path / "tbl"),
+        str(tmp_path / "ckpt"),
+        key="k",
+        version_col="ver",
+        n_buckets=8,
+    )
+    q.awaitTermination(120)
+    got = {r.k: (r.v, r.ver) for r in read_upsert_table(spark, str(tmp_path / "tbl")).collect()}
+    assert got == {1: ("a2", 2), 2: ("b", 1)}
