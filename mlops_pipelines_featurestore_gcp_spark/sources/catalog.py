@@ -94,12 +94,10 @@ SCHEMAS: dict[str, T.StructType] = {
             T.StructField("l_shipdate", T.TimestampType()),
         ]
     ),
-    # ts is physically timestamp[ns] (int64); read as long + convert (see
-    # load_table) because Spark has no nanosecond timestamp type.
     "events": T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
@@ -155,14 +153,37 @@ def _rebalance_unsplittable(df: DataFrame, path: str) -> DataFrame:
     return df.repartition(target)
 
 
+def _events_ts_stored_as_int64(path: str) -> bool:
+    """True when events.ts is physically an int64 nanosecond column.
+
+    Early fixture generations wrote ``ts`` as raw int64 epoch-nanos (Spark
+    has no ns timestamp type, so it must be read as long and truncated);
+    later generations write a proper ``timestamp[us]`` that Spark reads
+    natively. One footer read settles which layout this file uses.
+    """
+    try:
+        import pyarrow.parquet as pq
+        import pyarrow as pa
+
+        return pa.types.is_integer(pq.read_schema(path).field("ts").type)
+    except Exception:  # remote FS / missing pyarrow — assume modern layout
+        return False
+
+
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     """Read one testdata table with its explicit schema (no inference)."""
     if name not in SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
     path = f"{sf_dir}/{name}.parquet"
-    df = spark.read.schema(SCHEMAS[name]).parquet(path)
+    schema = SCHEMAS[name]
+    legacy_ns = name == "events" and _events_ts_stored_as_int64(path)
+    if legacy_ns:
+        schema = T.StructType(
+            [f if f.name != "ts" else T.StructField("ts", T.LongType()) for f in schema]
+        )
+    df = spark.read.schema(schema).parquet(path)
     df = _rebalance_unsplittable(df, path)
-    if name == "events":
+    if legacy_ns:
         # nanoseconds → microsecond timestamp; integer div keeps exactness
         # (ns values exceed double's 2^53 mantissa) and matches DuckDB's
         # truncating read of the same parquet column.
