@@ -31,7 +31,6 @@ from mlops_pipelines_featurestore_gcp_spark import get_spark, plans  # noqa: E40
 # (added as their modules land).
 HEADLINE = [
     "q01_pricing_summary",
-    "q02_filter_project_topk",
     "q03_shipping_priority",
     "q04_order_priority_semi",
     "q05_nation_volume",
@@ -49,6 +48,8 @@ HEADLINE = [
     "s01_ann_bruteforce_topk",
     "t01_text_profile",
     "t04_doc_fingerprint",
+    "t05_chunk_documents",
+    "t06_contamination_check",
     # event-time windows
     "st01_tumbling_window",
     "st03_session_window",

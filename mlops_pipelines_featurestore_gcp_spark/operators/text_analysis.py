@@ -10,10 +10,65 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from mlops_pipelines_featurestore_gcp_spark.functions.text import BPE_TOKEN_RE, STOPWORDS, normalize, stopword_hits, tokens
+from mlops_pipelines_featurestore_gcp_spark.functions.text import (
+    BPE_TOKEN_RE,
+    STOPWORDS,
+    normalize,
+    stopword_hits,
+    tokens,
+    word_ngrams,
+)
 from mlops_pipelines_featurestore_gcp_spark.operators.dedup import _spread
 
 PUNCT_RE = r"[.,!?;:]"
+
+# PII patterns, deliberately restricted to RE2-compatible syntax (no
+# lookaround / backreferences) so Java regex (Spark) and RE2 (DuckDB, and
+# most scale-out scan engines) match the exact same spans. Dict order is
+# the redaction order: emails first (their local part may contain digits),
+# then dotted IPs, then SSN-shaped, then phone-shaped — each replacement
+# removes its digits from the text so later patterns can't re-match inside
+# an earlier entity's span.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ip": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "phone": r"\b\d{3}[- ]\d{3}[- ]\d{4}\b",
+}
+
+
+def pii_counts(col: Column) -> dict[str, Column]:
+    """Per-pattern match counts on the ORIGINAL text (patterns counted
+    independently; an SSN-shaped span inside a longer number may count
+    under two patterns — counts are evidence, redaction is authoritative)."""
+    return {
+        kind: F.size(F.regexp_extract_all(col, F.lit(pat), 0)).cast("long")
+        for kind, pat in PII_PATTERNS.items()
+    }
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace every PII span with a typed placeholder (``<EMAIL>`` …),
+    applying patterns in the documented priority order."""
+    out = col
+    for kind, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"<{kind.upper()}>")
+    return out
+
+
+def pii_redact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document PII scrub: typed match counts + redacted text.
+
+    Pure regexp codegen — at corpus scale this is a map-only pass with no
+    shuffle and no Python.
+    """
+    df = _spread(df)
+    counts = pii_counts(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        *[c.alias(f"n_{kind}") for kind, c in counts.items()],
+        redact_pii(F.col(text_col)).alias("redacted_text"),
+    )
 
 
 def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -68,12 +123,33 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Token statistics + quality features in ONE row-local pass.
+def repetition_frac(toks: Column) -> Column:
+    """Duplicate word-bigram fraction: 1 − distinct/total bigrams.
 
-    The union of ``token_stats`` and ``quality_score`` columns computed from a
-    single scan — at corpus scale the text column is read once, not twice,
-    and there is no join to reconcile the two projections.
+    The cheap Gopher-style repetition signal — boilerplate and generated
+    spam repeat phrase-level n-grams far more than natural text. Row-local
+    array arithmetic, no shuffle.
+    """
+    bigs = word_ngrams(toks, 2)
+    return F.round(
+        1.0 - F.size(F.array_distinct(bigs)) / F.greatest(F.size(bigs), F.lit(1)), 6
+    )
+
+
+def text_profile(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    extra: dict[str, Column] | None = None,
+) -> DataFrame:
+    """Token statistics + quality + repetition features in ONE row-local pass.
+
+    The union of ``token_stats`` and ``quality_score`` columns (plus
+    ``dup_bigram_frac``) computed from a single scan — at corpus scale the
+    text column is read once, not twice, and there is no join to reconcile
+    the projections. ``extra`` appends caller-supplied row-local columns
+    (e.g. PII counts) to the SAME select, keeping the single-pass shape
+    instead of forcing a join on the id key.
     """
     df = _spread(df)
     toks = tokens(F.col(text_col))
@@ -100,7 +176,9 @@ def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.round(stop_ratio, 6).alias("stopword_ratio"),
         F.round(uniq_ratio, 6).alias("uniq_ratio"),
         F.round(punct_ratio, 6).alias("punct_ratio"),
+        repetition_frac(toks).alias("dup_bigram_frac"),
         score.alias("quality"),
+        *[c.alias(name) for name, c in (extra or {}).items()],
     )
 
 

@@ -14,7 +14,14 @@ from pyspark.sql import functions as F
 
 from mlops_pipelines_featurestore_gcp_spark.functions.canonical import ser_long_array, sql_long_array
 from mlops_pipelines_featurestore_gcp_spark.functions.text import poly_char_hash_sql
-from mlops_pipelines_featurestore_gcp_spark.operators import dedup, multimodal, similarity, text_analysis
+from mlops_pipelines_featurestore_gcp_spark.operators import (
+    chunking,
+    contamination,
+    dedup,
+    multimodal,
+    similarity,
+    text_analysis,
+)
 from mlops_pipelines_featurestore_gcp_spark.plans.registry import register
 from mlops_pipelines_featurestore_gcp_spark.sources.catalog import load_table
 
@@ -314,21 +321,44 @@ def s03_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# DuckDB twins of operators.text_analysis.PII_PATTERNS (same RE2-safe
+# strings; interpolated as values so f-string braces stay literal).
+_PII_EMAIL = text_analysis.PII_PATTERNS["email"]
+_PII_IP = text_analysis.PII_PATTERNS["ip"]
+_PII_SSN = text_analysis.PII_PATTERNS["ssn"]
+_PII_PHONE = text_analysis.PII_PATTERNS["phone"]
+# Deterministic doc_id-derived PII entities appended to each document: the
+# synthetic corpus contains no real PII, so the differential check would
+# otherwise only prove that zero stays zero.
+_PII_SRC_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR)"
+    " || '.7 call 555-123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+)
+_PII_REDACT_SQL = (
+    "regexp_replace(regexp_replace(regexp_replace(regexp_replace(p,"
+    f" '{_PII_EMAIL}', '<EMAIL>', 'g'), '{_PII_IP}', '<IP>', 'g'),"
+    f" '{_PII_SSN}', '<SSN>', 'g'), '{_PII_PHONE}', '<PHONE>', 'g')"
+)
+
+
 @register(
     "t01_text_profile",
     oracle=f"""
     WITH base AS (
       SELECT doc_id, text, {_TOKS.format(col='text')} AS t,
-             len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct
+             len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+             {_PII_SRC_SQL} AS p
       FROM documents
     ),
     feats AS (
-      SELECT doc_id, text, t,
+      SELECT doc_id, text, t, p,
              len(t) AS n_tok,
              len(list_filter(t, x -> list_contains(['the','a','of','to','and','in','is','it','that','for'], x)))
                / greatest(len(t), 1) AS stop_ratio,
              len(list_distinct(t)) / greatest(len(t), 1) AS uniq_ratio,
-             n_punct / greatest(len(text), 1) AS punct_ratio
+             n_punct / greatest(len(text), 1) AS punct_ratio,
+             [t[i] || ' ' || t[i+1] FOR i IN range(1, greatest(len(t), 1))] AS bg
       FROM base
     )
     SELECT doc_id,
@@ -339,18 +369,41 @@ def s03_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(stop_ratio, 6) AS stopword_ratio,
            ROUND(uniq_ratio, 6) AS uniq_ratio,
            ROUND(punct_ratio, 6) AS punct_ratio,
+           ROUND(1.0 - len(list_distinct(bg)) / greatest(len(bg), 1), 6) AS dup_bigram_frac,
            ROUND(least(n_tok, 100) / 100.0 * 0.4 + stop_ratio * 0.2
-                 + uniq_ratio * 0.3 + (1.0 - punct_ratio) * 0.1, 6) AS quality
+                 + uniq_ratio * 0.3 + (1.0 - punct_ratio) * 0.1, 6) AS quality,
+           CAST(len(regexp_extract_all(p, '{_PII_EMAIL}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(p, '{_PII_IP}')) AS BIGINT) AS n_ip,
+           CAST(len(regexp_extract_all(p, '{_PII_SSN}')) AS BIGINT) AS n_ssn,
+           CAST(len(regexp_extract_all(p, '{_PII_PHONE}')) AS BIGINT) AS n_phone,
+           md5({_PII_REDACT_SQL}) AS pii_redacted_fp
     FROM feats
     """,
-    tags=("text", "llm"),
+    tags=("text", "llm", "pii", "repetition"),
 )
 def t01_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token statistics (whitespace + BPE-ish counts, distinct tokens, avg
-    token length) AND quality pre-filter features + composite score — one
-    row-local scan over the corpus (token_stats + quality_score fused)."""
+    token length), quality pre-filter features + composite score, the
+    dup-bigram repetition signal, AND the PII scrub surface — one row-local
+    scan over the corpus (token_stats + quality_score + pii_redact fused).
+
+    The PII columns run on the document text augmented with deterministic
+    doc_id-derived entities (email / dotted IP / phone): the synthetic
+    corpus has no organic PII, and a differential check of all-zero counts
+    would prove nothing about the regex or replacement semantics."""
     docs = load_table(spark, "documents", sf_dir)
-    return text_analysis.text_profile(docs, "doc_id", "text")
+    pii_src = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 call 555-123-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    extra = {f"n_{kind}": c for kind, c in text_analysis.pii_counts(pii_src).items()}
+    extra["pii_redacted_fp"] = F.md5(text_analysis.redact_pii(pii_src))
+    return text_analysis.text_profile(docs, "doc_id", "text", extra=extra)
 
 
 _LANGS_SQL = {
@@ -434,6 +487,69 @@ def t04_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "t05_chunk_documents",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, {_TOKS.format(col='text')} AS t FROM documents),
+    s AS (
+      SELECT doc_id, t, unnest(range(0, greatest(len(t) - 16, 1), 48)) AS s
+      FROM base WHERE len(t) > 0
+    )
+    SELECT doc_id,
+           CAST(s // 48 AS BIGINT) AS chunk_idx,
+           CAST(s AS BIGINT) AS chunk_start,
+           array_to_string(t[s + 1 : s + 64], ' ') AS chunk_text,
+           CAST(least(64, len(t) - s) AS BIGINT) AS n_chunk_tokens
+    FROM s
+    """,
+    tags=("text", "llm", "chunking"),
+)
+def t05_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (64-token chunks, 16-token overlap):
+    the corpus → bounded-unit reshape every training/RAG pipeline runs
+    before batch formation. Map-side only — split/sequence/slice in codegen,
+    zero shuffles (operators/chunking.py)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return chunking.chunk_documents(docs, "doc_id", "text", chunk_tokens=64, overlap=16)
+
+
+@register(
+    "t06_contamination_check",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS.format(col='nt')} AS t
+      FROM (SELECT doc_id, {_NORM} AS nt FROM documents)
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_distinct([array_to_string(t[i : i + 4], ' ')
+                                   FOR i IN range(1, greatest(len(t) - 3, 1))])) AS gram
+      FROM toks
+    ),
+    bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 20 = 0),
+    cand AS (SELECT doc_id, gram FROM grams WHERE doc_id % 20 <> 0)
+    SELECT c.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(COUNT(b.gram) AS BIGINT) AS n_hits,
+           ROUND(COUNT(b.gram) / COUNT(*), 6) AS contamination_frac
+    FROM cand c LEFT JOIN bench b ON c.gram = b.gram
+    GROUP BY c.doc_id
+    HAVING COUNT(b.gram) > 0
+    """,
+    tags=("text", "llm", "contamination", "dedup"),
+)
+def t06_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-set decontamination: flag corpus docs sharing 5-token grams
+    with a benchmark set (every 20th doc plays the eval suite). Benchmark
+    gram set broadcasts; corpus side probes map-side; one aggregate shuffle
+    on doc_id (operators/contamination.py)."""
+    docs = load_table(spark, "documents", sf_dir)
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    cand = docs.where(F.col("doc_id") % 20 != 0)
+    out = contamination.contamination_check(cand, bench, "doc_id", "text", n=5)
+    return out.where(F.col("n_hits") > 0)
+
+
+@register(
     "mm01_payload_decode",
     oracle="""
     SELECT doc_id,
@@ -482,6 +598,10 @@ def mm01_payload_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM f
     """,
     tags=("multimodal", "llm", "video"),
+    # Deferred from the driver window: the multimodal mapInPandas path is
+    # checked via mm01, and the per-frame contents have an exact pytest
+    # (test_multimodal.py); the local differential gate still runs this.
+    defer=True,
 )
 def mm03_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over video-shaped payloads (fixed-size byte frames,

@@ -22,12 +22,21 @@ class QuerySpec:
     oracle: str | None  # ANSI SQL for DuckDB; None → rows-only check
     tags: tuple[str, ...] = field(default_factory=tuple)
     doc: str = ""
+    # defer=True: keep the oracle (the local differential gate still checks
+    # it) but sort after the driver's 50-entry verification window — for
+    # queries whose operator coverage is subsumed by another checked query.
+    defer: bool = False
 
 
 QUERIES: dict[str, QuerySpec] = {}
 
 
-def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()) -> Callable[[QueryFn], QueryFn]:
+def register(
+    name: str,
+    oracle: str | None = None,
+    tags: tuple[str, ...] = (),
+    defer: bool = False,
+) -> Callable[[QueryFn], QueryFn]:
     """Decorator: add a query to the inventory.
 
     ``oracle`` is DuckDB-runnable ANSI SQL over the pre-registered views
@@ -38,20 +47,23 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()) -
     def _wrap(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
             raise ValueError(f"duplicate query name {name!r}")
-        QUERIES[name] = QuerySpec(name=name, fn=fn, oracle=oracle, tags=tags, doc=fn.__doc__ or "")
+        QUERIES[name] = QuerySpec(
+            name=name, fn=fn, oracle=oracle, tags=tags, doc=fn.__doc__ or "", defer=defer
+        )
         return fn
 
     return _wrap
 
 
 def queries_map() -> dict[str, QueryFn]:
-    """Registration-ordered query dict, oracle-bearing queries FIRST.
+    """Registration-ordered query dict, checked oracle queries FIRST.
 
     The driver verifies only the first 50 entries of this dict; rows-only
-    (oracle=None) queries would burn verified slots without producing a
-    hash check, so they always sort to the end (stable within each group).
+    (oracle=None) and deferred queries would burn verified slots without
+    adding signal, so they sort to the end (stable within each group):
+    primary oracle queries, then deferred-oracle, then rows-only.
     """
-    specs = sorted(QUERIES.values(), key=lambda s: s.oracle is None)
+    specs = sorted(QUERIES.values(), key=lambda s: (s.oracle is None, s.defer))
     return {s.name: s.fn for s in specs}
 
 

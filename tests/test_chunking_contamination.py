@@ -1,0 +1,158 @@
+"""Unit + plan-shape tests for document chunking, contamination detection
+and PII redaction (the round-3 training-data additions)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mlops_pipelines_featurestore_gcp_spark.operators import chunking, contamination, text_analysis
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------------------
+# chunk_documents
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_exact_windows(spark):
+    text = " ".join(f"w{i}" for i in range(10))  # w0..w9
+    out = chunking.chunk_documents(
+        _docs(spark, [(1, text)]), "doc_id", "text", chunk_tokens=4, overlap=2
+    ).orderBy("chunk_idx")
+    rows = out.collect()
+    # stride 2; starts < max(10-2,1)=8 → 0,2,4,6
+    assert [r.chunk_start for r in rows] == [0, 2, 4, 6]
+    assert [r.chunk_idx for r in rows] == [0, 1, 2, 3]
+    assert rows[0].chunk_text == "w0 w1 w2 w3"
+    assert rows[1].chunk_text == "w2 w3 w4 w5"
+    assert rows[3].chunk_text == "w6 w7 w8 w9"
+    assert all(r.n_chunk_tokens == 4 for r in rows)
+
+
+def test_chunk_short_and_empty_docs(spark):
+    out = chunking.chunk_documents(
+        _docs(spark, [(1, "only three tokens"), (2, "   "), (3, "")]),
+        "doc_id",
+        "text",
+        chunk_tokens=8,
+        overlap=2,
+    )
+    rows = {r.doc_id: r for r in out.collect()}
+    # shorter than one chunk → exactly one ragged chunk; no tokens → no rows
+    assert set(rows) == {1}
+    assert rows[1].chunk_text == "only three tokens" and rows[1].n_chunk_tokens == 3
+
+
+def test_chunk_ragged_tail_reaches_end(spark):
+    text = " ".join(f"w{i}" for i in range(11))  # 11 tokens, chunk 4, stride 2
+    rows = chunking.chunk_documents(
+        _docs(spark, [(1, text)]), "doc_id", "text", chunk_tokens=4, overlap=2
+    ).collect()
+    # last start is 8 (< 11-2=9): covers w8..w10 — every token appears
+    covered = {t for r in rows for t in r.chunk_text.split()}
+    assert covered == {f"w{i}" for i in range(11)}
+    tail = max(rows, key=lambda r: r.chunk_start)
+    assert tail.chunk_text == "w8 w9 w10" and tail.n_chunk_tokens == 3
+
+
+def test_chunk_rejects_bad_overlap(spark):
+    with pytest.raises(ValueError):
+        chunking.chunk_documents(_docs(spark, [(1, "a b")]), "doc_id", "text", chunk_tokens=4, overlap=4)
+
+
+def test_chunk_plan_is_shuffle_free(spark):
+    df = _docs(spark, [(i, "a b c d e f g h") for i in range(5)])
+    out = chunking.chunk_documents(df, "doc_id", "text")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# contamination_check
+# ---------------------------------------------------------------------------
+
+
+def test_contamination_hits_and_frac(spark):
+    bench = _docs(spark, [(100, "the quick brown fox jumps over the lazy dog")])
+    corpus = _docs(
+        spark,
+        [
+            # contains "the quick brown fox jumps" (5-gram of the benchmark)
+            (1, "witness the quick brown fox jumps today"),
+            # same tokens, different order — no shared 5-gram
+            (2, "fox brown quick the jumps over lazy the dog"),
+            (3, "entirely unrelated text with many novel tokens here"),
+        ],
+    )
+    out = contamination.contamination_check(corpus, bench, "doc_id", "text", n=5)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[1].n_hits > 0 and rows[1].contamination_frac > 0
+    assert rows[2].n_hits == 0 and rows[3].n_hits == 0
+    # doc 1: 7 tokens → 3 distinct 5-grams, 1 shared
+    assert rows[1].n_grams == 3 and rows[1].n_hits == 1
+    assert abs(rows[1].contamination_frac - round(1 / 3, 6)) < 1e-9
+
+
+def test_contamination_exact_dup_is_fully_contaminated(spark):
+    text = "alpha beta gamma delta epsilon zeta eta"
+    out = contamination.contamination_check(
+        _docs(spark, [(1, text)]), _docs(spark, [(9, text)]), "doc_id", "text", n=5
+    )
+    row = out.collect()[0]
+    assert row.n_hits == row.n_grams and row.contamination_frac == 1.0
+
+
+def test_contamination_short_docs_produce_no_row(spark):
+    out = contamination.contamination_check(
+        _docs(spark, [(1, "too few tokens")]), _docs(spark, [(9, "some benchmark text here five")]),
+        "doc_id", "text", n=5,
+    )
+    assert out.collect() == []
+
+
+def test_contamination_probe_is_broadcast(spark):
+    bench = _docs(spark, [(9, "a b c d e f")])
+    corpus = _docs(spark, [(i, "a b c d e f g h") for i in range(4)])
+    out = contamination.contamination_check(corpus, bench, "doc_id", "text", n=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# pii_redact
+# ---------------------------------------------------------------------------
+
+
+def test_pii_redaction_and_counts(spark):
+    text = (
+        "mail bob.smith+x@corp.example.org or admin@a.io, host 192.168.0.1, "
+        "ssn 123-45-6789, call 555-123-4567 now"
+    )
+    row = text_analysis.pii_redact(_docs(spark, [(1, text)]), "doc_id", "text").collect()[0]
+    assert row.n_email == 2 and row.n_ip == 1 and row.n_ssn == 1 and row.n_phone == 1
+    red = row.redacted_text
+    assert "<EMAIL>" in red and "<IP>" in red and "<SSN>" in red and "<PHONE>" in red
+    assert "bob.smith" not in red and "192.168" not in red and "6789" not in red and "4567" not in red
+
+
+def test_pii_clean_text_unchanged(spark):
+    text = "no personal data here just words and 42 numbers"
+    row = text_analysis.pii_redact(_docs(spark, [(1, text)]), "doc_id", "text").collect()[0]
+    assert row.redacted_text == text
+    assert row.n_email == row.n_ip == row.n_ssn == row.n_phone == 0
+
+
+def test_profile_repetition_signal(spark):
+    rows = text_analysis.text_profile(
+        _docs(spark, [(1, "spam spam spam spam spam spam"), (2, "six distinct words appear only once")]),
+        "doc_id",
+        "text",
+    ).collect()
+    by_id = {r.doc_id: r for r in rows}
+    # "spam spam" repeated: 5 bigrams, 1 distinct → frac 0.8
+    assert abs(by_id[1].dup_bigram_frac - 0.8) < 1e-9
+    assert by_id[2].dup_bigram_frac == 0.0

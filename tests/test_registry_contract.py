@@ -12,10 +12,10 @@ DRIVER_WINDOW = 50
 
 
 def test_oracle_queries_fit_driver_window():
-    n_oracle = sum(1 for s in plans.QUERIES.values() if s.oracle is not None)
+    n_oracle = sum(1 for s in plans.QUERIES.values() if s.oracle is not None and not s.defer)
     assert n_oracle <= DRIVER_WINDOW, (
-        f"{n_oracle} oracle-bearing queries registered but the driver checks only "
-        f"the first {DRIVER_WINDOW} — consolidate queries (see plans/relational.py merges)"
+        f"{n_oracle} primary (non-deferred) oracle queries registered but the driver "
+        f"checks only the first {DRIVER_WINDOW} — consolidate or defer queries"
     )
 
 
@@ -32,5 +32,15 @@ def test_rows_only_queries_register_last():
 
 def test_every_oracle_query_in_window():
     names = list(plans.queries_map())[:DRIVER_WINDOW]
-    missing = set(plans.oracle_sql_map()) - set(names)
+    primary = {n for n, s in plans.QUERIES.items() if s.oracle is not None and not s.defer}
+    missing = primary - set(names)
     assert not missing, f"oracle queries outside the driver's {DRIVER_WINDOW}-entry window: {missing}"
+
+
+def test_deferred_queries_keep_their_oracle():
+    # defer moves a query out of the driver window but NOT out of the local
+    # differential gate — a deferred query without an oracle is a mistake
+    # (that's what oracle=None is for).
+    for name, spec in plans.QUERIES.items():
+        if spec.defer:
+            assert spec.oracle is not None, f"{name} is deferred but has no oracle"
