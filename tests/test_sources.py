@@ -154,3 +154,44 @@ def test_tfrecord_df_roundtrip(spark, tmp_path):
     assert back.count() == 20
     got = {r.step_type: (r.reward, r.label) for r in back.collect()}
     assert got[7] == ([7.0, 3.5], "row7")
+
+
+def test_fixture_schemas_match_declared(sf_small):
+    """Early drift alarm: the driver regenerates /root/testdata between
+    rounds, and a physical-type change (events.ts went int64-ns →
+    timestamp[us] in round 3) silently corrupts values when read through a
+    stale explicit schema. Compare every parquet footer against SCHEMAS."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mlops_pipelines_featurestore_gcp_spark.sources.catalog import SCHEMAS, TABLE_NAMES
+
+    compatible = {
+        "int": {pa.int32()},
+        "bigint": {pa.int64()},
+        "double": {pa.float64()},
+        "float": {pa.float32()},
+        "string": {pa.string(), pa.large_string()},
+        "timestamp": {pa.timestamp("us"), pa.timestamp("ns"), pa.timestamp("ms")},
+    }
+    for name in TABLE_NAMES:
+        path = f"{sf_small}/{name}.parquet"
+        if not os.path.exists(path):
+            continue
+        physical = {f.name: f.type for f in pq.read_schema(path)}
+        for field in SCHEMAS[name]:
+            spark_t = field.dataType.simpleString()
+            assert field.name in physical, f"{name}.{field.name} missing from fixture"
+            actual = physical[field.name]
+            if spark_t.startswith("array"):
+                assert pa.types.is_list(actual) or pa.types.is_large_list(actual), (name, field.name, actual)
+            elif name == "events" and field.name == "ts":
+                # legacy int64-ns OR modern timestamp — load_table adapts
+                assert pa.types.is_integer(actual) or pa.types.is_timestamp(actual)
+            else:
+                assert actual in compatible[spark_t], (
+                    f"{name}.{field.name}: declared {spark_t}, fixture has {actual} — "
+                    "update sources/catalog.py SCHEMAS for the regenerated testdata"
+                )
