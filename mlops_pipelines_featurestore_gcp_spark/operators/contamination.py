@@ -7,9 +7,18 @@ any benchmark document, then flag training documents whose n-grams hit
 that set. At 100 TB the asymmetry is the whole design: the benchmark side
 is small (eval suites are MBs, not TBs) so its distinct-gram set
 broadcasts, and the corpus side never shuffles for the probe — grams are
-generated map-side (row-local ``transform`` + ``explode``), the broadcast
-hash join probes in the same stage, and the only exchange is the final
-per-document aggregate on the corpus' own id key.
+generated map-side and the broadcast hash join probes in the same stage.
+The only exchange is the final per-document distinct-aggregate on the
+corpus' own id key.
+
+Gram construction is the codegen explode pattern (positions →
+``slice`` + ``concat_ws``), NOT a ``transform`` lambda — Spark's
+higher-order functions are CodegenFallback and run interpreted (profiled
+4.7× slower on this exact pass at sf0.1; same lesson as
+``text_analysis.doc_fingerprint``). Per-document gram dedup happens in the
+aggregate (``count_distinct``), which map-side-combines before the
+exchange, so shuffle volume equals the distinct (doc, gram) pairs — the
+same bytes an explicit pre-distinct would move, one stage earlier.
 
 Grams are joined as strings here so the DuckDB oracle is bit-identical; a
 production run would hash grams to int64 first (``functions.text.md5_long``)
@@ -21,17 +30,29 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from mlops_pipelines_featurestore_gcp_spark.functions.text import normalize, tokens, word_ngrams
+from mlops_pipelines_featurestore_gcp_spark.functions.text import normalize, tokens
+from mlops_pipelines_featurestore_gcp_spark.operators.dedup import _spread
 
 
-def _distinct_grams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """Per-document DISTINCT word n-grams of normalized text → (id, gram).
+def _grams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """All word n-grams of normalized text → (id, gram), map-side codegen.
 
-    array_distinct runs row-local BEFORE the explode, so duplicate grams
-    inside one document never reach the join.
+    Positional (within-document duplicates survive — the consumer's
+    distinct-aggregate collapses them). Documents with fewer than ``n``
+    tokens produce no rows.
     """
-    grams = F.array_distinct(word_ngrams(tokens(normalize(F.col(text_col))), n))
-    return df.select(F.col(id_col), F.explode(grams).alias("gram"))
+    toks = tokens(normalize(F.col(text_col)))
+    starts = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        _spread(df)
+        .select(F.col(id_col), toks.alias("__toks"), F.explode(starts).alias("__i"))
+        .select(
+            F.col(id_col),
+            F.concat_ws(" ", F.slice(F.col("__toks"), F.col("__i"), n)).alias("gram"),
+        )
+    )
 
 
 def contamination_check(
@@ -53,18 +74,21 @@ def contamination_check(
     reports evidence, it doesn't destroy rows.
     """
     bench_grams = (
-        _distinct_grams(benchmark, id_col, bench_text_col or text_col, n)
+        _grams(benchmark, id_col, bench_text_col or text_col, n)
         .select("gram")
         .distinct()
         .withColumn("__hit", F.lit(1))
     )
-    corpus_grams = _distinct_grams(corpus, id_col, text_col, n)
+    hit_gram = F.when(F.col("__hit").isNotNull(), F.col("gram"))
     return (
-        corpus_grams.join(F.broadcast(bench_grams), "gram", "left")
+        _grams(corpus, id_col, text_col, n)
+        .join(F.broadcast(bench_grams), "gram", "left")
         .groupBy(id_col)
         .agg(
-            F.count("*").alias("n_grams"),
-            F.count("__hit").alias("n_hits"),
-            F.round(F.count("__hit") / F.count("*"), 6).alias("contamination_frac"),
+            F.count_distinct(F.col("gram")).alias("n_grams"),
+            F.count_distinct(hit_gram).alias("n_hits"),
+            F.round(F.count_distinct(hit_gram) / F.count_distinct(F.col("gram")), 6).alias(
+                "contamination_frac"
+            ),
         )
     )

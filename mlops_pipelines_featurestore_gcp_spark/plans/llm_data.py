@@ -540,8 +540,9 @@ def t05_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 def t06_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-set decontamination: flag corpus docs sharing 5-token grams
     with a benchmark set (every 20th doc plays the eval suite). Benchmark
-    gram set broadcasts; corpus side probes map-side; one aggregate shuffle
-    on doc_id (operators/contamination.py)."""
+    gram set broadcasts; corpus side builds grams map-side (codegen explode,
+    not an interpreted transform lambda) and probes in the same stage; the
+    per-doc distinct-aggregate is the only shuffle (operators/contamination.py)."""
     docs = load_table(spark, "documents", sf_dir)
     bench = docs.where(F.col("doc_id") % 20 == 0)
     cand = docs.where(F.col("doc_id") % 20 != 0)
