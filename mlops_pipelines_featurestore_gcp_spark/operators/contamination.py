@@ -30,29 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from mlops_pipelines_featurestore_gcp_spark.functions.text import normalize, tokens
-from mlops_pipelines_featurestore_gcp_spark.operators.dedup import _spread
-
-
-def _grams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """All word n-grams of normalized text → (id, gram), map-side codegen.
-
-    Positional (within-document duplicates survive — the consumer's
-    distinct-aggregate collapses them). Documents with fewer than ``n``
-    tokens produce no rows.
-    """
-    toks = tokens(normalize(F.col(text_col)))
-    starts = F.when(
-        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    return (
-        _spread(df)
-        .select(F.col(id_col), toks.alias("__toks"), F.explode(starts).alias("__i"))
-        .select(
-            F.col(id_col),
-            F.concat_ws(" ", F.slice(F.col("__toks"), F.col("__i"), n)).alias("gram"),
-        )
-    )
+from mlops_pipelines_featurestore_gcp_spark.operators.dedup import gram_rows as _grams
 
 
 def contamination_check(

@@ -32,7 +32,6 @@ from mlops_pipelines_featurestore_gcp_spark.functions.text import (
     normalize,
     poly_char_hash,
     tokens,
-    word_ngrams,
 )
 
 
@@ -66,6 +65,31 @@ def _spread(df: DataFrame) -> DataFrame:
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
+
+
+def gram_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """All word n-grams of normalized text → (id, gram) rows, codegen only.
+
+    The positional-explode pattern: explode start positions, render each
+    gram with ``slice`` + ``concat_ws`` — whole-stage codegen end to end,
+    unlike a ``transform`` lambda (CodegenFallback, profiled 4-5× slower on
+    corpus passes). Positional: within-document duplicate grams survive;
+    callers that need set semantics follow with ``.distinct()`` (map-side
+    combine collapses the per-doc duplicates before the exchange) or a
+    distinct-aggregate. Documents with fewer than ``n`` tokens yield no rows.
+    """
+    toks = tokens(normalize(F.col(text_col)))
+    starts = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        _spread(df)
+        .select(F.col(id_col), toks.alias("__toks"), F.explode(starts).alias("__i"))
+        .select(
+            F.col(id_col),
+            F.concat_ws(" ", F.slice(F.col("__toks"), F.col("__i"), n)).alias("gram"),
+        )
+    )
 
 
 def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -244,10 +268,7 @@ def ngram_jaccard_pairs(
     precisely the boilerplate-only overlap a near-dup pass should ignore.
     ``max_df=None`` (default) keeps the fully exact one-join plan.
     """
-    grams = _spread(df).select(
-        F.col(id_col),
-        F.explode(F.array_distinct(word_ngrams(tokens(normalize(F.col(text_col))), n))).alias("sh"),
-    )
+    grams = gram_rows(df, id_col, text_col, n).withColumnRenamed("gram", "sh").distinct()
     if max_df is None:
         a = grams.withColumnRenamed(id_col, "doc_a").withColumnRenamed("sh", "s")
         b = grams.withColumnRenamed(id_col, "doc_b").withColumnRenamed("sh", "s")

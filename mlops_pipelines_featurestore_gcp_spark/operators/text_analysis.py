@@ -16,7 +16,7 @@ from mlops_pipelines_featurestore_gcp_spark.functions.text import (
     normalize,
     stopword_hits,
     tokens,
-    word_ngrams,
+    word_ngram_structs,
 )
 from mlops_pipelines_featurestore_gcp_spark.operators.dedup import _spread
 
@@ -128,9 +128,11 @@ def repetition_frac(toks: Column) -> Column:
 
     The cheap Gopher-style repetition signal — boilerplate and generated
     spam repeat phrase-level n-grams far more than natural text. Row-local
-    array arithmetic, no shuffle.
+    array arithmetic, no shuffle; bigrams are zip-structs
+    (``word_ngram_structs``) so the whole expression stays in codegen —
+    the transform-lambda form was 2.9s of t01's 3.5s at sf0.1.
     """
-    bigs = word_ngrams(toks, 2)
+    bigs = word_ngram_structs(toks, 2)
     return F.round(
         1.0 - F.size(F.array_distinct(bigs)) / F.greatest(F.size(bigs), F.lit(1)), 6
     )
