@@ -31,8 +31,14 @@ def normalize(col: Column) -> Column:
 
 
 def tokens(col: Column) -> Column:
-    """Whitespace tokens with empties removed → array<string>."""
-    return F.filter(F.split(F.trim(col), r"\s+"), lambda x: x != F.lit(""))
+    """Whitespace tokens with empties removed → array<string>.
+
+    ``array_remove`` (codegen) rather than a ``filter`` lambda
+    (CodegenFallback): after ``trim``, the only possible empty element is
+    the single ``[""]`` a fully-blank string splits to, and array_remove
+    drops every ``""`` either way — identical semantics, no interpreter.
+    """
+    return F.array_remove(F.split(F.trim(col), r"\s+"), "")
 
 
 def char_shingles(col: Column, k: int = 5) -> Column:
@@ -130,6 +136,14 @@ def seeded_md5_long(col: Column, seed: Column | int, bits: int = 32) -> Column:
 
 
 def stopword_hits(toks: Column, lang: str) -> Column:
-    """Count of tokens that are stopwords of ``lang``."""
-    words = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
-    return F.size(F.filter(toks, lambda x: F.array_contains(words, x))).cast("long")
+    """Count of tokens that are stopwords of ``lang`` (with multiplicity).
+
+    Chained ``array_remove`` of each stopword, then a size difference —
+    every step is codegen. The previous ``filter(array_contains)`` lambda
+    ran interpreted on every token of every document of every language
+    scored (4× per doc in lang_id).
+    """
+    removed = toks
+    for w in STOPWORDS[lang]:
+        removed = F.array_remove(removed, w)
+    return (F.size(toks) - F.size(removed)).cast("long")
