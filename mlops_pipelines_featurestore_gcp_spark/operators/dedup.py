@@ -110,6 +110,89 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def minhash_doc_hashes(
+    df: DataFrame, id_col: str, text_col: str, *, k: int = 5, num_hashes: int = 16
+) -> DataFrame:
+    """Per-doc distinct shingle-hash set + MinHash signature, one shuffle.
+
+    Returns ``(id, __hs array<long>, __m0..__m{num_hashes-1})``.
+
+    Docs shorter than ``k`` produce zero shingles → an all-null signature →
+    ONE shared band key for every such doc downstream. Harmless at fixture
+    scale, but at corpus scale that single bucket is a quadratic candidate
+    blowup — and such docs can never reach a verified output (no shingles →
+    no shared shingles), so they are dropped before signing.
+
+    The shingle hashes are computed via explode + ``poly_char_hash`` — plain
+    projections that stay inside WHOLE-STAGE CODEGEN (the same fold as a
+    higher-order ``transform`` lambda runs ~5× slower because Spark HOFs
+    are CodegenFallback). ONE partial-combined aggregation then produces
+    BOTH the verify-side distinct hash set and all signature minima (min
+    over the multiset == min over the set): codegen min() aggregates, one
+    shuffle of one row per doc, no second pass over the hash arrays.
+
+    The result is lazily ``localCheckpoint``-ed (not ``cache()``): blocks
+    are GC-reclaimed with the DataFrame instead of pinning storage until an
+    explicit unpersist (repeated operator calls in a long session would
+    accumulate).
+    """
+    nt = normalize(F.col(text_col))
+    pos = (
+        _spread(df)
+        .select(F.col(id_col), nt.alias("__nt"))
+        .where(F.length("__nt") >= k)
+        .select(
+            F.col(id_col),
+            "__nt",
+            F.explode(F.sequence(F.lit(1), F.length("__nt") - (k - 1))).alias("__i"),
+        )
+    )
+    sh = pos.select(
+        F.col(id_col),
+        poly_char_hash(F.col("__nt"), F.col("__i"), k, MINHASH_PRIME).alias("h"),
+    )
+    coeffs = minhash_coeffs(num_hashes)
+    return (
+        sh.groupBy(id_col)
+        .agg(
+            F.collect_set("h").alias("__hs"),
+            *[
+                F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_PRIME).alias(f"__m{i}")
+                for i, (a, b) in enumerate(coeffs)
+            ],
+        )
+        .localCheckpoint(eager=False)
+    )
+
+
+def band_key_rows(sigs: DataFrame, id_col: str, *, num_hashes: int, bands: int) -> DataFrame:
+    """Banded LSH keys from a signature table → ``(id, band, bkey)`` rows.
+
+    band key = md5 of the comma-joined signature slice, identical string
+    construction to the DuckDB oracle's ``string_agg(... ORDER BY hi)``.
+    Row-local projection — callers join/self-join on (band, bkey).
+    """
+    rows_per_band = num_hashes // bands
+    bkeys = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"__m{b * rows_per_band + j}").cast("string")
+                            for j in range(rows_per_band)
+                        ],
+                    )
+                ).alias("bkey"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sigs.select(F.col(id_col), F.explode(bkeys).alias("x")).select(id_col, "x.band", "x.bkey")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -142,83 +225,8 @@ def minhash_lsh_pairs(
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard ≥ threshold.
     Jaccard is an int/int division — bit-exact across engines.
     """
-    rows_per_band = num_hashes // bands
-    # Docs shorter than k produce zero shingles → an all-null signature →
-    # ONE shared band key for every such doc. Harmless at fixture scale
-    # (verify filters them), but at corpus scale that single bucket is a
-    # quadratic candidate blowup. They can never reach the verified output
-    # (no shingles → no shared shingles), so drop them before signing.
-    #
-    # The shingle hashes are computed via explode + poly_char_hash — plain
-    # projections that stay inside WHOLE-STAGE CODEGEN (the same fold as a
-    # higher-order ``transform`` lambda runs ~5× slower because Spark HOFs
-    # are CodegenFallback). One collect_set shuffle then materializes the
-    # per-doc DISTINCT hash set exactly once — reused by both the signature
-    # pass and the exact-Jaccard verify, so the text is shingled ONCE (the
-    # r1 plan re-exploded the corpus a second time for verification).
-    nt = normalize(F.col(text_col))
-    pos = (
-        _spread(df)
-        .select(F.col(id_col), nt.alias("__nt"))
-        .where(F.length("__nt") >= k)
-        .select(
-            F.col(id_col),
-            "__nt",
-            F.explode(F.sequence(F.lit(1), F.length("__nt") - (k - 1))).alias("__i"),
-        )
-    )
-    sh = pos.select(
-        F.col(id_col),
-        poly_char_hash(F.col("__nt"), F.col("__i"), k, MINHASH_PRIME).alias("h"),
-    )
-    coeffs = minhash_coeffs(num_hashes)
-    # ONE partial-combined aggregation produces BOTH the verify-side
-    # distinct hash set and all 16 signature minima (min over the multiset
-    # == min over the set): whole-stage-codegen min() aggregates, one
-    # shuffle of one row per doc, no second pass over the hash arrays.
-    doc_hashes = (
-        sh.groupBy(id_col)
-        .agg(
-            F.collect_set("h").alias("__hs"),
-            *[
-                F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_PRIME).alias(f"__m{i}")
-                for i, (a, b) in enumerate(coeffs)
-            ],
-        )
-        # one row per doc; feeds band keys AND the verify joins. Lazy
-        # localCheckpoint, not cache(): blocks are GC-reclaimed with this
-        # DataFrame instead of pinning storage until an explicit unpersist
-        # (repeated operator calls in a long session would accumulate).
-        .localCheckpoint(eager=False)
-    )
-    sigs = doc_hashes.select(F.col(id_col), *[f"__m{i}" for i in range(num_hashes)])
-
-    # band key = md5 of the comma-joined signature slice, identical string
-    # construction to the oracle's string_agg(... ORDER BY hi)
-    bkeys = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.col(f"__m{b * rows_per_band + j}").cast("string")
-                            for j in range(rows_per_band)
-                        ],
-                    )
-                ).alias("bkey"),
-            )
-            for b in range(bands)
-        ]
-    )
-    # no cache: both self-join sides recompute the band keys from the
-    # CACHED doc_hashes — a row-local md5 projection, cheaper than a
-    # materialization barrier
-    band_keys = (
-        sigs.select(F.col(id_col), F.explode(bkeys).alias("x"))
-        .select(id_col, "x.band", "x.bkey")
-    )
+    doc_hashes = minhash_doc_hashes(df, id_col, text_col, k=k, num_hashes=num_hashes)
+    band_keys = band_key_rows(doc_hashes, id_col, num_hashes=num_hashes, bands=bands)
 
     a = band_keys.select(F.col(id_col).alias("doc_a"), "band", "bkey")
     b = band_keys.select(F.col(id_col).alias("doc_b"), "band", "bkey")
