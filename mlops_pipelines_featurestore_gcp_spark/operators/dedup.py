@@ -27,7 +27,6 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from mlops_pipelines_featurestore_gcp_spark.functions.text import (
-    char_shingles,
     md5_long,
     normalize,
     poly_char_hash,
@@ -321,43 +320,61 @@ def ngram_jaccard_pairs(
 def simhash_signatures(
     df: DataFrame, id_col: str, text_col: str, *, k: int = 5, bits: int = 60
 ) -> DataFrame:
-    """60-bit SimHash over k-char shingles → (id, simhash).
+    """60-bit SimHash over distinct k-char shingles → (id, simhash).
 
     Bit j of the signature is the sign of Σ_shingles (±1 by bit j of the
     shingle hash): set iff 2·(count of shingles with bit j set) > n.
-    Computed entirely row-local — one shingle-hash array per doc, 60 array
-    folds — instead of exploding (shingle × bit) rows, which shuffled 60×
-    the shingle count through two exchanges.
-    """
-    from functools import reduce
 
-    # Docs shorter than k shingle to nothing → signature 0 for ALL of them →
-    # one shared hamming-0 block (quadratic blowup) that the SQL twin never
-    # even sees (zero shingle rows drops the doc there). Same guard as
-    # minhash_lsh_pairs: sub-k docs can never share a shingle, so drop them.
-    sh_arr = F.array_distinct(char_shingles(F.col("__nt"), k))
-    hashed = (
+    Plan shape — codegen end to end (the previous form held a row-local
+    hash ARRAY and folded it with 60 ``aggregate`` lambdas + a
+    ``transform`` md5 per shingle; Spark HOFs are CodegenFallback, so the
+    entire signature ran interpreted):
+
+      1. explode shingle positions → ``md5_long(substr(nt, i, k))`` —
+         narrow, codegen (md5/conv are ordinary expressions, unlike a
+         lambda-wrapped md5)
+      2. groupBy(id, hash) — the distinct-shingle set; map-side combine
+         collapses within-doc repeats before the exchange
+      3. groupBy(id): count + ``bits`` conditional bit-sums in ONE
+         partial-combined aggregate → one row per doc crosses the wire
+
+    Both shuffles move ≈ the distinct (doc, shingle-hash) pairs — the same
+    bytes the row-local form kept in its array, now compiled instead of
+    interpreted.
+
+    Docs shorter than k shingle to nothing → signature 0 for ALL of them →
+    one shared hamming-0 block (quadratic blowup) that the SQL twin never
+    even sees (zero shingle rows drops the doc there). Same guard as
+    minhash_lsh_pairs: sub-k docs can never share a shingle, so drop them.
+    """
+    pos = (
         _spread(df)
         .withColumn("__nt", normalize(F.col(text_col)))
         .where(F.length("__nt") >= k)
-        .select(F.col(id_col), F.transform(sh_arr, lambda x: md5_long(x, bits=bits)).alias("__h"))
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.lit(1), F.length("__nt") - (k - 1))).alias("__i"),
+            "__nt",
+        )
     )
-
-    def _bit_count(j: int):
-        def acc(a, h):
-            return a + F.shiftright(h, j).bitwiseAND(F.lit(1))
-
-        return F.aggregate(F.col("__h"), F.lit(0).cast("long"), acc)
-
-    n = F.size(F.col("__h"))
-    sim = reduce(
-        lambda a, b: a + b,
-        [
-            F.when(_bit_count(j) * 2 > n, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+    hashed = pos.select(
+        F.col(id_col),
+        md5_long(F.col("__nt").substr(F.col("__i"), F.lit(k)), bits=bits).alias("__h"),
+    ).distinct()  # distinct (doc, shingle-hash) pairs
+    bit_sums = hashed.groupBy(id_col).agg(
+        F.count("*").alias("__n"),
+        *[
+            F.sum(F.shiftright(F.col("__h"), j).bitwiseAND(F.lit(1))).alias(f"__c{j}")
             for j in range(bits)
         ],
     )
-    return hashed.select(F.col(id_col), sim.alias("simhash"))
+    sim = sum(
+        F.when(F.col(f"__c{j}") * 2 > F.col("__n"), F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        for j in range(bits)
+    )
+    return bit_sums.select(F.col(id_col), sim.alias("simhash"))
 
 
 def simhash_pairs(
