@@ -1,0 +1,99 @@
+"""Clustered data layout: range-partitioned, sorted parquet for stats-based
+data skipping.
+
+At 100 TB the fastest scan is the one that never opens most of the table.
+Parquet readers prune at two levels using column min/max statistics:
+row groups (predicate pushdown against footer stats) and whole files
+(when the planner can bound a file's key range). Both only help when the
+LAYOUT is clustered — a randomly-distributed key has min≈global-min,
+max≈global-max in every file, and nothing is skippable.
+
+``save_clustered`` makes the layout property hold by construction:
+
+  1. ``repartitionByRange(n, keys)`` — one range shuffle; every output
+     partition (→ file) covers a narrow, near-disjoint key interval,
+  2. ``sortWithinPartitions(keys...)`` — rows inside each file are sorted,
+     so row-group stats within a file are narrow too (this is the
+     "z-order-lite" for a single clustering dimension; true multi-dim
+     z-ordering interleaves key bits, same write-side shuffle cost),
+  3. plain parquet write — the stats come free in the footers.
+
+This is the write-time-shuffle-for-read-time-skipping trade, the
+same economics as ``bucketing.py`` (shuffle-free joins) and the feature
+store's ``feature_date`` partitioning (directory pruning): pay one
+Exchange at ingest, skip forever.
+
+``layout_stats`` reads the per-file min/max back from the footers —
+the measurable layout property tests assert instead of trusting reader
+internals.
+
+Reference analogue: none (BigQuery auto-clusters); engine-native feature.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def save_clustered(
+    df: DataFrame,
+    path: str,
+    *,
+    cluster_by: str | list[str],
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as range-clustered parquet on ``cluster_by``.
+
+    ``num_files`` bounds the range shuffle's partition count (defaults to
+    the session's shuffle partitions). Multi-column ``cluster_by`` ranges
+    on the first column and sorts lexicographically within files.
+    """
+    cols = [cluster_by] if isinstance(cluster_by, str) else list(cluster_by)
+    n = num_files or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    (
+        df.repartitionByRange(n, *[df[c] for c in cols[:1]])
+        .sortWithinPartitions(*cols)
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def read_clustered(spark: SparkSession, path: str) -> DataFrame:
+    """Plain parquet read; range predicates on the cluster key are pushed
+    to the scan (``PushedFilters``) where footer stats prune row groups."""
+    return spark.read.parquet(path)
+
+
+def layout_stats(spark: SparkSession, path: str, column: str) -> DataFrame:
+    """Per-file min/max of ``column`` from the parquet footers →
+    ``(file, n_rows, c_min, c_max)``.
+
+    Footer-only reads (no data pages). This is exactly the information a
+    stats-based planner prunes with; asserting the intervals are narrow
+    and near-disjoint PROVES the layout enables skipping, independent of
+    any particular reader's pruning implementation.
+    """
+    import glob as _glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    rows = []
+    for f in sorted(_glob.glob(os.path.join(path, "*.parquet"))):
+        md = pq.ParquetFile(f).metadata
+        lo, hi, n = None, None, 0
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            n += rg.num_rows
+            for c in range(rg.num_columns):
+                col = rg.column(c)
+                if col.path_in_schema == column and col.statistics is not None:
+                    s = col.statistics
+                    lo = s.min if lo is None else min(lo, s.min)
+                    hi = s.max if hi is None else max(hi, s.max)
+        if n:
+            rows.append((os.path.basename(f), n, lo, hi))
+    if not rows:
+        return spark.createDataFrame([], "file string, n_rows long, c_min string, c_max string")
+    return spark.createDataFrame(rows, ["file", "n_rows", "c_min", "c_max"])
