@@ -68,3 +68,29 @@ def test_roundtrip_preserves_rows(spark, tmp_path):
     df = read_clustered(spark, path)
     assert df.count() == 40_000
     assert df.agg(F.sum("k")).collect()[0][0] == sum(range(40_000))
+
+
+def test_zorder_keeps_both_dimensions_narrow(spark, tmp_path):
+    from mlops_pipelines_featurestore_gcp_spark.sources.layout import save_zordered
+
+    n = 40_000
+    side = 200  # x, y ∈ [0, 200): a 200×200 grid
+    df = spark.range(0, n).select(
+        (F.col("id") % side).alias("x"),
+        (F.col("id") / side).cast("long").alias("y"),
+    )
+    zpath = str(tmp_path / "zorder")
+    save_zordered(df, zpath, zorder_by=["x", "y"], num_files=16)
+    xpath = str(tmp_path / "xonly")
+    save_clustered(df, xpath, cluster_by="x", num_files=16)
+
+    def mean_width(path, col):
+        stats = layout_stats(spark, path, col).collect()
+        return sum(int(r.c_max) - int(r.c_min) for r in stats) / len(stats)
+
+    # clustering on x alone: x narrow, y spans ~everything in every file
+    assert mean_width(xpath, "x") < side * 0.2
+    assert mean_width(xpath, "y") > side * 0.8
+    # z-order: BOTH dimensions stay well below the full span per file
+    assert mean_width(zpath, "x") < side * 0.6
+    assert mean_width(zpath, "y") < side * 0.6
