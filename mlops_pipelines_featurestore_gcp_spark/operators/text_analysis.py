@@ -197,12 +197,21 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """
     df = _spread(df)
     toks = tokens(normalize(F.col(text_col)))
-    scores = _lang_scores(toks)
-    best = F.greatest(*scores.values())
+    # Two-stage select: score columns FIRST, then the argmax cascade over
+    # plain column references. Inlining the score expressions into the
+    # when-cascade duplicates each tokenize+remove subtree ~3× (greatest,
+    # equality, output) — the generated code blows up and compile time
+    # dominates the stage.
+    scored = df.select(
+        F.col(id_col),
+        *[c.alias(f"__s_{lang}") for lang, c in _lang_scores(toks).items()],
+    )
+    score_cols = {lang: F.col(f"__s_{lang}") for lang in STOPWORDS}
+    best = F.greatest(*score_cols.values())
     pred = F.when(best == 0, F.lit("und"))
     for lang in STOPWORDS:  # dict order = precedence order
-        pred = pred.when(scores[lang] == best, F.lit(lang))
-    return df.select(
+        pred = pred.when(score_cols[lang] == best, F.lit(lang))
+    return scored.select(
         F.col(id_col),
         pred.alias("lang_pred"),
         best.cast("long").alias("lang_hits"),
