@@ -156,3 +156,49 @@ def test_profile_repetition_signal(spark):
     # "spam spam" repeated: 5 bigrams, 1 distinct → frac 0.8
     assert abs(by_id[1].dup_bigram_frac - 0.8) < 1e-9
     assert by_id[2].dup_bigram_frac == 0.0
+
+
+def test_chunk_invariant_sweep(spark):
+    """Exhaustive small-domain sweep (every token count 0..40 × several
+    (chunk, overlap) configs): starts are stride-spaced below
+    max(n-overlap, 1), every chunk renders exactly its token window, and
+    the windows cover every token with no gaps."""
+    docs = [(n, " ".join(f"t{i}" for i in range(n))) for n in range(0, 41)]
+    df = _docs(spark, docs)
+    for chunk_tokens, overlap in [(4, 0), (4, 1), (4, 3), (8, 2), (16, 5), (5, 2)]:
+        stride = chunk_tokens - overlap
+        rows = chunking.chunk_documents(
+            df, "doc_id", "text", chunk_tokens=chunk_tokens, overlap=overlap
+        ).collect()
+        by_doc: dict[int, list] = {}
+        for r in rows:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        for n in range(41):
+            chunks = sorted(by_doc.get(n, []), key=lambda r: r.chunk_start)
+            if n == 0:
+                assert chunks == []
+                continue
+            assert [c.chunk_start for c in chunks] == list(range(0, max(n - overlap, 1), stride))
+            toks = [f"t{i}" for i in range(n)]
+            covered: set[int] = set()
+            for c in chunks:
+                window = toks[c.chunk_start : c.chunk_start + chunk_tokens]
+                assert c.chunk_text.split() == window
+                assert c.n_chunk_tokens == len(window)
+                covered.update(range(c.chunk_start, c.chunk_start + c.n_chunk_tokens))
+            assert covered == set(range(n)), (n, chunk_tokens, overlap)
+
+
+def test_pii_redaction_is_idempotent(spark):
+    texts = [
+        (1, "a@b.co and 10.0.0.1 and 123-45-6789 and 555-123-4567"),
+        (2, "email.with+tags@sub.domain.org twice a@b.co a@b.co"),
+        (3, "already <EMAIL> redacted <IP> placeholders stay"),
+        (4, "digits 1234567 12.34 1.2.3 not pii"),
+    ]
+    df = _docs(spark, texts)
+    once = text_analysis.redact_pii(F.col("text"))
+    twice = text_analysis.redact_pii(once)
+    rows = df.select("doc_id", once.alias("r1"), twice.alias("r2")).collect()
+    for r in rows:
+        assert r.r1 == r.r2, r
