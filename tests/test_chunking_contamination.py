@@ -202,3 +202,18 @@ def test_pii_redaction_is_idempotent(spark):
     rows = df.select("doc_id", once.alias("r1"), twice.alias("r2")).collect()
     for r in rows:
         assert r.r1 == r.r2, r
+
+
+def test_null_text_rows_are_safe(spark):
+    """Real corpora contain NULL text; none of the new operators may crash
+    or fabricate output for them."""
+    df = _docs(spark, [(1, None), (2, "alpha beta gamma delta epsilon zeta")])
+    chunks = chunking.chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap=1).collect()
+    assert {r.doc_id for r in chunks} == {2}
+    cont = contamination.contamination_check(
+        df, _docs(spark, [(9, "alpha beta gamma delta epsilon zeta")]), "doc_id", "text", n=5
+    ).collect()
+    assert {r.doc_id for r in cont} == {2}
+    pii = {r.doc_id: r for r in text_analysis.pii_redact(df, "doc_id", "text").collect()}
+    assert pii[1].redacted_text is None
+    assert pii[2].redacted_text == "alpha beta gamma delta epsilon zeta"
