@@ -3,9 +3,12 @@ pipeline runs nightly, built from the engine's own operators.
 
     raw documents
       → quality gate       (text_profile thresholds — row-local, codegen)
+      → PII redaction      (optional: typed placeholders — map-only)
       → exact dedup        (md5 group, keep canonical doc — one shuffle)
       → near-dup removal   (MinHash+LSH pairs → connected keep-set)
+      → contamination drop (optional: n-gram overlap vs a benchmark set)
       → profiled output    (per-doc token/quality stats attached)
+      → chunking           (optional: overlapping token windows — map-only)
 
 Shuffle budget at 100 TB: the quality gate is map-only; exact dedup is one
 shuffle on a high-entropy fingerprint; the near-dup stage is the bucketed
@@ -38,6 +41,7 @@ class CorpusPrepStats:
     after_quality: int
     after_exact_dedup: int
     after_near_dedup: int
+    after_decontamination: int | None = None
 
 
 def prepare_corpus(
@@ -51,19 +55,34 @@ def prepare_corpus(
     shingle_k: int = 5,
     with_stats: bool = False,
     exact_clusters: bool = False,
+    redact_pii: bool = False,
+    benchmark: DataFrame | None = None,
+    contamination_ngram: int = 5,
+    chunk_tokens: int | None = None,
+    chunk_overlap: int = 16,
 ) -> DataFrame | tuple[DataFrame, CorpusPrepStats]:
-    """Quality-gate, exact-dedup, and near-dedup a document corpus.
+    """Quality-gate, (optionally) scrub, dedup, decontaminate, and chunk a
+    document corpus.
 
     Returns the surviving docs with their text profile attached
     (``n_tokens``, ``quality`` etc. — the columns downstream samplers weight
     by). ``with_stats=True`` additionally returns per-stage row counts
-    (forces evaluation — four count jobs; leave off in production DAGs).
+    (forces evaluation — count jobs; leave off in production DAGs).
 
     ``exact_clusters=True`` replaces the one-pass drop rule with iterative
     connected components over the verified pairs
     (``operators/components.py``): exactly one survivor per duplicate
     CLUSTER, at the cost of O(cluster diameter) extra join rounds.
+
+    ``redact_pii=True`` rewrites the text column with typed placeholders
+    BEFORE dedup (so two docs differing only in redacted spans dedup
+    together — the order real pipelines use). ``benchmark`` drops every doc
+    sharing a word ``contamination_ngram``-gram with the given eval set.
+    ``chunk_tokens`` reshapes the final output to chunk grain
+    (one row per overlapping token window) instead of doc grain.
     """
+    if redact_pii:
+        docs = docs.withColumn(text_col, text_analysis.redact_pii(F.col(text_col)))
     profile = text_analysis.text_profile(docs, id_col, text_col)
     profiled = docs.join(profile, id_col)
 
@@ -91,12 +110,35 @@ def prepare_corpus(
         drop_ids = pairs.select(F.col("doc_b").alias(id_col)).distinct()
         kept_near = kept_exact.join(F.broadcast(drop_ids), id_col, "left_anti")
 
+    after_near = kept_near
+    after_decontamination = None
+    if benchmark is not None:
+        from mlops_pipelines_featurestore_gcp_spark.operators.contamination import contamination_check
+
+        hits = contamination_check(
+            kept_near, benchmark, id_col, text_col, n=contamination_ngram
+        ).where(F.col("n_hits") > 0)
+        kept_near = kept_near.join(
+            F.broadcast(hits.select(id_col)), id_col, "left_anti"
+        )
+        if with_stats:
+            after_decontamination = kept_near.count()
+
+    out = kept_near
+    if chunk_tokens is not None:
+        from mlops_pipelines_featurestore_gcp_spark.operators.chunking import chunk_documents
+
+        out = chunk_documents(
+            kept_near, id_col, text_col, chunk_tokens=chunk_tokens, overlap=chunk_overlap
+        )
+
     if not with_stats:
-        return kept_near
+        return out
     stats = CorpusPrepStats(
         input_docs=docs.count(),
         after_quality=kept_quality.count(),
         after_exact_dedup=kept_exact.count(),
-        after_near_dedup=kept_near.count(),
+        after_near_dedup=after_near.count(),
+        after_decontamination=after_decontamination,
     )
-    return kept_near, stats
+    return out, stats

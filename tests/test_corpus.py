@@ -52,3 +52,42 @@ def test_prepare_corpus_all_filtered(spark):
     docs = spark.createDataFrame([(1, "x"), (2, "y")], "doc_id long, text string")
     out, stats = prepare_corpus(docs, "doc_id", "text", min_tokens=5, with_stats=True)
     assert stats.after_quality == 0 and out.count() == 0
+
+
+def test_prepare_corpus_decontamination_and_chunking(spark):
+    bench = spark.createDataFrame(
+        [(100, "the dog ran to the park and it was a fine day")],
+        "doc_id long, text string",
+    )
+    out, stats = prepare_corpus(
+        _docs(spark), "doc_id", "text",
+        min_tokens=5, min_quality=0.3, near_dup_threshold=0.5,
+        benchmark=bench, with_stats=True,
+    )
+    # doc 5 shares a 5-gram with the benchmark -> dropped after near-dedup
+    assert stats.after_near_dedup == 3 and stats.after_decontamination == 2
+    assert sorted(r.doc_id for r in out.collect()) == [1, 6]
+
+    chunks = prepare_corpus(
+        _docs(spark), "doc_id", "text",
+        min_tokens=5, min_quality=0.3, near_dup_threshold=0.5,
+        chunk_tokens=8, chunk_overlap=2,
+    )
+    rows = chunks.collect()
+    assert {"chunk_idx", "chunk_text", "n_chunk_tokens"} <= set(chunks.columns)
+    assert {r.doc_id for r in rows} == {1, 5, 6}
+    assert all(r.n_chunk_tokens <= 8 for r in rows)
+
+
+def test_prepare_corpus_pii_before_dedup(spark):
+    # two docs identical except for different emails: with redact_pii the
+    # placeholders make them EXACT dups and one is dropped
+    rows = [
+        (1, "contact alice@example.com for the full report on the findings today"),
+        (2, "contact bob@other.org for the full report on the findings today"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = prepare_corpus(docs, "doc_id", "text", min_tokens=5, min_quality=0.0, redact_pii=True)
+    got = out.collect()
+    assert [r.doc_id for r in got] == [1]
+    assert "<EMAIL>" in got[0].text and "alice" not in got[0].text
