@@ -224,3 +224,43 @@ class IncrementalDedupIndex:
         )
         upsert_batch(self._bands_path, kept_bands, key="bk", version_col="__v", n_buckets=self.n_buckets)
         return report
+
+    def dedup_sink(
+        self,
+        stream: DataFrame,
+        checkpoint_dir: str,
+        *,
+        id_col: str,
+        text_col: str,
+        report_path: str | None = None,
+        available_now: bool = True,
+    ):
+        """Attach ``ingest`` as a ``foreachBatch`` streaming sink: every
+        micro-batch of documents dedups against the index (and itself),
+        survivors are admitted, and the per-doc report optionally appends
+        to ``report_path``.
+
+        Replay safety is inherited from ``ingest``: a crashed-and-replayed
+        micro-batch re-derives the identical report (its docs now map to
+        themselves → ``kept``) and upserts identical bucket contents. The
+        report append is keyed by doc id via upsert when ``report_path``
+        is set, so replays don't duplicate report rows either.
+        """
+
+        def _ingest(batch_df: DataFrame, _batch_id: int) -> None:
+            report = self.ingest(batch_df, id_col, text_col)
+            if report_path is not None:
+                upsert_batch(
+                    report_path,
+                    report.withColumn("__v", F.lit(0)),
+                    key=id_col,
+                    version_col="__v",
+                    n_buckets=self.n_buckets,
+                )
+
+        writer = stream.writeStream.foreachBatch(_ingest).option(
+            "checkpointLocation", checkpoint_dir
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()

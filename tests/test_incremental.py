@@ -102,3 +102,38 @@ def test_report_counts_partition_batch(spark, tmp_path):
     statuses = [rep[i].status for i in range(5)]
     assert statuses.count(KEPT) == 1 and statuses.count(NEAR_DUP) == 4
     assert all(rep[i].dup_of == 0 for i in range(1, 5))
+
+
+def test_streaming_dedup_sink(spark, tmp_path):
+    """File stream → foreachBatch ingest: survivors admitted, report table
+    keyed per doc, dedup across the whole stream."""
+    src = str(tmp_path / "incoming")
+    batch1 = _docs(spark, [(1, DOC_A), (2, DOC_B)])
+    batch1.write.mode("overwrite").parquet(src)
+    # second file lands in the same directory: one exact dup + one fresh
+    _docs(spark, [(10, DOC_A), (12, DOC_C)]).write.mode("append").parquet(src)
+
+    idx = _index(spark, tmp_path)
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    q = idx.dedup_sink(
+        stream,
+        str(tmp_path / "ckpt"),
+        id_col="doc_id",
+        text_col="text",
+        report_path=str(tmp_path / "report"),
+    )
+    q.awaitTermination(120)
+
+    from mlops_pipelines_featurestore_gcp_spark.streaming.upsert import read_upsert_table
+
+    report = {r.doc_id: r for r in read_upsert_table(spark, str(tmp_path / "report")).collect()}
+    assert set(report) == {1, 2, 10, 12}
+    assert report[12].status == KEPT
+    # doc 10 is an exact copy of doc 1; whichever micro-batch order the
+    # stream picked, exactly one of {1, 10} was kept and the other flagged
+    statuses = {report[1].status, report[10].status}
+    assert KEPT in statuses and EXACT_DUP in statuses
+    kept_sigs = read_upsert_table(spark, f"{idx.path}/sigs")
+    assert kept_sigs.count() == 3  # one of the A-copies + B + C
