@@ -23,7 +23,7 @@ surface the north star requires.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from mlops_pipelines_featurestore_gcp_spark.functions.text import (

@@ -9,7 +9,7 @@ window twins.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mlops_pipelines_featurestore_gcp_spark.feature_store.store import latest_values
