@@ -73,9 +73,13 @@ class IncrementalDedupIndex:
         return f"{self.path}/bands"
 
     def _read(self, path: str, schema: str) -> DataFrame:
+        from pyspark.errors import AnalysisException
+
         try:
             return read_upsert_table(self.spark, path)
-        except Exception:  # first ingest — table doesn't exist yet
+        except AnalysisException:  # first ingest — table doesn't exist yet;
+            # any OTHER failure (corrupt files, permissions) must propagate,
+            # not silently re-ingest the world against an empty index
             return self.spark.createDataFrame([], schema)
 
     def ingest(self, docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
