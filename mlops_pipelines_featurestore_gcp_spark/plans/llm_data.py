@@ -12,7 +12,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mlops_pipelines_featurestore_gcp_spark.functions.canonical import ser_long_array, sql_long_array
+from mlops_pipelines_featurestore_gcp_spark.functions.canonical import (
+    ser_double_array,
+    ser_long_array,
+    sql_long_array,
+)
 from mlops_pipelines_featurestore_gcp_spark.functions.text import poly_char_hash_sql
 from mlops_pipelines_featurestore_gcp_spark.operators import (
     chunking,
@@ -618,6 +622,30 @@ def mm03_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_frames"),
         F.sum(F.col("frame_meta.n_bytes")).cast("long").alias("sampled_bytes"),
+    )
+
+
+@register(
+    "t07_hashed_embeddings",
+    # rows-only: the vector itself is deterministic (md5 buckets/signs),
+    # but a 64-dim dense-reconstruction oracle in SQL adds more surface
+    # than signal — tests/test_embeddings.py instead asserts EXACT parity
+    # against an independent numpy reference implementation, plus norm,
+    # determinism, and the text → embed → near-dup integration loop.
+    oracle=None,
+    tags=("llm", "text", "embedding", "similarity"),
+)
+def t07_hashed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashed document embeddings (operators/embeddings.py): the
+    engine-side text → vector path feeding the ANN/near-dup family. Output
+    serialized at the boundary (fixed-scale decimal text) like every
+    array-typed result."""
+    from mlops_pipelines_featurestore_gcp_spark.operators.embeddings import hashed_embedding
+
+    docs = load_table(spark, "documents", sf_dir)
+    emb = hashed_embedding(docs, "doc_id", "text", dim=64)
+    return emb.select(
+        "doc_id", ser_double_array("embedding", scale=6).alias("embedding"), "n_tokens"
     )
 
 
