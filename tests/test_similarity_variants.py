@@ -55,3 +55,53 @@ def test_ivf_index_persist_and_search(spark, emb, tmp_path):
     # the assigned table is cell-partitioned: probing must not scan all cells
     plan = searched._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan or "dynamicpruning" in plan, plan
+
+
+def test_quantized_topk_recall_and_exact_scores(spark):
+    """int8 shortlist + float rescore: reported scores equal brute force's
+    exactly for every recalled neighbor, and recall@5 is high."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from mlops_pipelines_featurestore_gcp_spark.operators.similarity import (
+        brute_force_topk,
+        quantize_embeddings,
+        quantized_topk,
+    )
+
+    rng = np.random.RandomState(7)
+    dim, n = 32, 300
+    vecs = rng.randn(n, dim).astype("float32")
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = corpus.where(F.col("vec_id") < 8)
+
+    exact = brute_force_topk(corpus, queries, k=5, dim=dim).collect()
+    cq = quantize_embeddings(corpus, dim=dim)
+    got = quantized_topk(cq, queries, corpus, k=5, shortlist=25, dim=dim).collect()
+
+    exact_map = {(r.query_id, r.neighbor_id): r.cos_sim for r in exact}
+    got_map = {(r.query_id, r.neighbor_id): r.cos_sim for r in got}
+    # every recalled pair's score is the EXACT rescored cosine
+    for key, sim in got_map.items():
+        if key in exact_map:
+            assert sim == exact_map[key], key
+    recall = len(set(got_map) & set(exact_map)) / len(exact_map)
+    assert recall >= 0.9, recall
+
+
+def test_quantize_embeddings_bounds_and_zero_vector(spark):
+    from pyspark.sql import functions as F
+
+    from mlops_pipelines_featurestore_gcp_spark.operators.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [3.0, -1.5, 0.0, 0.75]), (2, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.vec_id: r for r in quantize_embeddings(df, dim=4).collect()}
+    assert out[1].qvec == [127, -64, 0, 32]  # round(v * 127 / 3.0)
+    assert abs(out[1].qscale - 3.0 / 127.0) < 1e-12
+    assert out[2].qvec == [0, 0, 0, 0] and out[2].qscale == 0.0
