@@ -138,12 +138,17 @@ def seeded_md5_long(col: Column, seed: Column | int, bits: int = 32) -> Column:
 def stopword_hits(toks: Column, lang: str) -> Column:
     """Count of tokens that are stopwords of ``lang`` (with multiplicity).
 
-    Chained ``array_remove`` of each stopword, then a size difference —
-    every step is codegen. The previous ``filter(array_contains)`` lambda
-    ran interpreted on every token of every document of every language
-    scored (4× per doc in lang_id).
+    One compiled-regex scan over the double-space-joined token string:
+    ``" tok1  tok2  ... "`` makes every token independently matchable by
+    ``" (w1|w2|…) "`` even when two stopwords are adjacent (each match
+    consumes one of the two separator spaces, leaving one for the next).
+    Codegen, no per-token work: this replaced first a ``filter`` lambda
+    (interpreted) and then a 10-deep ``array_remove`` chain (10 array
+    copies per doc per language — 40× in lang_id).
+
+    Stopword tables are plain ASCII words, so the alternation needs no
+    regex escaping.
     """
-    removed = toks
-    for w in STOPWORDS[lang]:
-        removed = F.array_remove(removed, w)
-    return (F.size(toks) - F.size(removed)).cast("long")
+    padded = F.concat(F.lit(" "), F.concat_ws("  ", toks), F.lit(" "))
+    pattern = " (" + "|".join(STOPWORDS[lang]) + ") "
+    return F.size(F.regexp_extract_all(padded, F.lit(pattern), 0)).cast("long")
