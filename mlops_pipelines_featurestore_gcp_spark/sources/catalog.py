@@ -148,7 +148,14 @@ def _rebalance_unsplittable(df: DataFrame, path: str) -> DataFrame:
         return df
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
-    if size < _REBALANCE_MIN_BYTES or df.rdd.getNumPartitions() >= target:
+    # Estimate the scan's byte-range split count from the file size instead
+    # of probing df.rdd.getNumPartitions(): the probe forces a plan→RDD
+    # conversion costing ~100-300ms of driver time PER load_table call
+    # (dozens of calls per bench run), while the byte math is what Spark's
+    # FilePartition planner computes anyway.
+    max_split = int(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728").rstrip("b"))
+    est_splits = max(1, (size + max_split - 1) // max_split)
+    if size < _REBALANCE_MIN_BYTES or est_splits >= target:
         return df
     return df.repartition(target)
 
