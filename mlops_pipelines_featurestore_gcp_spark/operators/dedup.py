@@ -58,8 +58,17 @@ def _spread(df: DataFrame) -> DataFrame:
     per-row work. Fixture tables arrive as one parquet file → one input
     partition → single-core execution; a round-robin repartition to the
     cluster's default parallelism costs one tiny shuffle and recovers full
-    parallelism. Guarded: when the input already has at least that many
-    splits (any real 100 TB scan), no Exchange is inserted at all."""
+    parallelism. Two guards keep it a no-op where it should be:
+
+    - the logical plan already contains a Repartition (e.g. ``load_table``
+      rebalanced the scan): skip — a second exchange would be pure waste.
+      This is a string check on the LOGICAL plan, costing microseconds.
+    - otherwise probe the partition count; inputs with enough splits (any
+      real 100 TB scan) pass through untouched. The ``.rdd`` probe is only
+      paid on plans with no Repartition, where it is cheap (~10ms on a
+      bare scan vs ~170ms on a already-repartitioned plan)."""
+    if "Repartition" in df._jdf.queryExecution().logical().toString():
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
         return df

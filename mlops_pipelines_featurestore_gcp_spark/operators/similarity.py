@@ -355,8 +355,12 @@ def quantized_topk(
 
 def _maybe_spread(df: DataFrame) -> DataFrame:
     """Rebalance single-file fixture inputs across all cores; no-op when the
-    input already has at least default-parallelism splits (so no Exchange is
-    inserted for an already-split 100 TB scan)."""
+    plan already repartitions (``load_table`` rebalance — avoids a second
+    exchange) or the input already has at least default-parallelism splits
+    (an already-split 100 TB scan). Same two-guard shape as
+    ``dedup._spread``."""
+    if "Repartition" in df._jdf.queryExecution().logical().toString():
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
         return df
