@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from mlops_pipelines_featurestore_gcp_spark.functions.canonical import (
     ser_double_array,
     ser_long_array,
+    sql_double_array,
     sql_long_array,
 )
 from mlops_pipelines_featurestore_gcp_spark.functions.text import poly_char_hash_sql
@@ -627,13 +628,43 @@ def mm03_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "t07_hashed_embeddings",
-    # rows-only: the vector itself is deterministic (md5 buckets/signs),
-    # but a 64-dim dense-reconstruction oracle in SQL adds more surface
-    # than signal — tests/test_embeddings.py instead asserts EXACT parity
-    # against an independent numpy reference implementation, plus norm,
-    # determinism, and the text → embed → near-dup integration loop.
-    oracle=None,
+    # Deferred (outside the driver's 50-slot window, still checked by the
+    # local differential gate): the md5 bucket/sign construction and the
+    # integer-sum → IEEE-divide normalization replay exactly in DuckDB.
+    # tests/test_embeddings.py additionally asserts bit-exact parity
+    # against an independent numpy reference.
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS.format(col='nt')}) AS tok
+      FROM (SELECT doc_id, {_NORM} AS nt FROM documents)
+    ),
+    bs AS (
+      SELECT doc_id,
+             {_md5_long_sql("concat('emb|b|', tok)")} % 64 AS b,
+             CASE WHEN {_md5_long_sql("concat('emb|s|', tok)")} % 2 = 0 THEN 1 ELSE -1 END AS s
+      FROM toks
+    ),
+    cnt AS (SELECT doc_id, COUNT(*) AS n_tokens FROM bs GROUP BY doc_id),
+    sums AS (SELECT doc_id, b, CAST(SUM(s) AS DOUBLE) AS v FROM bs GROUP BY doc_id, b),
+    grid AS (SELECT c.doc_id, g.d FROM cnt c CROSS JOIN (SELECT unnest(range(0, 64)) AS d) g),
+    vec AS (
+      SELECT g.doc_id, g.d, COALESCE(s.v, 0.0) AS v
+      FROM grid g LEFT JOIN sums s ON s.doc_id = g.doc_id AND s.b = g.d
+    ),
+    nrm AS (SELECT doc_id, sqrt(SUM(v * v)) AS nn FROM vec GROUP BY doc_id),
+    unitv AS (
+      SELECT v.doc_id, v.d, CASE WHEN n.nn > 0 THEN v.v / n.nn ELSE 0.0 END AS e
+      FROM vec v JOIN nrm n USING (doc_id)
+    ),
+    emb AS (
+      SELECT doc_id, {sql_double_array('list(e ORDER BY d)', 6)} AS embedding
+      FROM unitv GROUP BY doc_id
+    )
+    SELECT e.doc_id, e.embedding, CAST(c.n_tokens AS BIGINT) AS n_tokens
+    FROM emb e JOIN cnt c USING (doc_id)
+    """,
     tags=("llm", "text", "embedding", "similarity"),
+    defer=True,
 )
 def t07_hashed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-hashed document embeddings (operators/embeddings.py): the
