@@ -260,21 +260,30 @@ def quantize_embeddings(
     per-element ops via explicit ``element_at`` chains, no HOFs.
 
     Zero vectors quantize to all-zero with scale 0 (guarded division).
+
+    Two-stage projection: ``absmax`` materializes as a column FIRST, then
+    the ``dim`` quantized elements reference it. Inlining it would embed
+    the ``dim``-term ``greatest`` chain inside every element — a
+    ``dim²``-term generated method that overflows janino's 64KB limit and
+    de-optimizes the stage to interpreted eval (same lesson as
+    ``text_analysis.lang_id``).
     """
     v = F.col(vec_col)
     absmax = F.greatest(*[F.abs(F.element_at(v, i).cast("double")) for i in range(1, dim + 1)])
-    s = (absmax / F.lit(127.0)).alias(scale_col)
+    staged = df.withColumn("__absmax", absmax)
+    am = F.col("__absmax")
     q = F.array(
         *[
-            F.when(
-                absmax > 0, F.round(F.element_at(v, i).cast("double") * 127.0 / absmax)
-            )
+            F.when(am > 0, F.round(F.element_at(v, i).cast("double") * 127.0 / am))
             .otherwise(F.lit(0.0))
             .cast("int")
             for i in range(1, dim + 1)
         ]
     ).alias(out_col)
-    return df.withColumns({scale_col: s, out_col: q}).drop(vec_col)
+    return (
+        staged.withColumns({scale_col: (am / F.lit(127.0)).alias(scale_col), out_col: q})
+        .drop(vec_col, "__absmax")
+    )
 
 
 def quantized_topk(

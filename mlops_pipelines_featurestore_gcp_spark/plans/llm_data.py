@@ -321,6 +321,25 @@ def s03_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", "cos_sim", F.col("rnk").cast("long").alias("rnk"))
 
 
+@register(
+    "s05_ann_quantized_topk",
+    oracle=None,  # int8 shortlist ranking is representation-specific; the
+    # reported cosines equal brute force for every recalled neighbor
+    # (exact-score parity + recall asserted in test_similarity_variants.py).
+    tags=("similarity", "llm", "quantization"),
+)
+def s05_ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage quantized top-5: int8-dot shortlist over the 4×-smaller
+    quantized corpus, exact float rescore of survivors
+    (similarity.quantize_embeddings / quantized_topk)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    dim = 64
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    cq = similarity.quantize_embeddings(emb, dim=dim)
+    out = similarity.quantized_topk(cq, queries, emb, k=5, shortlist=25, dim=dim)
+    return out.select("query_id", "neighbor_id", "cos_sim", F.col("rnk").cast("long").alias("rnk"))
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
