@@ -7,10 +7,16 @@ hash over every result column, so Catalyst cannot prune final-projection
 expressions the way a bare count() would (a narrow per-row transform query
 timed with count() reads as nearly free — its projections never run).
 
-Each query is timed $SPARK_GRAFT_BENCH_REPEATS times (default 2) and the
-MINIMUM is reported: the steady-state number a long-lived cluster sees,
-with scheduler/GC jitter — which at local fixture scale is the same order
-as the queries themselves — filtered out.
+Each query runs once UNTIMED at the target sf_dir (whole-stage-codegen
+units are keyed by the physical plan, and AQE's runtime re-plan means the
+sf0.1 plan compiles different classes than any smaller warm-up scale — a
+cold first run is dominated by multi-second C2 JIT churn, not the query),
+then $SPARK_GRAFT_BENCH_REPEATS timed times (default 2) with the MINIMUM
+reported: the steady-state number a long-lived cluster sees, with
+scheduler/GC jitter — which at local fixture scale is the same order as
+the queries themselves — filtered out. No DataFrame is cached anywhere in
+the registry, so the warm-up carries over only compiled code and OS page
+cache, exactly what steady state on a long-lived cluster looks like.
 """
 
 from __future__ import annotations
@@ -65,30 +71,18 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     names = [n for n in HEADLINE if n in plans.QUERIES]
-    # Warm-up: run every headline query once at the SMALLEST fixture so the
-    # JVM JIT + whole-stage-codegen compilation cost (~3s for the hash-heavy
-    # dedup plans) is paid before timing. The warm-up plans read a different
-    # sf_dir, so no DataFrame cache can carry over into the timed runs —
-    # only compiled code and parquet footer caches do, which is exactly what
-    # steady-state throughput on a long-lived cluster looks like.
-    warm_dir = "/root/testdata/sf0.001"
-    if os.path.isdir(warm_dir) and os.path.abspath(warm_dir) != os.path.abspath(sf_dir):
-        for name in names:
-            try:
-                wdf = plans.QUERIES[name].fn(spark, warm_dir)
-                # same action shape as the timed runs so codegen/JIT warms
-                # the code that is actually measured
-                wdf.agg(
-                    F.count(F.lit(1)), F.sum(F.hash(*wdf.columns).cast("long"))
-                ).collect()
-            except Exception as e:  # noqa: BLE001 — warm-up must never kill the bench
-                print(f"# warmup {name} failed: {e}", file=sys.stderr)
-    else:
-        plans.QUERIES[names[0]].fn(spark, sf_dir).limit(1).collect()
-
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2")))
     timings: dict[str, float] = {}
     for name in names:
+        # Untimed warm-up at the SAME sf_dir: compiles the exact codegen
+        # classes the timed reps execute (see module docstring).
+        try:
+            wdf = plans.QUERIES[name].fn(spark, sf_dir)
+            wdf.agg(
+                F.count(F.lit(1)), F.sum(F.hash(*wdf.columns).cast("long"))
+            ).collect()
+        except Exception as e:  # noqa: BLE001 — warm-up must never kill the bench
+            print(f"# warmup {name} failed: {e}", file=sys.stderr)
         best, n = float("inf"), 0
         for _ in range(repeats):
             t0 = time.perf_counter()

@@ -24,6 +24,7 @@ from mlops_pipelines_featurestore_gcp_spark.operators import (
     contamination,
     dedup,
     multimodal,
+    packing,
     similarity,
     text_analysis,
 )
@@ -768,3 +769,42 @@ def s04_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = sampling.token_budget_sample(mixed, token_budget=20_000)
     return out.select("doc_id", "lang", "n_tokens", "quality")
+
+
+@register(
+    "t08_sequence_pack",
+    oracle=f"""
+    WITH counted AS (
+      SELECT doc_id,
+             CAST(len({_TOKS.format(col='text')}) AS BIGINT) AS n_tokens,
+             {_md5_long_sql("concat('pack|', CAST(doc_id AS VARCHAR))")} AS h
+      FROM documents
+    ),
+    sharded AS (
+      SELECT doc_id, n_tokens, h, h % 8 AS shard
+      FROM counted WHERE n_tokens > 0
+    ),
+    placed AS (
+      SELECT doc_id, shard, n_tokens,
+             SUM(n_tokens) OVER (
+               PARTITION BY shard ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) - n_tokens AS seq_offset
+      FROM sharded
+    )
+    SELECT doc_id, shard, n_tokens, seq_offset,
+           seq_offset // 512 AS seq_id,
+           seq_offset % 512 AS pos_in_seq
+    FROM placed
+    """,
+    tags=("llm", "packing", "text"),
+    defer=True,
+)
+def t08_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-token sequence packing (operators/packing.py): every doc gets a
+    deterministic position in one of 8 sharded token streams cut into
+    512-token training sequences. One window shuffle partitioned by shard —
+    no global sort; only (id, hash, count) rows move. Deferred oracle: the
+    driver window is capped at 50, but the local gate hash-checks it."""
+    docs = load_table(spark, "documents", sf_dir)
+    return packing.pack_sequences(docs, "doc_id", "text", seq_tokens=512, shards=8)
