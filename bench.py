@@ -56,6 +56,7 @@ HEADLINE = [
     "t04_doc_fingerprint",
     "t05_chunk_documents",
     "t06_contamination_check",
+    "t08_sequence_pack",
     # event-time windows
     "st01_tumbling_window",
     "st03_session_window",
@@ -71,7 +72,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     names = [n for n in HEADLINE if n in plans.QUERIES]
-    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2")))
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
     timings: dict[str, float] = {}
     for name in names:
         # Untimed warm-up at the SAME sf_dir: compiles the exact codegen
