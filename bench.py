@@ -51,6 +51,7 @@ HEADLINE = [
     "d01_exact_dedup",
     "d02_minhash_lsh_neardup",
     "d05_embedding_neardup",
+    "d06_exact_substring_spans",
     "s01_ann_bruteforce_topk",
     "t01_text_profile",
     "t04_doc_fingerprint",

@@ -23,7 +23,7 @@ surface the north star requires.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from mlops_pipelines_featurestore_gcp_spark.functions.text import (
@@ -429,4 +429,93 @@ def simhash_pairs(
         .select("doc_a", "doc_b", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"))
         .distinct()
         .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def window_hash_rows(df: DataFrame, id_col: str, text_col: str, *, window: int) -> DataFrame:
+    """Positional token-window hashes: (id, pos, whash) for every
+    ``window``-token window of the normalized text (stride 1, 1-based pos).
+
+    Same codegen positional-explode pattern as :func:`gram_rows`, keeping
+    the position column so span reconstruction is possible. The hash is the
+    60-bit md5 prefix of the window text — long keys shuffle 4× lighter
+    than the 32-char hex digest, and 60 bits keeps the expected collision
+    count ≪ 1 up to ~10⁹ windows per corpus (birthday bound n²/2⁶¹); any
+    residual collision is replayed identically by the oracle.
+    """
+    toks = tokens(normalize(F.col(text_col)))
+    starts = F.when(
+        F.size(toks) >= window, F.sequence(F.lit(1), F.size(toks) - (window - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        _spread(df)
+        .select(F.col(id_col), toks.alias("__toks"), F.explode(starts).alias("pos"))
+        .select(
+            F.col(id_col),
+            F.col("pos").cast("long").alias("pos"),
+            md5_long(
+                F.concat_ws(" ", F.slice(F.col("__toks"), F.col("pos"), window)), bits=60
+            ).alias("whash"),
+        )
+    )
+
+
+def exact_substring_spans(
+    df: DataFrame, id_col: str, text_col: str, *, window: int = 20
+) -> DataFrame:
+    """Cross-document duplicated SPANS: maximal token ranges whose every
+    ``window``-token window also appears in at least one other document.
+
+    The relational formulation of exact-substring training-data dedup
+    (suffix-array ExactSubstr from the published "Deduplicating Training
+    Data Makes Language Models Better" line of work, re-expressed as a
+    distributed plan): exact/MinHash dedup drop whole documents, but the
+    common 100 TB contaminant is a shared boilerplate PASSAGE inside
+    otherwise-distinct documents — license headers, navigation chrome,
+    quoted templates. This finds the passage, not just the pair.
+
+    Plan shape (all keyed shuffles, no all-pairs anything):
+
+    1. window hashes, map-side (:func:`window_hash_rows`);
+    2. hashes seen in ≥2 distinct docs — one groupBy on the hash;
+    3. flagged positions: join windows back on the hash — reuses the
+       groupBy's partitioning, so no extra full shuffle of the window side;
+    4. adjacent flagged positions merge into maximal spans via the
+       pos − row_number() island trick — one window pass partitioned by
+       document (per-doc row counts are bounded by document length, so the
+       partition-by-doc window has no skew beyond the longest document).
+
+    Within-document repeats (the same window twice in ONE doc) do not flag
+    a span — the operator targets cross-document duplication; d03/t01's
+    repetition metrics cover self-repetition.
+
+    Returns (id, span_start, span_end, span_tokens, n_windows): 1-based
+    inclusive token positions in the normalized token sequence.
+    """
+    w = window_hash_rows(df, id_col, text_col, window=window)
+    dup = (
+        w.groupBy("whash")
+        .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+        .select("whash")
+    )
+    hits = w.join(dup, "whash").select(id_col, "pos")
+    island = F.col("pos") - F.row_number().over(
+        Window.partitionBy(id_col).orderBy("pos")
+    )
+    return (
+        hits.withColumn("__grp", island)
+        .groupBy(id_col, "__grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(window - 1)).alias("span_end"),
+            F.count("*").alias("n_windows"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+            "n_windows",
+        )
     )

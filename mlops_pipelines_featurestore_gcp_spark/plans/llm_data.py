@@ -772,6 +772,50 @@ def s04_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "d06_exact_substring_spans",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS.format(col='nt')} AS t
+      FROM (SELECT doc_id, {_NORM} AS nt FROM documents)
+    ),
+    s AS (
+      SELECT doc_id, t, unnest(range(1, greatest(len(t) - 18, 1))) AS pos FROM toks
+    ),
+    w AS (
+      SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+             {_md5_long_sql("array_to_string(t[pos : pos + 19], ' ')", 15)} AS wh
+      FROM s
+    ),
+    dup AS (SELECT wh FROM w GROUP BY wh HAVING COUNT(DISTINCT doc_id) >= 2),
+    hits AS (SELECT w.doc_id, w.pos FROM w JOIN dup USING (wh)),
+    isl AS (
+      SELECT doc_id, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM hits
+    )
+    SELECT doc_id,
+           MIN(pos) AS span_start,
+           MAX(pos) + 19 AS span_end,
+           MAX(pos) + 19 - MIN(pos) + 1 AS span_tokens,
+           COUNT(*) AS n_windows
+    FROM isl GROUP BY doc_id, grp
+    """,
+    tags=("llm", "dedup", "text"),
+    defer=True,
+)
+def d06_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring span dedup (operators/dedup.py exact_substring_spans):
+    maximal token ranges whose every 20-token window appears in ≥2 docs —
+    finds shared boilerplate PASSAGES inside otherwise-distinct documents
+    (the relational re-expression of suffix-array ExactSubstr dedup). All
+    keyed shuffles: window-hash groupBy, hash join back, per-doc island
+    merge. Deferred oracle: outside the driver's 50-entry window, hash-
+    checked by the local gate."""
+    docs = load_table(spark, "documents", sf_dir)
+    return dedup.exact_substring_spans(docs, "doc_id", "text", window=20)
+
+
+@register(
     "t08_sequence_pack",
     oracle=f"""
     WITH counted AS (
