@@ -142,3 +142,41 @@ def prepare_corpus(
         after_decontamination=after_decontamination,
     )
     return out, stats
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """Dataset-version diff: per-document status between two corpus
+    snapshots — the audit step before promoting a nightly corpus build
+    (every doc's fate is explainable: ``added`` / ``removed`` / ``changed``
+    / ``unchanged``).
+
+    Content identity is the md5 fingerprint of *normalized* text (same
+    convention as :func:`dedup.exact_dedup`), so whitespace-only edits read
+    as unchanged. Fingerprints are computed map-side; the only shuffle is
+    the full-outer join on the doc id — at 100 TB both sides hash-partition
+    on the same key, and a bucketed/partitioned snapshot layout
+    (sources/bucketing.py) makes the join co-located. Nothing collects.
+
+    By default unchanged docs are filtered out (a diff is usually small —
+    emitting the unchanged majority would make the common case O(corpus));
+    pass ``include_unchanged=True`` for the full classification.
+    """
+    o = dedup.fingerprint(old, id_col, text_col).withColumnRenamed("fp", "old_fp")
+    n = dedup.fingerprint(new, id_col, text_col).withColumnRenamed("fp", "new_fp")
+    status = (
+        F.when(F.col("old_fp").isNull(), F.lit("added"))
+        .when(F.col("new_fp").isNull(), F.lit("removed"))
+        .when(F.col("old_fp") != F.col("new_fp"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    out = o.join(n, on=id_col, how="full_outer").select(id_col, status.alias("status"))
+    if not include_unchanged:
+        out = out.where(F.col("status") != "unchanged")
+    return out

@@ -714,6 +714,59 @@ def c01_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "n_tokens", "quality")
 
 
+@register(
+    "c02_corpus_diff",
+    oracle=f"""
+    WITH old AS (
+      SELECT doc_id, md5({_NORM}) AS old_fp FROM documents
+    ),
+    new AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(
+               CASE WHEN doc_id % 11 = 0 THEN text || ' [rev 2]' ELSE text END
+             ), '\\s+', ' ', 'g'))) AS new_fp
+      FROM documents WHERE doc_id % 7 <> 0
+      UNION ALL
+      SELECT doc_id + 1000000, md5({_NORM}) FROM documents WHERE doc_id % 13 = 0
+    )
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN o.old_fp <> n.new_fp THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.old_fp <> n.new_fp
+    """,
+    tags=("llm", "pipeline", "diff"),
+    defer=True,
+)
+def c02_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff (operators/corpus.py corpus_diff): classify every
+    doc across two dataset versions as added/removed/changed (unchanged
+    filtered — a diff is small by design). Version 2 is derived
+    deterministically from the fixture (drop %7, edit %11, add %13 under
+    shifted ids) so the oracle replays it. Map-side fingerprints; the only
+    shuffle is the id-keyed full-outer join."""
+    from mlops_pipelines_featurestore_gcp_spark.operators.corpus import corpus_diff
+
+    docs = load_table(spark, "documents", sf_dir)
+    v2 = (
+        docs.where(F.col("doc_id") % 7 != 0)
+        .withColumn(
+            "text",
+            F.when(F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit(" [rev 2]"))).otherwise(
+                F.col("text")
+            ),
+        )
+        .unionByName(
+            docs.where(F.col("doc_id") % 13 == 0).withColumn(
+                "doc_id", F.col("doc_id") + F.lit(1000000)
+            )
+        )
+    )
+    return corpus_diff(docs, v2, "doc_id", "text")
+
+
 _U32 = 4294967296.0
 _UHASH = (
     "CAST(concat('0x', substr(md5(concat('{salt}|', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) / " + str(_U32)

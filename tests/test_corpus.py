@@ -91,3 +91,33 @@ def test_prepare_corpus_pii_before_dedup(spark):
     got = out.collect()
     assert [r.doc_id for r in got] == [1]
     assert "<EMAIL>" in got[0].text and "alice" not in got[0].text
+
+
+def test_corpus_diff_classifies_all_statuses(spark):
+    from mlops_pipelines_featurestore_gcp_spark.operators.corpus import corpus_diff
+
+    old = spark.createDataFrame(
+        [
+            (1, "kept exactly the same"),
+            (2, "this one gets   edited"),
+            (3, "this one is dropped in v2"),
+            (4, "whitespace  only\tchange"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "kept exactly the same"),
+            (2, "this one gets edited, truly"),
+            (4, "whitespace only change"),  # normalizes equal → unchanged
+            (5, "brand new document"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.status for r in corpus_diff(old, new).collect()}
+    assert got == {2: "changed", 3: "removed", 5: "added"}
+    full = {
+        r.doc_id: r.status
+        for r in corpus_diff(old, new, include_unchanged=True).collect()
+    }
+    assert full[1] == "unchanged" and full[4] == "unchanged"
