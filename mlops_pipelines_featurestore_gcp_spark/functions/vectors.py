@@ -17,37 +17,34 @@ def _fold_sum(arr: Column) -> Column:
 
 
 def dot(a: Column, b: Column, dim: int | None = None) -> Column:
-    """Σ aᵢ·bᵢ (elements cast to double first).
+    """Σ aᵢ·bᵢ (elements cast to double first), as a ``zip_with`` +
+    ``aggregate`` fold.
 
-    With ``dim`` given, the sum is an explicit left-associated term chain
-    (a₁b₁ + a₂b₂ + …) of ``element_at`` expressions — plain arithmetic that
-    stays inside WHOLE-STAGE CODEGEN. Without it, a higher-order
-    ``aggregate``/``zip_with`` fold — same values, but Spark HOFs are
-    CodegenFallback and run ~10× slower per row (profiled on the d05/s01
-    scoring passes). Both orders are left-to-right, so either form matches
-    the DuckDB ``list_sum(list_transform(...))`` twin bit for bit.
+    ``dim`` is accepted for API stability but unused. An earlier revision
+    expanded the sum into a 64-term ``element_at`` chain when ``dim`` was
+    given, on the theory that plain arithmetic stays inside whole-stage
+    codegen while HOFs are CodegenFallback. Measured on the d05 verify
+    stage (join + filter + 64-term project fused into one stage), the
+    chain blows past the codegen method-size limit, the WHOLE stage falls
+    back, and per-pair scoring ran ~5× SLOWER than the HOF fold (1.54s vs
+    0.32s over 124k candidate pairs at sf0.1) — the fold is one
+    interpreted call per ROW over a primitive array, the de-optimized
+    chain is interpreted per TERM. The fold is also left-to-right
+    (acc = 0.0; acc += aᵢbᵢ), so values are bit-identical to the chain
+    and to the DuckDB ``list_sum(list_transform(...))`` oracle twin.
     """
-    if dim is not None:
-        terms = [
-            F.element_at(a, i).cast("double") * F.element_at(b, i).cast("double")
-            for i in range(1, dim + 1)
-        ]
-        out = terms[0]
-        for t in terms[1:]:
-            out = out + t
-        return out
+    del dim
     return _fold_sum(F.zip_with(a.cast("array<double>"), b.cast("array<double>"), lambda x, y: x * y))
 
 
 def norm_sq(a: Column, dim: int | None = None) -> Column:
-    """Σ aᵢ² as double."""
-    if dim is not None:
-        return dot(a, a, dim)
+    """Σ aᵢ² as double (see :func:`dot` for the evaluation-strategy note)."""
+    del dim
     ad = a.cast("array<double>")
     return _fold_sum(F.zip_with(ad, ad, lambda x, y: x * y))
 
 
 def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
     """dot(a,b) / sqrt(‖a‖²·‖b‖²) — one combined sqrt, matching the oracle
-    formula exactly. Pass ``dim`` to stay in codegen (see :func:`dot`)."""
+    formula exactly (``dim`` accepted but unused — see :func:`dot`)."""
     return dot(a, b, dim) / F.sqrt(norm_sq(a, dim) * norm_sq(b, dim))
