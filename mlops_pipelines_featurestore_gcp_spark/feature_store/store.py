@@ -134,6 +134,7 @@ class FeatureStore:
         )
 
     _FS_SCHEMA = "featurestore_id string, online_node_count int, created_at timestamp"
+    _ONLINE_SCHEMA = "featurestore_id string, entity_type_id string, buckets int"
     _ET_SCHEMA = "featurestore_id string, entity_type_id string, description string"
     _FEAT_SCHEMA = (
         "featurestore_id string, entity_type_id string, feature_id string, value_type string, description string"
@@ -296,3 +297,93 @@ class FeatureStore:
         return point_in_time_values(
             self.values(featurestore_id, entity_type_id), spine, spine_key=spine_key, spine_time=spine_time
         )
+
+    # -- online store ------------------------------------------------------
+
+    def _online_path(self, featurestore_id: str, entity_type_id: str) -> str:
+        return f"{self.base_path}/online/{featurestore_id}/{entity_type_id}"
+
+    @staticmethod
+    def _bucket_col(buckets: int):
+        # crc32 is stable across Spark versions and partitionings (unlike
+        # rand()) so the same entity always lands in the same bucket file,
+        # and zlib.crc32 reproduces it driver-side for lookup pruning.
+        return F.pmod(F.crc32(F.col("entity_id").cast("string")), F.lit(buckets)).cast("int")
+
+    def materialize_online(
+        self, featurestore_id: str, entity_type_id: str, *, buckets: int = 16, at=None
+    ) -> str:
+        """Compact the append-only values log into the ONLINE store: one
+        wide latest-row per entity, hash-bucketed on the entity id.
+
+        The reference serves online reads from Vertex's managed store
+        (``feature_store_helper.py`` online node knob; notebook cell 7
+        reads); here the serving copy is plain parquet with ``bucket =
+        crc32(entity_id) % buckets`` as a PARTITION column, so a point
+        lookup prunes to one directory before any file opens — at 100 TB
+        the lookup cost is one bucket, not a table scan. ``buckets`` plays
+        the ``online_node_count`` role: size it so a bucket ≈ one serving
+        task. Rebuild is a full overwrite (the log is the source of truth;
+        the online view is disposable); for per-batch incremental
+        maintenance wire the same layout through
+        ``streaming.upsert.upsert_parquet``, which rewrites only the
+        buckets a batch touches.
+        """
+        wide = self.read_latest(featurestore_id, entity_type_id, at=at)
+        path = self._online_path(featurestore_id, entity_type_id)
+        (
+            wide.withColumn("bucket", self._bucket_col(buckets))
+            .repartition("bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(path)
+        )
+        # The modulus is LAYOUT metadata: record it in the registry so reads
+        # can never disagree with it (sparse data writes fewer bucket dirs
+        # than the modulus, so the directory listing cannot recover it).
+        cur = self._read_registry("online_layouts", self._ONLINE_SCHEMA)
+        row = self.spark.createDataFrame(
+            [(featurestore_id, entity_type_id, buckets)], self._ONLINE_SCHEMA
+        )
+        self._overwrite_registry(
+            "online_layouts",
+            cur.where(
+                ~(
+                    (F.col("featurestore_id") == featurestore_id)
+                    & (F.col("entity_type_id") == entity_type_id)
+                )
+            ).unionByName(row),
+        )
+        return path
+
+    def online_read(
+        self, featurestore_id: str, entity_type_id: str, entity_ids: list
+    ) -> DataFrame:
+        """Point lookup against the materialized online store.
+
+        Recomputes each key's bucket driver-side and filters on the
+        PARTITION column first — the scan opens only the buckets the keys
+        hash to (partition pruning, asserted in tests via ``inputFiles``),
+        then the row filter selects the entities inside them.
+        """
+        import zlib
+
+        ids = [str(e) for e in entity_ids]
+        path = self._online_path(featurestore_id, entity_type_id)
+        meta = (
+            self._read_registry("online_layouts", self._ONLINE_SCHEMA)
+            .where(
+                (F.col("featurestore_id") == featurestore_id)
+                & (F.col("entity_type_id") == entity_type_id)
+            )
+            .collect()
+        )
+        if not meta:
+            raise ValueError(
+                f"no online store materialized for {featurestore_id}/{entity_type_id}; "
+                "call materialize_online first"
+            )
+        nbuckets = meta[0].buckets
+        buckets = sorted({zlib.crc32(e.encode("utf-8")) % nbuckets for e in ids})
+        df = self.spark.read.parquet(path)
+        return df.where(F.col("bucket").isin(buckets)).where(F.col("entity_id").isin(ids))

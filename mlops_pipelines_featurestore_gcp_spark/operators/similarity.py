@@ -256,8 +256,8 @@ def quantize_embeddings(
     becomes ~25 TB of int8 + one float scale per vector — 4× less to scan,
     shuffle, and cache — while int-dot scoring stays within ~1% of the
     float ranking (rescore the shortlist with the originals when exact
-    order matters; see ``quantized_topk``). All codegen arithmetic:
-    per-element ops via explicit ``element_at`` chains, no HOFs.
+    order matters; see ``quantized_topk``). All JVM-side arithmetic, no
+    Python anywhere.
 
     Zero vectors quantize to all-zero with scale 0 (guarded division).
 

@@ -111,3 +111,48 @@ def test_point_in_time_empty_values_returns_spine(spark):
     out = point_in_time_values(values, spine, spine_key="entity_id", spine_time="ts")
     assert out.columns == spine.columns
     assert out.count() == 1
+
+
+def test_online_materialize_and_pruned_read(store, spark):
+    store.create_featurestore("fs")
+    store.create_entity_type("fs", "users")
+    src = spark.createDataFrame(
+        [(i, float(i) * 1.5, f"seg{i % 3}") for i in range(40)],
+        "uid long, bal double, seg string",
+    )
+    store.import_feature_values("fs", "users", src, entity_id_field="uid", feature_time="2024-01-01")
+    path = store.materialize_online("fs", "users", buckets=8)
+
+    # lookup agrees with the batch latest-read
+    got = {r.entity_id: (r.bal, r.seg) for r in store.online_read("fs", "users", [3, 17]).collect()}
+    assert got == {"3": ("4.5", "seg0"), "17": ("25.5", "seg2")}
+
+    # the scan opened ONLY the buckets the keys hash to — partition pruning
+    import zlib
+
+    want = {zlib.crc32(e.encode()) % 8 for e in ("3", "17")}
+    read_files = {
+        r[0]
+        for r in store.online_read("fs", "users", [3, 17])
+        .select(F.input_file_name())
+        .distinct()
+        .collect()
+    }
+    assert read_files, "lookup read no files"
+    assert all(any(f"bucket={b}/" in f for b in want) for f in read_files)
+
+    # spark-side crc32 bucket == zlib.crc32 driver-side for every entity
+    all_rows = spark.read.parquet(path).select("entity_id", "bucket").collect()
+    assert all(r.bucket == zlib.crc32(r.entity_id.encode()) % 8 for r in all_rows)
+
+
+def test_online_rematerialize_overwrites(store, spark):
+    store.create_featurestore("fs")
+    store.create_entity_type("fs", "users")
+    src1 = spark.createDataFrame([(1, 10.0)], "uid long, bal double")
+    store.import_feature_values("fs", "users", src1, entity_id_field="uid", feature_time="2024-01-01")
+    store.materialize_online("fs", "users", buckets=4)
+    src2 = spark.createDataFrame([(1, 99.0)], "uid long, bal double")
+    store.import_feature_values("fs", "users", src2, entity_id_field="uid", feature_time="2024-02-01")
+    store.materialize_online("fs", "users", buckets=4)
+    assert [r.bal for r in store.online_read("fs", "users", [1]).collect()] == ["99.0"]
