@@ -168,12 +168,24 @@ def corpus_diff(
     emitting the unchanged majority would make the common case O(corpus));
     pass ``include_unchanged=True`` for the full classification.
     """
-    o = dedup.fingerprint(old, id_col, text_col).withColumnRenamed("fp", "old_fp")
-    n = dedup.fingerprint(new, id_col, text_col).withColumnRenamed("fp", "new_fp")
+    # Presence is tracked with explicit flags, not fingerprint nullability:
+    # a NULL-text doc has a NULL fp but IS present, and must not read as
+    # added/removed. Fp equality uses the null-safe <=> so two NULL-text
+    # versions of a doc compare as unchanged.
+    o = (
+        dedup.fingerprint(old, id_col, text_col)
+        .withColumnRenamed("fp", "old_fp")
+        .withColumn("__in_old", F.lit(True))
+    )
+    n = (
+        dedup.fingerprint(new, id_col, text_col)
+        .withColumnRenamed("fp", "new_fp")
+        .withColumn("__in_new", F.lit(True))
+    )
     status = (
-        F.when(F.col("old_fp").isNull(), F.lit("added"))
-        .when(F.col("new_fp").isNull(), F.lit("removed"))
-        .when(F.col("old_fp") != F.col("new_fp"), F.lit("changed"))
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(~F.col("old_fp").eqNullSafe(F.col("new_fp")), F.lit("changed"))
         .otherwise(F.lit("unchanged"))
     )
     out = o.join(n, on=id_col, how="full_outer").select(id_col, status.alias("status"))

@@ -121,3 +121,13 @@ def test_corpus_diff_classifies_all_statuses(spark):
         for r in corpus_diff(old, new, include_unchanged=True).collect()
     }
     assert full[1] == "unchanged" and full[4] == "unchanged"
+
+
+def test_corpus_diff_null_text_present_both_sides_is_unchanged(spark):
+    from mlops_pipelines_featurestore_gcp_spark.operators.corpus import corpus_diff
+
+    old = spark.createDataFrame([(1, None), (2, "real text here")], "doc_id long, text string")
+    new = spark.createDataFrame([(1, None), (3, None)], "doc_id long, text string")
+    got = {r.doc_id: r.status for r in corpus_diff(old, new, include_unchanged=True).collect()}
+    # doc 1 exists (with null text) in BOTH versions: unchanged, not added
+    assert got == {1: "unchanged", 2: "removed", 3: "added"}
