@@ -81,3 +81,12 @@ def test_bad_params_raise(spark, sf_small):
         pack_sequences(docs, "doc_id", "text", seq_tokens=0)
     with pytest.raises(ValueError):
         pack_sequences(docs, "doc_id", "text", shards=0)
+
+
+def test_null_and_empty_text_docs_excluded(spark):
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   "), (4, "some actual tokens here")],
+        "doc_id long, text string",
+    )
+    rows = pack_sequences(docs, "doc_id", "text", seq_tokens=8, shards=2).collect()
+    assert [r.doc_id for r in rows] == [4]

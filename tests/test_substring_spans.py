@@ -72,3 +72,13 @@ def test_identical_docs_flag_full_text(spark):
     assert len(rows) == 2
     for r in rows:
         assert (r.span_start, r.span_end, r.span_tokens) == (1, 9, 9)
+
+
+def test_null_and_empty_text_docs_yield_no_windows(spark):
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "short"), (4, _words("m", 8)), (5, _words("m", 8))],
+        "doc_id long, text string",
+    )
+    rows = exact_substring_spans(docs, "doc_id", "text", window=W).collect()
+    # only the two identical real docs flag; null/empty/short produce nothing
+    assert sorted({r.doc_id for r in rows}) == [4, 5]
