@@ -7,7 +7,7 @@ in the hot path). Ratios are int/int divisions → bit-exact across engines.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from mlops_pipelines_featurestore_gcp_spark.functions.text import (
@@ -265,3 +265,51 @@ def doc_fingerprint(df: DataFrame, id_col: str, text_col: str, *, k: int = 8, sk
         "fp_sketch",
         F.get("fp_sketch", 0).alias("fp_min"),
     )
+
+
+def token_vocab(
+    df: DataFrame, id_col: str, text_col: str, *, min_count: int = 1
+) -> DataFrame:
+    """Frequency-ranked token vocabulary with cumulative corpus coverage —
+    the vocab-induction step before tokenizer training (which tokens, at
+    what rank, cover what fraction of the token stream).
+
+    Shape at 100 TB: one groupBy on the token (map-side combine collapses
+    per-partition repeats, so the shuffle carries ≤ |vocab| rows per
+    partition, not the token stream), then rank + running coverage as
+    ordered windows over the AGGREGATED table — vocabulary cardinality is
+    ≪ corpus size, so the unpartitioned window runs on the reduced
+    relation, the standard small-after-aggregation case. Ties rank
+    deterministically by token text.
+
+    Returns (token, tf, df_docs, rank, cum_coverage): term frequency,
+    document frequency, 1-based frequency rank, and the fraction of all
+    token occurrences covered by ranks 1..rank (6-dp rounded).
+    """
+    toks = (
+        _spread(df)
+        .select(F.col(id_col), F.explode(tokens(normalize(F.col(text_col)))).alias("token"))
+    )
+    counts = toks.groupBy("token").agg(
+        F.count("*").alias("tf"), F.count_distinct(F.col(id_col)).alias("df_docs")
+    )
+    w_rank = Window.orderBy(F.col("tf").desc(), F.col("token"))
+    total = Window.partitionBy()
+    ranked = counts.select(
+        "token",
+        "tf",
+        "df_docs",
+        F.row_number().over(w_rank).cast("long").alias("rank"),
+        F.round(
+            F.sum("tf").over(w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            / F.sum("tf").over(total),
+            6,
+        ).alias("cum_coverage"),
+    )
+    # Filter AFTER ranking: coverage stays a fraction of the FULL token
+    # stream (a truncated vocab covers less than 1.0 — that is the number
+    # tokenizer sizing decisions need). Every dropped token has tf <
+    # min_count ≤ any kept tf, so kept ranks/cums are identical either way.
+    if min_count > 1:
+        ranked = ranked.where(F.col("tf") >= min_count)
+    return ranked

@@ -715,6 +715,36 @@ def c01_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "t09_token_vocab",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS.format(col='nt')}) AS token
+      FROM (SELECT doc_id, {_NORM} AS nt FROM documents)
+    ),
+    counts AS (
+      SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df_docs
+      FROM toks GROUP BY token
+    )
+    SELECT token, tf, df_docs,
+           ROW_NUMBER() OVER (ORDER BY tf DESC, token) AS rank,
+           ROUND(SUM(tf) OVER (ORDER BY tf DESC, token ROWS UNBOUNDED PRECEDING)
+                 / (SUM(tf) OVER ()), 6) AS cum_coverage
+    FROM counts
+    """,
+    tags=("text", "llm", "vocab"),
+    defer=True,
+)
+def t09_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-ranked token vocabulary + cumulative coverage curve
+    (operators/text_analysis.py token_vocab): the vocab-induction input to
+    tokenizer training. One token groupBy (map-side combined); rank and
+    running coverage are windows over the aggregated vocab — small after
+    aggregation by construction."""
+    docs = load_table(spark, "documents", sf_dir)
+    return text_analysis.token_vocab(docs, "doc_id", "text")
+
+
+@register(
     "c02_corpus_diff",
     oracle=f"""
     WITH old AS (

@@ -105,3 +105,28 @@ def test_ngram_jaccard_max_df_caps_hot_grams(spark):
         assert abs(exact[pair] - j) < 1e-12
     # capped candidates are a subset of the exact ones
     assert set(capped) <= set(exact)
+
+
+def test_token_vocab_ranks_and_coverage(spark):
+    from mlops_pipelines_featurestore_gcp_spark.operators.text_analysis import token_vocab
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "a b d"), (3, None)],
+        "doc_id long, text string",
+    )
+    rows = sorted(token_vocab(docs, "doc_id", "text").collect(), key=lambda r: r.rank)
+    assert [(r.token, r.tf, r.df_docs) for r in rows] == [
+        ("a", 4, 2),
+        ("b", 3, 2),
+        ("c", 1, 1),
+        ("d", 1, 1),
+    ]
+    # coverage is monotone and ends at 1.0
+    covs = [r.cum_coverage for r in rows]
+    assert covs == sorted(covs) and covs[-1] == 1.0
+    assert covs[0] == round(4 / 9, 6)
+    # min_count truncates the vocab but coverage stays a fraction of the
+    # FULL token stream: a+b cover 7 of 9 occurrences
+    kept = sorted(token_vocab(docs, "doc_id", "text", min_count=2).collect(), key=lambda r: r.rank)
+    assert [(r.token, r.rank) for r in kept] == [("a", 1), ("b", 2)]
+    assert kept[-1].cum_coverage == round(7 / 9, 6)
