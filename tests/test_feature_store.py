@@ -156,3 +156,56 @@ def test_online_rematerialize_overwrites(store, spark):
     store.import_feature_values("fs", "users", src2, entity_id_field="uid", feature_time="2024-02-01")
     store.materialize_online("fs", "users", buckets=4)
     assert [r.bal for r in store.online_read("fs", "users", [1]).collect()] == ["99.0"]
+
+
+def test_asof_forward_direction_and_tolerance(spark):
+    left = spark.createDataFrame(
+        [("e1", 10), ("e1", 25), ("e2", 5)], "entity string, t long"
+    )
+    right = spark.createDataFrame(
+        [("e1", 12, "a"), ("e1", 30, "b"), ("e2", 100, "c")], "entity string, rt long, v string"
+    )
+    fwd = {
+        (r.entity, r.t): r.v
+        for r in asof_join(
+            left, right, "entity", left_time="t", right_time="rt", direction="forward"
+        ).collect()
+    }
+    # earliest right row at-or-after each left time
+    assert fwd == {("e1", 10): "a", ("e1", 25): "b", ("e2", 5): "c"}
+
+    tol = {
+        (r.entity, r.t): r.v
+        for r in asof_join(
+            left, right, "entity", left_time="t", right_time="rt",
+            direction="forward", tolerance=F.lit(10),
+        ).collect()
+    }
+    # e2's only candidate is 95 ticks away → nulled by tolerance
+    assert tol == {("e1", 10): "a", ("e1", 25): "b", ("e2", 5): None}
+
+    back_tol = {
+        (r.entity, r.t): r.v
+        for r in asof_join(
+            left, right, "entity", left_time="t", right_time="rt", tolerance=F.lit(5),
+        ).collect()
+    }
+    # backward: t=25 matches rt=12 but 13 > 5 ticks stale → null
+    assert back_tol == {("e1", 10): None, ("e1", 25): None, ("e2", 5): None}
+
+
+def test_asof_timestamp_tolerance_interval(spark):
+    left = spark.createDataFrame(
+        [("e1", "2024-01-10"), ("e1", "2024-03-01")], "entity string, t string"
+    ).select("entity", F.col("t").cast("timestamp").alias("t"))
+    right = spark.createDataFrame(
+        [("e1", "2024-01-01", 1.0)], "entity string, rt string, v double"
+    ).select("entity", F.col("rt").cast("timestamp").alias("rt"), "v")
+    got = {
+        r.t.month: r.v
+        for r in asof_join(
+            left, right, "entity", left_time="t", right_time="rt",
+            tolerance=F.expr("INTERVAL 30 DAYS"),
+        ).collect()
+    }
+    assert got == {1: 1.0, 3: None}  # March read is 60 days stale → dropped
