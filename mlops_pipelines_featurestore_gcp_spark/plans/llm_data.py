@@ -25,6 +25,7 @@ from mlops_pipelines_featurestore_gcp_spark.operators import (
     dedup,
     multimodal,
     packing,
+    quality,
     similarity,
     text_analysis,
 )
@@ -935,3 +936,97 @@ def t08_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver window is capped at 50, but the local gate hash-checks it."""
     docs = load_table(spark, "documents", sf_dir)
     return packing.pack_sequences(docs, "doc_id", "text", seq_tokens=512, shards=8)
+
+
+_GOPHER_AUG_SQL = (
+    "text"
+    " || CASE WHEN doc_id % 3 = 0 THEN chr(10) || '- first bullet point'"
+    " || chr(10) || '* second bullet item' ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'the story continues...'"
+    " || chr(10) || 'more to come' || chr(8230) ELSE '' END"
+    " || CASE WHEN doc_id % 7 = 0 THEN chr(10) || '### header ## #tag ...'"
+    " ELSE '' END"
+)
+
+_GOPHER_REQ_SQL = " + ".join(
+    f"CAST(list_contains(lt, '{w}') AS INT)"
+    for w in ("the", "be", "to", "of", "and", "that", "have", "with")
+)
+
+
+@register(
+    "t10_gopher_quality",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id, {_GOPHER_AUG_SQL} AS gtext FROM documents
+    ),
+    toked AS (
+      SELECT doc_id, gtext,
+             {_TOKS.format(col='gtext')} AS t,
+             {_TOKS.format(col='lower(gtext)')} AS lt
+      FROM aug
+    ),
+    feats AS (
+      SELECT doc_id,
+             CAST(len(t) AS BIGINT) AS n_words,
+             len(array_to_string(t, '')) / greatest(len(t), 1) AS mean_len,
+             len(regexp_extract_all(gtext, '#|\\.\\.\\.|…')) / greatest(len(t), 1) AS symbol_ratio,
+             len(regexp_extract_all(gtext, '(?m)^[ \\t]*[-*•]'))
+               / greatest(len(string_split(gtext, chr(10))), 1) AS bullet_frac,
+             len(regexp_extract_all(gtext, '(?m)(\\.\\.\\.|…)$'))
+               / greatest(len(string_split(gtext, chr(10))), 1) AS ellipsis_frac,
+             len(regexp_extract_all(' ' || array_to_string(t, '  ') || ' ',
+                                    ' [^ ]*[A-Za-z][^ ]* ')) / greatest(len(t), 1) AS alpha_frac,
+             CAST({_GOPHER_REQ_SQL} AS BIGINT) AS n_req
+      FROM toked
+    )
+    SELECT doc_id, n_words,
+           ROUND(mean_len, 6) AS mean_word_len,
+           ROUND(symbol_ratio, 6) AS symbol_ratio,
+           ROUND(bullet_frac, 6) AS bullet_line_frac,
+           ROUND(ellipsis_frac, 6) AS ellipsis_line_frac,
+           ROUND(alpha_frac, 6) AS alpha_word_frac,
+           n_req AS n_required_stopwords,
+           CAST(n_words >= 50 AND n_words <= 100000 AS INT) AS pass_word_count,
+           CAST(mean_len >= 3.0 AND mean_len <= 10.0 AS INT) AS pass_mean_word_len,
+           CAST(symbol_ratio <= 0.1 AS INT) AS pass_symbol_ratio,
+           CAST(bullet_frac < 0.9 AS INT) AS pass_bullet_lines,
+           CAST(ellipsis_frac < 0.3 AS INT) AS pass_ellipsis_lines,
+           CAST(alpha_frac > 0.8 AS INT) AS pass_alpha_words,
+           CAST(n_req >= 2 AS INT) AS pass_stopwords,
+           CAST(n_words >= 50 AND n_words <= 100000
+                AND mean_len >= 3.0 AND mean_len <= 10.0
+                AND symbol_ratio <= 0.1 AND bullet_frac < 0.9
+                AND ellipsis_frac < 0.3 AND alpha_frac > 0.8
+                AND n_req >= 2 AS INT) AS keep
+    FROM feats
+    """,
+    tags=("text", "llm", "quality", "gopher"),
+    defer=True,
+)
+def t10_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-rule evaluation (operators/quality.py) over the corpus
+    augmented with deterministic doc_id-derived structure (bullet lines,
+    ellipsis lines, symbol runs) — the synthetic single-line documents would
+    otherwise make the line-shape rules trivially vacuous, like t01's PII
+    augmentation. Map-only codegen pass, no shuffle. Deferred oracle: the
+    driver window is capped at 50; the local gate hash-checks it."""
+    docs = load_table(spark, "documents", sf_dir)
+    gtext = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.lit("\n- first bullet point\n* second bullet item"),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.lit("\nthe story continues...\nmore to come…"),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.lit("\n### header ## #tag ..."),
+        ).otherwise(F.lit("")),
+    )
+    return quality.gopher_filters(
+        docs.select("doc_id", gtext.alias("gtext")), "doc_id", "gtext"
+    )
