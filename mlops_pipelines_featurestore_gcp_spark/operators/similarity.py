@@ -643,3 +643,100 @@ def ivf_topk(
         "cell int, centroid array<double>",
     )
     return _ivf_probe(assigned, centroids, q, n_probe=n_probe, k=k, round_digits=round_digits, dim=dim)
+
+
+def semantic_dedup_pairs(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    seed: int = 42,
+    max_iter: int = 10,
+    round_digits: int = 6,
+    dim: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic duplicate pairs (Abbas et al. 2023).
+
+    The cluster-then-prune shape: (1) MLlib KMeans learns ``n_clusters``
+    coarse cells; (2) every vector is assigned to its cell in one broadcast-
+    scored map pass; (3) exact cosine runs only WITHIN a cell — a single
+    equi shuffle on ``cell``, Σ cell² scored pairs instead of the n²
+    cartesian. Unlike the sign-LSH blocking (``coord_sign_blocked_pairs``),
+    the partition is *learned from the data*, so dense semantic
+    neighborhoods land in the same cell even when no axis-aligned or random
+    hyperplane splits around them.
+
+    Cross-cell near-duplicates are missed by construction — the published
+    SemDeDup trade — so the canonical setting pairs a high threshold with
+    enough clusters that a cell fits in executor memory. KMeans state is
+    seeded and deterministic per engine build but not SQL-replayable →
+    rows-only for the oracle; within-cell exactness is asserted in tests
+    against the brute-force all-pairs baseline.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    c = _maybe_spread(
+        corpus.select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).alias("v"),
+            norm_sq(F.col(vec_col), dim).alias("nrm"),
+        )
+    )
+    km = KMeans(k=n_clusters, seed=seed, maxIter=max_iter, featuresCol="__v", predictionCol="cell")
+    vecs = c.withColumn("__v", array_to_vector(F.col("v").cast("array<double>")))
+    model = km.fit(vecs.select("__v"))
+    assigned = model.transform(vecs).select("vid", "v", "nrm", "cell").localCheckpoint(eager=False)
+    a = assigned.select(F.col("vid").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"), "cell")
+    b = assigned.select(F.col("vid").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"), "cell")
+    return (
+        a.join(b, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.col("cell"),
+            F.round(
+                dot(F.col("va"), F.col("vb"), dim) / F.sqrt(F.col("na") * F.col("nb")),
+                round_digits,
+            ).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
+def semantic_dedup_keep(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    seed: int = 42,
+    max_iter: int = 10,
+    dim: int | None = None,
+) -> DataFrame:
+    """Ids surviving semantic dedup: one canonical member per duplicate
+    component (transitive closure over :func:`semantic_dedup_pairs`), plus
+    every vector in no pair."""
+    from mlops_pipelines_featurestore_gcp_spark.operators.components import dedup_keep_set
+
+    pairs = semantic_dedup_pairs(
+        corpus,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_clusters=n_clusters,
+        threshold=threshold,
+        seed=seed,
+        max_iter=max_iter,
+        dim=dim,
+    )
+    return dedup_keep_set(
+        pairs.select(F.col("id_a"), F.col("id_b")),
+        corpus.select(F.col(id_col)),
+        id_col,
+        src="id_a",
+        dst="id_b",
+    )

@@ -324,6 +324,22 @@ def s03_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "d07_semantic_dedup",
+    oracle=None,  # the KMeans cell partition is engine-specific; pair-score
+    # exactness vs the all-pairs baseline + keep-set semantics are asserted
+    # in tests/test_similarity_variants.py.
+    tags=("dedup", "similarity", "llm", "semantic"),
+)
+def d07_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: KMeans cells, within-cell exact cosine
+    (one equi shuffle on cell, Σ cell² pairs), transitive keep-set. The
+    learned-partition counterpart to d05's sign-LSH blocking."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    pairs = similarity.semantic_dedup_pairs(emb, n_clusters=16, threshold=0.45, dim=64)
+    return pairs.select("id_a", "id_b", "cos_sim").orderBy("id_a", "id_b")
+
+
+@register(
     "s05_ann_quantized_topk",
     oracle=None,  # int8 shortlist ranking is representation-specific; the
     # reported cosines equal brute force for every recalled neighbor

@@ -105,3 +105,57 @@ def test_quantize_embeddings_bounds_and_zero_vector(spark):
     assert out[1].qvec == [127, -64, 0, 32]  # round(v * 127 / 3.0)
     assert abs(out[1].qscale - 3.0 / 127.0) < 1e-12
     assert out[2].qvec == [0, 0, 0, 0] and out[2].qscale == 0.0
+
+
+def test_semantic_dedup_pairs_subset_of_exact_with_equal_scores(emb):
+    exact = _pairs(similarity.cosine_neardup_pairs(emb, threshold=0.4, dim=64))
+    sem = _pairs(
+        similarity.semantic_dedup_pairs(emb, n_clusters=8, threshold=0.4, dim=64).select(
+            "id_a", "id_b", "cos_sim"
+        )
+    )
+    assert set(sem) <= set(exact)
+    for k, v in sem.items():
+        assert v == exact[k]
+    # the learned partition should recover a meaningful share of the true
+    # near-dup pairs on the clustered fixture embeddings
+    if exact:
+        assert len(sem) / len(exact) >= 0.3, (len(sem), len(exact))
+
+
+def test_semantic_dedup_pairs_deterministic_across_runs(emb):
+    a = _pairs(similarity.semantic_dedup_pairs(emb, n_clusters=8, threshold=0.4, dim=64).select("id_a", "id_b", "cos_sim"))
+    b = _pairs(similarity.semantic_dedup_pairs(emb, n_clusters=8, threshold=0.4, dim=64).select("id_a", "id_b", "cos_sim"))
+    assert a == b
+
+
+def test_semantic_dedup_keep_one_per_component(emb, spark):
+    pairs = similarity.semantic_dedup_pairs(emb, n_clusters=8, threshold=0.4, dim=64)
+    keep = similarity.semantic_dedup_keep(emb, n_clusters=8, threshold=0.4, dim=64)
+    kept = {r.vec_id for r in keep.collect()}
+    all_ids = {r.vec_id for r in emb.select("vec_id").collect()}
+    assert kept <= all_ids
+    # every id either kept or reachable from a kept id through the pair graph
+    import collections
+
+    adj = collections.defaultdict(set)
+    for r in pairs.collect():
+        adj[r.id_a].add(r.id_b)
+        adj[r.id_b].add(r.id_a)
+    # union-find over pairs → components; exactly the min of each component kept
+    seen = set()
+    for start in list(adj):
+        if start in seen:
+            continue
+        comp, stack = set(), [start]
+        while stack:
+            n = stack.pop()
+            if n in comp:
+                continue
+            comp.add(n)
+            stack.extend(adj[n] - comp)
+        seen |= comp
+        assert len(comp & kept) == 1
+        assert min(comp) in kept
+    # ids in no pair are all kept
+    assert (all_ids - set(adj)) <= kept
