@@ -91,3 +91,56 @@ def mix_sources(
         )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    val_fraction: float = 0.1,
+    salt: str = "split",
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Train/validation assignment that can never split a duplicate group.
+
+    A random per-document split leaks: a doc and its (near-)duplicate land
+    on opposite sides and the validation loss measures memorization, not
+    generalization (the test-set-contamination failure mode the dedup
+    literature documents). The fix: decide the split per DUPLICATE GROUP —
+    every member inherits the group's deterministic hash draw.
+
+    Default grouping is the exact-dedup key (md5 of normalized text): one
+    groupBy-free window-less plan — group id = min(id) over the fingerprint,
+    one aggregate + one broadcast-back join keyed on the fingerprint.
+    Pass ``pairs`` (e.g. ``minhash_lsh_pairs`` / ``semantic_dedup_pairs``
+    output with id_a/id_b) to group by NEAR-dup components instead — the
+    iterative closure is engine-side only, so that variant is rows-only for
+    any SQL oracle while this default stays replayable.
+
+    Returns (id, group_id, split) with split ∈ {'train', 'val'}.
+    """
+    if pairs is not None:
+        from mlops_pipelines_featurestore_gcp_spark.operators.components import connected_components
+
+        comp = connected_components(pairs.select("id_a", "id_b"), src="id_a", dst="id_b")
+        grouped = (
+            df.select(F.col(id_col))
+            .join(comp.withColumnRenamed("node", id_col), id_col, "left")
+            .select(
+                id_col,
+                F.coalesce(F.col("component"), F.col(id_col)).alias("group_id"),
+            )
+        )
+    else:
+        from mlops_pipelines_featurestore_gcp_spark.functions.text import normalize
+
+        fp = df.select(F.col(id_col), F.md5(normalize(F.col(text_col))).alias("__fp"))
+        groups = fp.groupBy("__fp").agg(F.min(id_col).alias("group_id"))
+        grouped = fp.join(groups, "__fp").select(id_col, "group_id")
+    draw = uniform_hash(F.col("group_id"), salt)
+    return grouped.select(
+        id_col,
+        "group_id",
+        F.when(draw < F.lit(float(val_fraction)), F.lit("val")).otherwise(F.lit("train")).alias("split"),
+    )

@@ -26,6 +26,7 @@ from mlops_pipelines_featurestore_gcp_spark.operators import (
     multimodal,
     packing,
     quality,
+    sampling,
     similarity,
     text_analysis,
 )
@@ -1046,3 +1047,29 @@ def t10_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality.gopher_filters(
         docs.select("doc_id", gtext.alias("gtext")), "doc_id", "gtext"
     )
+
+
+@register(
+    "s06_leakage_safe_split",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id, md5({_NORM}) AS f FROM documents
+    ),
+    groups AS (SELECT f, MIN(doc_id) AS group_id FROM fp GROUP BY f)
+    SELECT fp.doc_id, g.group_id,
+           CASE WHEN CAST(concat('0x', substr(md5('split|' || CAST(g.group_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                     / 4294967296.0 < 0.1
+                THEN 'val' ELSE 'train' END AS split
+    FROM fp JOIN groups g USING (f)
+    """,
+    tags=("sampling", "llm", "split", "dedup"),
+    defer=True,
+)
+def s06_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val split (operators/sampling.py): the split draw
+    is per exact-dedup group, so a doc and its duplicate can never land on
+    opposite sides. One fingerprint aggregate + one join; the md5-derived
+    group draw is replayed verbatim by the oracle. Deferred oracle: the
+    driver window is capped at 50; the local gate hash-checks it."""
+    docs = load_table(spark, "documents", sf_dir)
+    return sampling.leakage_safe_split(docs, "doc_id", "text", val_fraction=0.1)

@@ -57,3 +57,46 @@ def test_mix_sources_independent(spark, sf_medium):
     kept_es_2 = {r.doc_id for r in m2.where(F.col("mix_source") == "es").collect()}
     kept_es_1 = {r.doc_id for r in m1.where(F.col("mix_source") == "es").collect()}
     assert kept_es_2 <= kept_es_1  # nested: lower rate is a subset
+
+
+def test_leakage_safe_split_duplicates_same_side(spark):
+    df = spark.createDataFrame(
+        [(i, f"unique doc {i}") for i in range(40)]
+        + [(100 + i, "Shared   Boilerplate Text") for i in range(6)],
+        "doc_id long, text string",
+    )
+    out = sampling.leakage_safe_split(df, "doc_id", "text", val_fraction=0.5)
+    rows = {r.doc_id: (r.group_id, r.split) for r in out.collect()}
+    assert len(rows) == 46
+    dup_assignments = {rows[100 + i] for i in range(6)}
+    # all six duplicates share one group and one side
+    assert len(dup_assignments) == 1
+    assert dup_assignments.pop()[0] == 100
+    # both sides are populated at 50% on the unique docs
+    splits = {s for _, s in rows.values()}
+    assert splits == {"train", "val"}
+
+
+def test_leakage_safe_split_near_dup_components(spark):
+    df = spark.createDataFrame(
+        [(i, f"doc number {i}") for i in range(10)], "doc_id long, text string"
+    )
+    # near-dup graph: 0-1-2 chained, 5-6 paired
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6)], "id_a long, id_b long"
+    )
+    out = sampling.leakage_safe_split(df, "doc_id", "text", val_fraction=0.5, pairs=pairs)
+    rows = {r.doc_id: (r.group_id, r.split) for r in out.collect()}
+    assert rows[0] == rows[1] == rows[2]
+    assert rows[5] == rows[6]
+    # singletons group to themselves
+    assert rows[3][0] == 3 and rows[9][0] == 9
+
+
+def test_leakage_safe_split_deterministic(spark, sf_small):
+    docs = load_table(spark, "documents", sf_small)
+    a = {r.doc_id: r.split for r in sampling.leakage_safe_split(docs, "doc_id", "text").collect()}
+    b = {r.doc_id: r.split for r in sampling.leakage_safe_split(docs, "doc_id", "text").collect()}
+    assert a == b
+    frac = sum(1 for s in a.values() if s == "val") / len(a)
+    assert 0.03 < frac < 0.25
