@@ -1002,3 +1002,56 @@ def q32_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("value_quantiles")[2], 4).alias("p99"),
         )
     )
+
+
+@register(
+    "q33_binned_range_join",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_in_window,
+           COUNT(DISTINCT l.l_orderkey) AS n_point_orders,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_in_window
+    FROM (SELECT * FROM orders WHERE o_orderkey % 50 = 0) o
+    JOIN lineitem l
+      ON l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate <= o.o_orderdate + INTERVAL ((o.o_orderkey % 90)::INT) DAY
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("join", "range", "binned"),
+    defer=True,
+)
+def q33_binned_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PURE range join (no equi key): every lineitem shipped inside each
+    sampled order's ad-hoc [orderdate, orderdate + orderkey%90 days] window.
+
+    Spark's native plan for this predicate is BroadcastNestedLoopJoin —
+    O(points × intervals). ``operators/range_join.binned_range_join`` turns
+    it into an equi shuffle on 32-day bins (interval explode factor ≤ 4)
+    with exact containment filtered inside the join; the oracle replays the
+    naive containment semantics, proving binning is correctness-neutral.
+    Deferred oracle: the driver window is capped at 50; the local gate
+    hash-checks it."""
+    from mlops_pipelines_featurestore_gcp_spark.operators.range_join import binned_range_join
+
+    day = 86400
+    o = (
+        load_table(spark, "orders", sf_dir)
+        .where(F.col("o_orderkey") % 50 == 0)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.col("o_orderdate").cast("long").alias("win_s"),
+            (F.col("o_orderdate").cast("long") + (F.col("o_orderkey") % 90) * day).alias("win_e"),
+        )
+    )
+    p = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_quantity", F.col("l_shipdate").cast("long").alias("ship_s")
+    )
+    joined = binned_range_join(
+        p, o, point_col="ship_s", start_col="win_s", end_col="win_e", bin_width=32 * day
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_in_window"),
+        F.count_distinct("l_orderkey").alias("n_point_orders"),
+        _dec_sum(F.col("l_quantity")).alias("qty_in_window"),
+    )

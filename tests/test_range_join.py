@@ -1,0 +1,93 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mlops_pipelines_featurestore_gcp_spark.operators.range_join import binned_range_join
+
+
+@pytest.fixture(scope="module")
+def data(spark):
+    points = spark.createDataFrame(
+        [(i, i * 7 % 100) for i in range(60)], "pid long, x long"
+    )
+    intervals = spark.createDataFrame(
+        [(1, 0, 10), (2, 5, 35), (3, 90, 99), (4, 50, 50), (5, 40, 30)],
+        "iid long, s long, e long",
+    )
+    return points, intervals
+
+
+def _naive(points, intervals):
+    return (
+        points.crossJoin(intervals)
+        .where((F.col("x") >= F.col("s")) & (F.col("x") <= F.col("e")))
+        .select("pid", "iid")
+    )
+
+
+def _pairs(df):
+    return {(r.pid, r.iid) for r in df.select("pid", "iid").collect()}
+
+
+def test_matches_naive_cross_join(spark, data):
+    points, intervals = data
+    expect = _pairs(_naive(points, intervals))
+    got = _pairs(
+        binned_range_join(points, intervals, point_col="x", start_col="s", end_col="e", bin_width=8)
+    )
+    assert got == expect
+    assert expect, "fixture must produce matches"
+
+
+def test_bin_width_is_correctness_neutral(spark, data):
+    points, intervals = data
+    expect = _pairs(_naive(points, intervals))
+    for w in (1, 3, 17, 1000):
+        got = _pairs(
+            binned_range_join(points, intervals, point_col="x", start_col="s", end_col="e", bin_width=w)
+        )
+        assert got == expect, w
+
+
+def test_inverted_interval_matches_nothing(spark, data):
+    points, intervals = data
+    got = _pairs(
+        binned_range_join(points, intervals, point_col="x", start_col="s", end_col="e", bin_width=8)
+    )
+    assert not any(i == 5 for _, i in got)  # interval 5 has e < s
+
+
+def test_left_outer_keeps_unmatched_points_once(spark):
+    points = spark.createDataFrame([(1, 5), (2, 500), (3, 7)], "pid long, x long")
+    intervals = spark.createDataFrame([(10, 0, 9)], "iid long, s long, e long")
+    out = binned_range_join(
+        points, intervals, point_col="x", start_col="s", end_col="e", bin_width=4, how="left"
+    ).collect()
+    rows = {(r.pid, r.iid) for r in out}
+    assert rows == {(1, 10), (3, 10), (2, None)}
+    assert len(out) == 3
+
+
+def test_plan_is_equi_shuffle_not_nested_loop(spark, data):
+    points, intervals = data
+    for how in ("inner", "left"):
+        plan = (
+            binned_range_join(
+                points, intervals, point_col="x", start_col="s", end_col="e", bin_width=8, how=how
+            )
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, (how, plan)
+
+
+def test_bad_args_raise(spark, data):
+    points, intervals = data
+    with pytest.raises(ValueError):
+        binned_range_join(points, intervals, point_col="x", start_col="s", end_col="e", bin_width=0)
+    with pytest.raises(ValueError):
+        binned_range_join(
+            points, intervals, point_col="x", start_col="s", end_col="e", bin_width=4, how="full"
+        )
