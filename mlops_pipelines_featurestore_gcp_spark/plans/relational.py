@@ -1055,3 +1055,52 @@ def q33_binned_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("l_orderkey").alias("n_point_orders"),
         _dec_sum(F.col("l_quantity")).alias("qty_in_window"),
     )
+
+
+@register(
+    "q34_window_funnel",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_type, epoch_us(ts) AS t
+      FROM events WHERE event_type IN ('view', 'click', 'purchase')
+    ),
+    s0 AS (SELECT user_id, MIN(t) AS t0 FROM ev WHERE event_type = 'view' GROUP BY user_id),
+    s1 AS (SELECT e.user_id, MIN(e.t) AS t1
+           FROM ev e JOIN s0 USING (user_id)
+           WHERE e.event_type = 'click' AND e.t > s0.t0 AND e.t <= s0.t0 + 86400000000
+           GROUP BY e.user_id),
+    s2 AS (SELECT e.user_id, MIN(e.t) AS t2
+           FROM ev e JOIN s0 USING (user_id) JOIN s1 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.t > s1.t1 AND e.t <= s0.t0 + 86400000000
+           GROUP BY e.user_id)
+    SELECT s0.user_id,
+           CAST(CASE WHEN s2.t2 IS NOT NULL THEN 3
+                     WHEN s1.t1 IS NOT NULL THEN 2
+                     ELSE 1 END AS INT) AS funnel_level,
+           s0.t0 AS t_step1,
+           s2.t2 AS t_complete,
+           s2.t2 - s0.t0 AS time_to_complete
+    FROM s0 LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+    """,
+    tags=("events", "funnel", "sequence"),
+    defer=True,
+)
+def q34_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed funnel (view → click → purchase within 24 h of the anchor):
+    per-user greedy sequence matching in ONE groupBy shuffle
+    (operators/funnel.py) — the oracle replays the same greedy chain as
+    sequential min-aggregates. Deferred oracle: the driver window is capped
+    at 50; the local gate hash-checks it."""
+    from mlops_pipelines_featurestore_gcp_spark.operators.funnel import window_funnel
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "event_type", F.unix_micros(F.col("ts")).alias("t_us")
+    )
+    return window_funnel(
+        ev,
+        entity_col="user_id",
+        time_col="t_us",
+        type_col="event_type",
+        steps=["view", "click", "purchase"],
+        span=24 * 3600 * 1_000_000,
+    )
