@@ -51,3 +51,25 @@ def sql_double_array(expr: str, scale: int = 2) -> str:
         f"coalesce(array_to_string(list_transform({expr}, "
         f"x -> CAST(CAST(x AS DECIMAL(18,{scale})) AS VARCHAR)), '{SEP}'), '')"
     )
+
+
+def round6(col: Column) -> Column:
+    """Cross-engine-deterministic 6-digit half-up rounding for doubles.
+
+    ``F.round``/SQL ``ROUND`` disagree between engines on values whose
+    SHORTEST decimal representation terminates at 7 digits with a trailing
+    5 but are not binary-exact (e.g. 0.5106875): Spark routes through
+    ``BigDecimal.valueOf`` (shortest repr → HALF_UP → …88), DuckDB rounds
+    the true binary value (slightly below the midpoint → …87). Observed on
+    t01's composite quality score at sf0.1. ``floor(x·10⁶ + 0.5)/10⁶``
+    evaluates exactly the same on the identical input double in every IEEE
+    engine — determinism by construction, no midpoint interpretation.
+    Intended for non-negative ratio/score columns (floor biases half-cases
+    toward +∞ for negatives).
+    """
+    return F.floor(col * F.lit(1_000_000.0) + F.lit(0.5)) / F.lit(1_000_000.0)
+
+
+def round6_sql(expr: str) -> str:
+    """DuckDB twin of :func:`round6` — identical fold, same doubles."""
+    return f"floor(({expr}) * 1000000.0 + 0.5) / 1000000.0"

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from mlops_pipelines_featurestore_gcp_spark.functions.canonical import round6
 from mlops_pipelines_featurestore_gcp_spark.functions.text import tokens
 from mlops_pipelines_featurestore_gcp_spark.operators.dedup import _spread
 
@@ -98,11 +99,11 @@ def gopher_filters(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(
         F.col(id_col),
         n_words.alias("n_words"),
-        F.round(mean_len, 6).alias("mean_word_len"),
-        F.round(symbol_ratio, 6).alias("symbol_ratio"),
-        F.round(bullet_frac, 6).alias("bullet_line_frac"),
-        F.round(ellipsis_frac, 6).alias("ellipsis_line_frac"),
-        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        round6(mean_len).alias("mean_word_len"),
+        round6(symbol_ratio).alias("symbol_ratio"),
+        round6(bullet_frac).alias("bullet_line_frac"),
+        round6(ellipsis_frac).alias("ellipsis_line_frac"),
+        round6(alpha_frac).alias("alpha_word_frac"),
         n_req.alias("n_required_stopwords"),
         *[c.cast("int").alias(name) for name, c in rules.items()],
         keep.cast("int").alias("keep"),

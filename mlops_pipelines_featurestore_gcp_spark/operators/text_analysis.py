@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from mlops_pipelines_featurestore_gcp_spark.functions.canonical import round6
 from mlops_pipelines_featurestore_gcp_spark.functions.text import (
     BPE_TOKEN_RE,
     STOPWORDS,
@@ -110,15 +111,15 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     stop_ratio = n_stop / F.greatest(n_tok, F.lit(1))
     punct_ratio = n_punct / F.greatest(n_char, F.lit(1))
     length_term = F.least(n_tok, F.lit(100)) / F.lit(100.0)
-    score = F.round(
-        length_term * 0.4 + stop_ratio * 0.2 + uniq_ratio * 0.3 + (1.0 - punct_ratio) * 0.1, 6
+    score = round6(
+        length_term * 0.4 + stop_ratio * 0.2 + uniq_ratio * 0.3 + (1.0 - punct_ratio) * 0.1
     )
     return df.select(
         F.col(id_col),
         n_tok.cast("long").alias("n_tokens"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.round(uniq_ratio, 6).alias("uniq_ratio"),
-        F.round(punct_ratio, 6).alias("punct_ratio"),
+        round6(stop_ratio).alias("stopword_ratio"),
+        round6(uniq_ratio).alias("uniq_ratio"),
+        round6(punct_ratio).alias("punct_ratio"),
         score.alias("quality"),
     )
 
@@ -133,8 +134,8 @@ def repetition_frac(toks: Column) -> Column:
     the transform-lambda form was 2.9s of t01's 3.5s at sf0.1.
     """
     bigs = word_ngram_structs(toks, 2)
-    return F.round(
-        1.0 - F.size(F.array_distinct(bigs)) / F.greatest(F.size(bigs), F.lit(1)), 6
+    return round6(
+        1.0 - F.size(F.array_distinct(bigs)) / F.greatest(F.size(bigs), F.lit(1))
     )
 
 
@@ -163,8 +164,8 @@ def text_profile(
     stop_ratio = n_stop / F.greatest(n_tok, F.lit(1))
     punct_ratio = n_punct / F.greatest(n_char, F.lit(1))
     length_term = F.least(n_tok, F.lit(100)) / F.lit(100.0)
-    score = F.round(
-        length_term * 0.4 + stop_ratio * 0.2 + uniq_ratio * 0.3 + (1.0 - punct_ratio) * 0.1, 6
+    score = round6(
+        length_term * 0.4 + stop_ratio * 0.2 + uniq_ratio * 0.3 + (1.0 - punct_ratio) * 0.1
     )
     return df.select(
         F.col(id_col),
@@ -175,9 +176,9 @@ def text_profile(
             F.length(F.concat_ws("", toks)).cast("long")
             / F.greatest(n_tok, F.lit(1))
         ).alias("avg_token_len"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.round(uniq_ratio, 6).alias("uniq_ratio"),
-        F.round(punct_ratio, 6).alias("punct_ratio"),
+        round6(stop_ratio).alias("stopword_ratio"),
+        round6(uniq_ratio).alias("uniq_ratio"),
+        round6(punct_ratio).alias("punct_ratio"),
         repetition_frac(toks).alias("dup_bigram_frac"),
         score.alias("quality"),
         *[c.alias(name) for name, c in (extra or {}).items()],
@@ -300,10 +301,9 @@ def token_vocab(
         "tf",
         "df_docs",
         F.row_number().over(w_rank).cast("long").alias("rank"),
-        F.round(
+        round6(
             F.sum("tf").over(w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-            / F.sum("tf").over(total),
-            6,
+            / F.sum("tf").over(total)
         ).alias("cum_coverage"),
     )
     # Filter AFTER ranking: coverage stays a fraction of the FULL token

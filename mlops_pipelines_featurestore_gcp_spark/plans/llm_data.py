@@ -409,12 +409,12 @@ _PII_REDACT_SQL = (
            CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT) AS n_bpe_tokens,
            CAST(len(list_distinct(t)) AS BIGINT) AS n_uniq_tokens,
            CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE) / greatest(len(t), 1) AS avg_token_len,
-           ROUND(stop_ratio, 6) AS stopword_ratio,
-           ROUND(uniq_ratio, 6) AS uniq_ratio,
-           ROUND(punct_ratio, 6) AS punct_ratio,
-           ROUND(1.0 - len(list_distinct(bg)) / greatest(len(bg), 1), 6) AS dup_bigram_frac,
-           ROUND(least(n_tok, 100) / 100.0 * 0.4 + stop_ratio * 0.2
-                 + uniq_ratio * 0.3 + (1.0 - punct_ratio) * 0.1, 6) AS quality,
+           floor(stop_ratio * 1000000.0 + 0.5) / 1000000.0 AS stopword_ratio,
+           floor(uniq_ratio * 1000000.0 + 0.5) / 1000000.0 AS uniq_ratio,
+           floor(punct_ratio * 1000000.0 + 0.5) / 1000000.0 AS punct_ratio,
+           floor((1.0 - len(list_distinct(bg)) / greatest(len(bg), 1)) * 1000000.0 + 0.5) / 1000000.0 AS dup_bigram_frac,
+           floor((least(n_tok, 100) / 100.0 * 0.4 + stop_ratio * 0.2
+                 + uniq_ratio * 0.3 + (1.0 - punct_ratio) * 0.1) * 1000000.0 + 0.5) / 1000000.0 AS quality,
            CAST(len(regexp_extract_all(p, '{_PII_EMAIL}')) AS BIGINT) AS n_email,
            CAST(len(regexp_extract_all(p, '{_PII_IP}')) AS BIGINT) AS n_ip,
            CAST(len(regexp_extract_all(p, '{_PII_SSN}')) AS BIGINT) AS n_ssn,
@@ -745,8 +745,8 @@ def c01_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT token, tf, df_docs,
            ROW_NUMBER() OVER (ORDER BY tf DESC, token) AS rank,
-           ROUND(SUM(tf) OVER (ORDER BY tf DESC, token ROWS UNBOUNDED PRECEDING)
-                 / (SUM(tf) OVER ()), 6) AS cum_coverage
+           floor(SUM(tf) OVER (ORDER BY tf DESC, token ROWS UNBOUNDED PRECEDING)
+                 / (SUM(tf) OVER ()) * 1000000.0 + 0.5) / 1000000.0 AS cum_coverage
     FROM counts
     """,
     tags=("text", "llm", "vocab"),
@@ -998,11 +998,11 @@ _GOPHER_REQ_SQL = " + ".join(
       FROM toked
     )
     SELECT doc_id, n_words,
-           ROUND(mean_len, 6) AS mean_word_len,
-           ROUND(symbol_ratio, 6) AS symbol_ratio,
-           ROUND(bullet_frac, 6) AS bullet_line_frac,
-           ROUND(ellipsis_frac, 6) AS ellipsis_line_frac,
-           ROUND(alpha_frac, 6) AS alpha_word_frac,
+           floor(mean_len * 1000000.0 + 0.5) / 1000000.0 AS mean_word_len,
+           floor(symbol_ratio * 1000000.0 + 0.5) / 1000000.0 AS symbol_ratio,
+           floor(bullet_frac * 1000000.0 + 0.5) / 1000000.0 AS bullet_line_frac,
+           floor(ellipsis_frac * 1000000.0 + 0.5) / 1000000.0 AS ellipsis_line_frac,
+           floor(alpha_frac * 1000000.0 + 0.5) / 1000000.0 AS alpha_word_frac,
            n_req AS n_required_stopwords,
            CAST(n_words >= 50 AND n_words <= 100000 AS INT) AS pass_word_count,
            CAST(mean_len >= 3.0 AND mean_len <= 10.0 AS INT) AS pass_mean_word_len,
