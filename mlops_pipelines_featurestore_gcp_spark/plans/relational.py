@@ -1104,3 +1104,77 @@ def q34_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         steps=["view", "click", "purchase"],
         span=24 * 3600 * 1_000_000,
     )
+
+
+@register(
+    "q35_sessionize_stats",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_type, epoch_us(ts) AS t FROM events
+    ),
+    flagged AS (
+      SELECT user_id, t,
+             CASE WHEN lag(t) OVER w IS NULL
+                       OR t - lag(t) OVER w > 1800000000 THEN 1 ELSE 0 END AS ns
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY t)
+    ),
+    sess AS (
+      SELECT user_id, t,
+             SUM(ns) OVER (PARTITION BY user_id ORDER BY t
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           COUNT(*) AS n_events,
+           MIN(t) AS t_start, MAX(t) AS t_end,
+           MAX(t) - MIN(t) AS duration
+    FROM sess GROUP BY user_id, session_seq
+    """,
+    tags=("events", "session", "window"),
+    defer=True,
+)
+def q35_sessionize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (30-min inactivity gap) + per-session rollup
+    (operators/sessions.py): one window shuffle on user_id, the groupBy
+    rides the same partitioning. The batch twin of st03's streaming session
+    window. Deferred oracle: the driver window is capped at 50; the local
+    gate hash-checks it."""
+    from mlops_pipelines_featurestore_gcp_spark.operators.sessions import session_stats
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "event_type", F.unix_micros(F.col("ts")).alias("t")
+    )
+    return session_stats(ev, entity_col="user_id", time_col="t", gap=30 * 60 * 1_000_000)
+
+
+@register(
+    "q36_retention_cohorts",
+    oracle="""
+    WITH pe AS (
+      SELECT DISTINCT user_id AS e,
+             CAST(floor(epoch_us(ts) / 604800000000) AS BIGINT) AS p
+      FROM events
+    ),
+    first AS (SELECT e, MIN(p) AS cohort_period FROM pe GROUP BY e)
+    SELECT f.cohort_period, pe.p - f.cohort_period AS period_offset,
+           COUNT(DISTINCT pe.e) AS n_active
+    FROM pe JOIN first f USING (e)
+    GROUP BY f.cohort_period, period_offset
+    """,
+    tags=("events", "retention", "cohort"),
+    defer=True,
+)
+def q36_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention triangle (operators/sessions.py): first-
+    activity cohort per user, distinct active periods per (cohort, offset).
+    Deferred oracle: the driver window is capped at 50; the local gate
+    hash-checks it."""
+    from mlops_pipelines_featurestore_gcp_spark.operators.sessions import retention_cohorts
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", F.unix_micros(F.col("ts")).alias("t")
+    )
+    return retention_cohorts(
+        ev, entity_col="user_id", time_col="t", period=7 * 86400 * 1_000_000
+    )
