@@ -1073,3 +1073,41 @@ def s06_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver window is capped at 50; the local gate hash-checks it."""
     docs = load_table(spark, "documents", sf_dir)
     return sampling.leakage_safe_split(docs, "doc_id", "text", val_fraction=0.1)
+
+
+@register(
+    "t11_unigram_lm_score",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS.format(col='nt')}) AS token
+      FROM (SELECT doc_id, {_NORM} AS nt FROM documents)
+    ),
+    vocab AS (SELECT token, COUNT(*) AS tf FROM tok GROUP BY token),
+    tot AS (SELECT SUM(tf) AS total, COUNT(*) AS v FROM vocab),
+    scored AS (
+      SELECT t.doc_id,
+             CAST(floor(ln((v.tf + 1.0) / (tot.total + tot.v)) * 1000000.0 + 0.5) AS BIGINT) AS lp
+      FROM tok t JOIN vocab v USING (token) CROSS JOIN tot
+    ),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n_tokens, SUM(lp) AS logp_micro_sum
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, logp_micro_sum,
+           floor((logp_micro_sum / 1000000.0 / n_tokens) * 1000000.0 + 0.5) / 1000000.0 AS avg_logp,
+           floor(exp(-(logp_micro_sum / 1000000.0 / n_tokens)) * 1000000.0 + 0.5) / 1000000.0 AS perplexity
+    FROM agg
+    """,
+    tags=("text", "llm", "quality", "lm"),
+    defer=True,
+)
+def t11_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity signal from a self-trained add-1 unigram LM
+    (operators/lm_score.py). Per-token log-probs floor-quantize to integer
+    micro-nats BEFORE the per-doc sum, so the aggregate is exact integer
+    addition — summation-order-proof at any parallelism. Deferred oracle:
+    the driver window is capped at 50; the local gate hash-checks it."""
+    from mlops_pipelines_featurestore_gcp_spark.operators.lm_score import unigram_lm_score
+
+    docs = load_table(spark, "documents", sf_dir)
+    return unigram_lm_score(docs, "doc_id", "text")
