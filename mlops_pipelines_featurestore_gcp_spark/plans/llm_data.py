@@ -1111,3 +1111,30 @@ def t11_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     return unigram_lm_score(docs, "doc_id", "text")
+
+
+@register(
+    "t12_bpe_subwords",
+    oracle=None,  # merge learning is an iterative driver loop (8 rounds of
+    # argmax + merge) — not SQL-expressible; the merge sequence is asserted
+    # against a pure-Python reference of the published algorithm in
+    # tests/test_bpe.py.
+    tags=("text", "llm", "tokenizer", "bpe"),
+)
+def t12_bpe_subwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE (operators/bpe.py): learn 8 merges from the corpus
+    word distribution, segment every word occurrence, report subword piece
+    frequencies — the tokenizer-induction step after t09's word-level
+    vocab curve."""
+    from mlops_pipelines_featurestore_gcp_spark.operators import bpe as bpe_op
+
+    docs = load_table(spark, "documents", sf_dir)
+    merges = bpe_op.learn_bpe(docs, "text", n_merges=8)
+    seg = bpe_op.bpe_segment(docs, "doc_id", "text", merges)
+    return (
+        seg.select(F.explode("pieces").alias("piece"))
+        .groupBy("piece")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "piece")
+        .limit(100)
+    )
