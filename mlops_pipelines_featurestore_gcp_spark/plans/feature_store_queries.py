@@ -159,3 +159,93 @@ def f05_latest_wide_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("feature_name", ["click", "error", "purchase", "signup", "view"])
         .agg(F.first("value"))
     )
+
+
+def _psi_sql(src: str, xcol: str, ref_pred: str, cur_pred: str, feature: str) -> str:
+    """DuckDB twin of operators/drift.psi over a date-split snapshot pair:
+    identical fixed-width binning, add-1 smoothing, nano-quantized terms."""
+    return f"""
+    SELECT '{feature}' AS feature,
+           floor((SUM(t) / 1e9) * 1000000.0 + 0.5) / 1000000.0 AS psi,
+           ANY_VALUE(tr) AS n_ref, ANY_VALUE(tc) AS n_cur,
+           CASE WHEN floor((SUM(t) / 1e9) * 1000000.0 + 0.5) / 1000000.0 < 0.1 THEN 'stable'
+                WHEN floor((SUM(t) / 1e9) * 1000000.0 + 0.5) / 1000000.0 < 0.25 THEN 'drifting'
+                ELSE 'shifted' END AS verdict
+    FROM (
+      WITH ref AS (SELECT {xcol} AS x FROM {src} WHERE {ref_pred} AND {xcol} IS NOT NULL),
+      cur AS (SELECT {xcol} AS x FROM {src} WHERE {cur_pred} AND {xcol} IS NOT NULL),
+      b AS (SELECT MIN(x) AS lo, MAX(x) AS hi, COUNT(x) AS n FROM ref),
+      rc AS (SELECT GREATEST(0, LEAST(9, CAST(floor((x - b.lo) / ((b.hi - b.lo) / 10.0)) AS BIGINT))) AS bin,
+                    COUNT(*) AS cnt
+             FROM ref, b GROUP BY 1),
+      cc AS (SELECT GREATEST(0, LEAST(9, CAST(floor((x - b.lo) / ((b.hi - b.lo) / 10.0)) AS BIGINT))) AS bin,
+                    COUNT(*) AS cnt
+             FROM cur, b GROUP BY 1),
+      tot AS (SELECT (SELECT COUNT(*) FROM ref) AS tr, (SELECT COUNT(*) FROM cur) AS tc),
+      terms AS (
+        SELECT CAST(floor(((COALESCE(cc.cnt, 0) + 1.0) / (tot.tc + 10.0)
+                           - (COALESCE(rc.cnt, 0) + 1.0) / (tot.tr + 10.0))
+                          * ln(((COALESCE(cc.cnt, 0) + 1.0) / (tot.tc + 10.0))
+                               / ((COALESCE(rc.cnt, 0) + 1.0) / (tot.tr + 10.0)))
+                          * 1e9 + 0.5) AS BIGINT) AS t,
+               tot.tr AS tr, tot.tc AS tc
+        FROM range(0, 10) g(bin)
+        LEFT JOIN rc ON rc.bin = g.bin
+        LEFT JOIN cc ON cc.bin = g.bin
+        CROSS JOIN tot
+      )
+      SELECT * FROM terms
+    )
+    """
+
+
+_DRIFT_SPLIT_ORDERS = "TIMESTAMP '1998-05-01 00:00:00'"
+_DRIFT_SPLIT_EVENTS = "TIMESTAMP '2024-01-16 00:00:00'"
+
+
+@register(
+    "f06_feature_drift",
+    oracle=(
+        _psi_sql(
+            "orders",
+            "o_totalprice",
+            f"o_orderdate < {_DRIFT_SPLIT_ORDERS}",
+            f"o_orderdate >= {_DRIFT_SPLIT_ORDERS}",
+            "o_totalprice",
+        )
+        + " UNION ALL "
+        + _psi_sql(
+            "events",
+            "value",
+            f"ts < {_DRIFT_SPLIT_EVENTS}",
+            f"ts >= {_DRIFT_SPLIT_EVENTS}",
+            "value",
+        )
+    ),
+    tags=("feature_store", "drift", "monitoring"),
+    defer=True,
+)
+def f06_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-serving drift monitor (operators/drift.py): PSI of the
+    order-price and event-value distributions across a time split —
+    reference-side fixed-width bins, add-1 smoothing, nano-quantized exact
+    integer term sums. The engine-native form of the managed feature-
+    monitoring service the reference configures in Vertex. Deferred oracle:
+    the driver window is capped at 50; the local gate hash-checks it."""
+    from mlops_pipelines_featurestore_gcp_spark.operators.drift import psi
+
+    orders = load_table(spark, "orders", sf_dir)
+    split_o = F.lit("1998-05-01 00:00:00").cast("timestamp")
+    a = psi(
+        orders.where(F.col("o_orderdate") < split_o),
+        orders.where(F.col("o_orderdate") >= split_o),
+        "o_totalprice",
+    )
+    events = load_table(spark, "events", sf_dir)
+    split_e = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    b = psi(
+        events.where(F.col("ts") < split_e),
+        events.where(F.col("ts") >= split_e),
+        "value",
+    )
+    return a.unionByName(b)
