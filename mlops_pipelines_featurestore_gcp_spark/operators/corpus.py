@@ -56,6 +56,7 @@ def prepare_corpus(
     with_stats: bool = False,
     exact_clusters: bool = False,
     redact_pii: bool = False,
+    gopher_rules: bool = False,
     benchmark: DataFrame | None = None,
     contamination_ngram: int = 5,
     chunk_tokens: int | None = None,
@@ -76,7 +77,10 @@ def prepare_corpus(
 
     ``redact_pii=True`` rewrites the text column with typed placeholders
     BEFORE dedup (so two docs differing only in redacted spans dedup
-    together — the order real pipelines use). ``benchmark`` drops every doc
+    together — the order real pipelines use). ``gopher_rules=True`` adds
+    the published Gopher rule set (``operators/quality.py``) to the
+    quality gate — a doc must pass BOTH the composite-score threshold and
+    every Gopher rule. ``benchmark`` drops every doc
     sharing a word ``contamination_ngram``-gram with the given eval set.
     ``chunk_tokens`` reshapes the final output to chunk grain
     (one row per overlapping token window) instead of doc grain.
@@ -89,6 +93,10 @@ def prepare_corpus(
     kept_quality = profiled.where(
         (F.col("n_tokens") >= min_tokens) & (F.col("quality") >= min_quality)
     )
+    if gopher_rules:
+        from mlops_pipelines_featurestore_gcp_spark.operators.quality import apply_gopher_filter
+
+        kept_quality = apply_gopher_filter(kept_quality, id_col, text_col)
 
     # exact dedup: keep each group's canonical (smallest-id) doc
     canonical = dedup.exact_dedup(kept_quality, id_col, text_col).select(

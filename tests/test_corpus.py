@@ -131,3 +131,29 @@ def test_corpus_diff_null_text_present_both_sides_is_unchanged(spark):
     got = {r.doc_id: r.status for r in corpus_diff(old, new, include_unchanged=True).collect()}
     # doc 1 exists (with null text) in BOTH versions: unchanged, not added
     assert got == {1: "unchanged", 2: "removed", 3: "added"}
+
+
+def test_prepare_corpus_gopher_gate(spark):
+    long_good = (
+        "the quick brown fox jumps over the lazy dog and then runs back home to "
+        "rest because it must have been a long day of jumping with all of that "
+        "energy spent on the chase and the garden work that follows every single "
+        "afternoon when the sun is high and the shade is thin so the animals stay "
+        "busy together and of course they do it with great care and joy"
+    )
+    docs = spark.createDataFrame(
+        [(1, long_good), (2, "short but repeated tokens " * 20)],
+        "doc_id long, text string",
+    )
+    from mlops_pipelines_featurestore_gcp_spark.operators.corpus import prepare_corpus
+
+    base = prepare_corpus(docs, min_tokens=5, min_quality=0.0, near_dup_threshold=0.99)
+    with_gopher = prepare_corpus(
+        docs, min_tokens=5, min_quality=0.0, near_dup_threshold=0.99, gopher_rules=True
+    )
+    base_ids = {r.doc_id for r in base.select("doc_id").collect()}
+    gopher_ids = {r.doc_id for r in with_gopher.select("doc_id").collect()}
+    assert gopher_ids <= base_ids
+    assert 1 in gopher_ids
+    # doc 2 fails the required-stopword floor (no 'the/of/and/...' present)
+    assert 2 in base_ids and 2 not in gopher_ids
