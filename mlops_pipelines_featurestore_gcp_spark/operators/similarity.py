@@ -740,3 +740,45 @@ def semantic_dedup_keep(
         src="id_a",
         dst="id_b",
     )
+
+
+def ivf_upsert(
+    spark,
+    path: str,
+    batch: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental ingest into a persisted IVF index (``build_ivf_index``).
+
+    New vectors are assigned to the EXISTING centroids (the broadcast-table
+    distance argmin — no refit, the standard serving-time IVF contract) and
+    appended to their cell partitions; only the touched cells' directories
+    receive files, so ingest cost ∝ batch size while the untouched cells'
+    data — and any query currently probing them — is undisturbed.
+    Centroids drift as the corpus grows; rebuild the index when recall
+    degrades (the published IVF maintenance trade, left to the caller).
+    Re-appending the same batch duplicates rows (append files are not
+    keyed); dedupe ids upstream or rebuild — documented, not hidden.
+    """
+    centroids = spark.read.parquet(f"{path}/centroids")
+    b = batch.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    w = Window.partitionBy("neighbor_id").orderBy(F.col("dist").asc(), F.col("cell"))
+    assigned = (
+        b.crossJoin(F.broadcast(centroids))
+        .select(
+            "neighbor_id",
+            "cv",
+            "cell",
+            F.aggregate(
+                F.zip_with(F.col("cv").cast("array<double>"), F.col("centroid"), lambda a, b2: (a - b2) * (a - b2)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("dist"),
+        )
+        .withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") == 1)
+        .select("neighbor_id", "cv", "cell")
+    )
+    assigned.write.mode("append").partitionBy("cell").parquet(f"{path}/assigned")

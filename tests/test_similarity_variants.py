@@ -159,3 +159,27 @@ def test_semantic_dedup_keep_one_per_component(emb, spark):
         assert min(comp) in kept
     # ids in no pair are all kept
     assert (all_ids - set(adj)) <= kept
+
+
+def test_ivf_upsert_appends_to_cells(spark, emb, tmp_path):
+    path = str(tmp_path / "ivf")
+    base = emb.where(F.col("vec_id") % 2 == 0)
+    extra = emb.where(F.col("vec_id") % 2 == 1)
+    similarity.build_ivf_index(base, path, n_centroids=4)
+    n_before = spark.read.parquet(f"{path}/assigned").count()
+    similarity.ivf_upsert(spark, path, extra)
+    after = spark.read.parquet(f"{path}/assigned")
+    assert after.count() == n_before + extra.count()
+    # upserted vectors are queryable through the same persisted-index search
+    q = extra.limit(3)
+    hits = similarity.ivf_search(spark, path, q, n_probe=4, k=3)
+    assert hits.count() > 0
+    # every upserted vector landed in its argmin centroid cell
+    import numpy as np
+
+    cents = {r.cell: np.array(r.centroid) for r in spark.read.parquet(f"{path}/centroids").collect()}
+    sample = after.join(extra.select(F.col("vec_id").alias("neighbor_id")), "neighbor_id").limit(20).collect()
+    for r in sample:
+        v = np.array(r.cv, dtype=float)
+        best = min(cents, key=lambda c: (float(((v - cents[c]) ** 2).sum()), c))
+        assert r.cell == best
