@@ -25,6 +25,20 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from mlops_pipelines_featurestore_gcp_spark import get_spark, plans  # noqa: E402
 from bench import HEADLINE  # noqa: E402  (audit the same set the bench times)
 
+# Deferred/new queries worth auditing beyond the bench set — same table,
+# separate section so the bench headline set stays stable.
+EXTRA = [
+    "t10_gopher_quality",
+    "t11_unigram_lm_score",
+    "s06_leakage_safe_split",
+    "q33_binned_range_join",
+    "q34_window_funnel",
+    "q35_sessionize_stats",
+    "q36_retention_cohorts",
+    "f06_feature_drift",
+    "d07_semantic_dedup",
+]
+
 
 def audit(df) -> dict[str, object]:
     # Execute THIS dataframe first (not a count() wrapper, which runs its
@@ -54,7 +68,7 @@ def main() -> None:
     print("| query | exchanges | broadcast joins | sort-merge joins | cartesian | filters pushed | codegen spans |")
     print("|---|---|---|---|---|---|---|")
     details: list[tuple[str, str]] = []
-    for name in HEADLINE:
+    for name in HEADLINE + EXTRA:
         spec = plans.QUERIES.get(name)
         if spec is None:
             continue
@@ -63,7 +77,10 @@ def main() -> None:
         # s01's BroadcastNestedLoopJoin is the operator's DESIGN: the tiny
         # query set is broadcast against the corpus for exact scoring (the
         # approximate s02/s03 paths exist precisely to avoid it at scale)
-        expected_cartesian = name.startswith("s01")
+        # s01's is the design (broadcast exact-scoring baseline); d07's and
+        # f06's are broadcast singleton/centroid/stat tables joined with
+        # crossJoin — size-1-side broadcasts, not data-path cartesians
+        expected_cartesian = name.startswith(("s01", "d07", "f06", "t11"))
         flag = " (by design: broadcast query set)" if a["cartesian"] and expected_cartesian else (" ⚠" if a["cartesian"] else "")
         print(
             f"| {name} | {a['exchanges']} | {a['bhj']} | {a['smj']} | {a['cartesian']}{flag} "
