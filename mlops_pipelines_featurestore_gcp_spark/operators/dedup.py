@@ -578,3 +578,49 @@ def remove_duplicate_spans(
         F.size("__toks").cast("long").alias("n_tokens"),
         (F.size("__toks") - F.size(kept)).cast("long").alias("n_removed_tokens"),
     )
+
+
+def hamming_blocked_pairs(
+    sig: DataFrame,
+    id_col: str,
+    hash_col: str,
+    *,
+    bits: int = 60,
+    chunks: int = 4,
+    max_hamming: int = 8,
+) -> DataFrame:
+    """Near-dup pairs over ANY per-row bit signature — the chunk-blocking
+    half of :func:`simhash_pairs` factored out so non-text signatures
+    (perceptual image hashes, audio fingerprints) reuse it.
+
+    Pigeonhole: hamming < ``chunks`` guarantees a shared chunk; pairs in
+    [chunks, max_hamming] surface only when a chunk happens to agree — the
+    standard LSH recall trade. One equi shuffle on (chunk, key); candidates
+    verified by exact popcount. Returns (id_a, id_b, hamming).
+    """
+    chunk_bits = bits // chunks
+    mask = (1 << chunk_bits) - 1
+    chunked = sig.select(
+        F.col(id_col),
+        F.col(hash_col).alias("__h"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("c"),
+                        F.shiftright(F.col(hash_col), c * chunk_bits).bitwiseAND(F.lit(mask)).alias("ck"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("x"),
+    ).select(id_col, "__h", "x.c", "x.ck")
+    a = chunked.select(F.col(id_col).alias("id_a"), F.col("__h").alias("ha"), "c", "ck")
+    b = chunked.select(F.col(id_col).alias("id_b"), F.col("__h").alias("hb"), "c", "ck")
+    return (
+        a.join(b, ["c", "ck"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -146,3 +146,91 @@ def frame_sample(df: DataFrame, *, payload_col: str = "payload", frame_bytes: in
 
 def _schema_of(df: DataFrame) -> dict[str, str]:
     return {f.name: f.dataType.simpleString() for f in df.schema.fields}
+
+
+PHASH_BITS = 60
+
+
+def _fake_pixels(blob: bytes) -> list[int]:
+    """Deterministic 8×8 grayscale stand-in (two chained sha256 digests →
+    64 byte values). A real build replaces this with
+    ``PIL.Image.open(...).convert("L").resize((8, 8)).getdata()``."""
+    d1 = hashlib.sha256(blob).digest()
+    d2 = hashlib.sha256(d1).digest()
+    return list(d1 + d2)
+
+
+def perceptual_hash(
+    df: DataFrame, *, payload_col: str = "payload", out_col: str = "phash", use_real_codecs: bool = False
+) -> DataFrame:
+    """Average-hash (aHash) perceptual image signature → 60-bit long.
+
+    The published image-dedup primitive: downsample to an 8×8 grayscale
+    grid, set bit i iff pixel i exceeds the grid mean (mean over all 64;
+    bits from the first ``PHASH_BITS`` pixels so the hash packs in a
+    signed 64-bit long, matching the engine's 60-bit SimHash convention).
+    Visually-near images differ in few bits → feed
+    ``dedup.hamming_blocked_pairs`` for corpus-scale image dedup, the
+    exact machinery text SimHash uses.
+
+    Decode follows the module contract: deterministic digest-derived
+    pixels by default (codec libs absent here), PIL behind
+    ``use_real_codecs`` — the Arrow batch flow is identical either way.
+    """
+    if use_real_codecs:
+        import importlib.util
+
+        if importlib.util.find_spec("PIL") is None:
+            raise NotImplementedError(
+                "use_real_codecs=True needs an image codec library (PIL); "
+                "install pillow or use the deterministic stub decoder"
+            )
+
+    def _pixels_real(blob: bytes) -> list[int]:
+        import io
+
+        from PIL import Image
+
+        with Image.open(io.BytesIO(blob)) as im:
+            return list(im.convert("L").resize((8, 8)).getdata())
+
+    pixels = _pixels_real if use_real_codecs else _fake_pixels
+    schema = ", ".join(f"{c} {t}" for c, t in _schema_of(df).items()) + f", {out_col} bigint"
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for b in pdf[payload_col]:
+                px = pixels(bytes(b))
+                mean = sum(px) / len(px)
+                h = 0
+                for i in range(PHASH_BITS):
+                    if px[i] > mean:
+                        h |= 1 << i
+                out.append(h)
+            res = pdf.copy()
+            res[out_col] = out
+            yield res
+
+    return df.mapInPandas(_hash, schema)
+
+
+def image_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    *,
+    payload_col: str = "payload",
+    chunks: int = 4,
+    max_hamming: int = 8,
+    use_real_codecs: bool = False,
+) -> DataFrame:
+    """Corpus-scale image near-dup: perceptual hash + hamming chunk
+    blocking — (id_a, id_b, hamming). The multimodal twin of text
+    SimHash dedup."""
+    from mlops_pipelines_featurestore_gcp_spark.operators.dedup import hamming_blocked_pairs
+
+    sig = perceptual_hash(df, payload_col=payload_col, use_real_codecs=use_real_codecs)
+    return hamming_blocked_pairs(
+        sig.select(id_col, "phash"), id_col, "phash",
+        bits=PHASH_BITS, chunks=chunks, max_hamming=max_hamming,
+    )
