@@ -1138,3 +1138,27 @@ def t12_bpe_subwords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "piece")
         .limit(100)
     )
+
+
+@register(
+    "mm04_image_neardup",
+    oracle=None,  # the aHash pixels come from a sha256 chain over RAW
+    # digest bytes — DuckDB's sha256 only accepts VARCHAR, so no SQL twin
+    # exists; signature determinism + blocking guarantees are asserted in
+    # tests/test_phash.py.
+    tags=("multimodal", "dedup", "phash"),
+)
+def mm04_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup over the multimodal payload column: perceptual aHash
+    (mapInPandas, stub decode) + hamming chunk blocking — the multimodal
+    twin of d04's text SimHash. Duplicate payloads are synthesized by
+    bucketing doc text so the fixture corpus actually contains image-level
+    dups to find."""
+    docs = load_table(spark, "documents", sf_dir)
+    # collapse text to doc_id%97 buckets → deterministic duplicate payloads
+    bucketed = docs.select(
+        "doc_id", F.concat(F.lit("img-"), (F.col("doc_id") % 97).cast("string")).alias("text")
+    )
+    payloads = multimodal.attach_payload(bucketed, "text")
+    pairs = multimodal.image_neardup_pairs(payloads, "doc_id", max_hamming=0)
+    return pairs.orderBy("id_a", "id_b")
