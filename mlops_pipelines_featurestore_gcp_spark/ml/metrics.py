@@ -29,12 +29,16 @@ def rmse(scored: DataFrame, *, label_col: str, pred_col: str) -> float:
     row = scored.agg(
         F.sqrt(F.avg(F.pow(F.col(pred_col) - F.col(label_col), 2))).alias("v")
     ).collect()[0]
+    if row["v"] is None:
+        raise ValueError("rmse: no scored rows (empty prediction⋈label join?)")
     return float(row["v"])
 
 
 def mae(scored: DataFrame, *, label_col: str, pred_col: str) -> float:
     """Mean absolute error over all scored pairs."""
     row = scored.agg(F.avg(F.abs(F.col(pred_col) - F.col(label_col))).alias("v")).collect()[0]
+    if row["v"] is None:
+        raise ValueError("mae: no scored rows (empty prediction⋈label join?)")
     return float(row["v"])
 
 

@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from mlops_pipelines_featurestore_gcp_spark.functions.canonical import round6
+
 from mlops_pipelines_featurestore_gcp_spark.operators.dedup import gram_rows as _grams
 
 
@@ -65,7 +67,7 @@ def contamination_check(
         .agg(
             F.count_distinct(F.col("gram")).alias("n_grams"),
             F.count_distinct(hit_gram).alias("n_hits"),
-            F.round(F.count_distinct(hit_gram) / F.count_distinct(F.col("gram")), 6).alias(
+            round6(F.count_distinct(hit_gram) / F.count_distinct(F.col("gram"))).alias(
                 "contamination_frac"
             ),
         )

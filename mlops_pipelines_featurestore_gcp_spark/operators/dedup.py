@@ -403,33 +403,11 @@ def simhash_pairs(
     one — the documented LSH recall trade-off, identical in the oracle.
     Returns (doc_a, doc_b, hamming).
     """
-    chunk_bits = bits // chunks
-    mask = (1 << chunk_bits) - 1
     sig = simhash_signatures(df, id_col, text_col, k=k, bits=bits)
-    chunked = sig.select(
-        F.col(id_col),
-        F.col("simhash"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("c"),
-                        F.shiftright(F.col("simhash"), c * chunk_bits).bitwiseAND(F.lit(mask)).alias("ck"),
-                    )
-                    for c in range(chunks)
-                ]
-            )
-        ).alias("x"),
-    ).select(id_col, "simhash", "x.c", "x.ck")
-    a = chunked.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("ha"), "c", "ck")
-    b = chunked.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("hb"), "c", "ck")
-    return (
-        a.join(b, ["c", "ck"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"))
-        .distinct()
-        .where(F.col("hamming") <= max_hamming)
+    pairs = hamming_blocked_pairs(
+        sig, id_col, "simhash", bits=bits, chunks=chunks, max_hamming=max_hamming
     )
+    return pairs.withColumnRenamed("id_a", "doc_a").withColumnRenamed("id_b", "doc_b")
 
 
 def window_hash_rows(df: DataFrame, id_col: str, text_col: str, *, window: int) -> DataFrame:

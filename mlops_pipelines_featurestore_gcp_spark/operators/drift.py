@@ -83,8 +83,11 @@ def psi(
             F.coalesce("cur_cnt", F.lit(0)).alias("cc"),
         )
     )
-    totals = joined.agg(F.sum("rc").alias("tr"), F.sum("cc").alias("tc")).collect()[0]
-    tr, tc = totals["tr"], totals["tc"]
+    # totals come from cheap narrow counts, NOT a histogram re-aggregation:
+    # every non-null ref value lands in exactly one clamped bin, so the ref
+    # total IS the bounds pass's count; the cur total is one count job.
+    tr = n_ref
+    tc = cur.agg(F.count(col)).collect()[0][0]
     # add-1 smoothing: p = (cnt+1)/(total+bins) — exact integer ratios
     p_ref = (F.col("rc") + 1.0) / F.lit(float(tr + bins))
     p_cur = (F.col("cc") + 1.0) / F.lit(float(tc + bins))

@@ -65,21 +65,31 @@ def unique(col: str, *, approx: bool = False) -> Expectation:
     distinct = (
         F.approx_count_distinct(col, rsd=0.02) if approx else F.count_distinct(c)
     )
+    # clamp at 0: HLL can OVERestimate distincts on an all-unique column,
+    # and a negative "violation count" must not read as failure
     return Expectation(
-        f"unique({col})", None, table_check=F.count(c) - distinct
+        f"unique({col})", None, table_check=F.greatest(F.count(c) - distinct, F.lit(0))
     )
 
 
 def fraction_at_least(name: str, cond: Column, min_frac: float) -> Expectation:
     """Table-level: at least ``min_frac`` of rows satisfy ``cond`` (e.g.
     language coverage, non-empty-text share). Violation count = shortfall
-    in rows, floor 0."""
-    need = F.ceil(F.count(F.lit(1)) * F.lit(float(min_frac)))
+    in rows, floor 0.
+
+    The requirement is computed in exact integer arithmetic (min_frac
+    quantized to parts-per-million): ``ceil(n · frac)`` in floats reads
+    7.000000000000001 for 100·0.07 and flags a batch that meets the
+    fraction exactly. Holds up to ~9·10¹² rows (ppm·n inside int64).
+    """
+    ppm = round(float(min_frac) * 1_000_000)
+    n = F.count(F.lit(1))
+    need = F.floor((n * F.lit(ppm) + F.lit(999_999)) / F.lit(1_000_000)).cast("long")
     have = F.sum(cond.cast("long"))
     return Expectation(
         f"fraction_at_least({name},{min_frac})",
         None,
-        table_check=F.greatest(need - have, F.lit(0)),
+        table_check=F.greatest(need - F.coalesce(have, F.lit(0)), F.lit(0)),
     )
 
 
@@ -140,14 +150,16 @@ def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
             aggs.append(F.avg(c).alias(f"__avg_{c}"))
     row = df.agg(*aggs).collect()[0]
     n = row["__n"]
+    # aggregates over zero rows come back NULL — an empty table must
+    # profile as zeros, not crash
     report = [
         (
             c,
             types[c],
             int(n),
-            int(row[f"__null_{c}"]),
-            (float(row[f"__null_{c}"]) / n) if n else 0.0,
-            int(row[f"__dist_{c}"]),
+            int(row[f"__null_{c}"] or 0),
+            (float(row[f"__null_{c}"] or 0) / n) if n else 0.0,
+            int(row[f"__dist_{c}"] or 0),
             row[f"__min_{c}"],
             row[f"__max_{c}"],
             float(row[f"__avg_{c}"]) if c in numeric and row[f"__avg_{c}"] is not None else None,

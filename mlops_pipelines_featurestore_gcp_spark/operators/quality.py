@@ -44,8 +44,11 @@ SYMBOL_RE = r"#|\.\.\.|…"
 # Line starts with optional indent then a bullet marker. [ \t]* (not \s*)
 # so the indent cannot swallow newlines and claim the next line's bullet.
 BULLET_LINE_RE = r"(?m)^[ \t]*[-*•]"
-# Line ends with an ellipsis.
-ELLIPSIS_LINE_RE = r"(?m)(\.\.\.|…)$"
+# Line ends with an ellipsis. The optional \r keeps Java and RE2 agreeing
+# on CRLF text: Java's multiline $ matches before the full \r\n unit (the
+# \r? then matches empty), RE2's $ matches only before \n (the \r? consumes
+# the \r) — both count the same lines either way.
+ELLIPSIS_LINE_RE = r"(?m)(\.\.\.|…)\r?$"
 # A token containing at least one ASCII letter, matched against the
 # double-space-joined padded token string (same trick as
 # ``functions.text.stopword_hits``: two separator spaces let adjacent

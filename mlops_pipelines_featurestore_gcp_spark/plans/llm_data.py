@@ -573,7 +573,7 @@ def t05_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c.doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_grams,
            CAST(COUNT(b.gram) AS BIGINT) AS n_hits,
-           ROUND(COUNT(b.gram) / COUNT(*), 6) AS contamination_frac
+           floor(COUNT(b.gram) / COUNT(*) * 1000000.0 + 0.5) / 1000000.0 AS contamination_frac
     FROM cand c LEFT JOIN bench b ON c.gram = b.gram
     GROUP BY c.doc_id
     HAVING COUNT(b.gram) > 0
@@ -832,11 +832,11 @@ _UHASH = (
     feats AS (
       SELECT doc_id, lang,
              CAST(len(t) AS BIGINT) AS n_tokens,
-             ROUND(least(len(t), 100) / 100.0 * 0.4
+             floor((least(len(t), 100) / 100.0 * 0.4
                    + (len(list_filter(t, x -> list_contains(['the','a','of','to','and','in','is','it','that','for'], x)))
                       / greatest(len(t), 1)) * 0.2
                    + (len(list_distinct(t)) / greatest(len(t), 1)) * 0.3
-                   + (1.0 - n_punct / greatest(len(text), 1)) * 0.1, 6) AS quality
+                   + (1.0 - n_punct / greatest(len(text), 1)) * 0.1) * 1000000.0 + 0.5) / 1000000.0 AS quality
       FROM base
     ),
     strat AS (
@@ -990,7 +990,7 @@ _GOPHER_REQ_SQL = " + ".join(
              len(regexp_extract_all(gtext, '#|\\.\\.\\.|…')) / greatest(len(t), 1) AS symbol_ratio,
              len(regexp_extract_all(gtext, '(?m)^[ \\t]*[-*•]'))
                / greatest(len(string_split(gtext, chr(10))), 1) AS bullet_frac,
-             len(regexp_extract_all(gtext, '(?m)(\\.\\.\\.|…)$'))
+             len(regexp_extract_all(gtext, '(?m)(\\.\\.\\.|…)\r?$'))
                / greatest(len(string_split(gtext, chr(10))), 1) AS ellipsis_frac,
              len(regexp_extract_all(' ' || array_to_string(t, '  ') || ' ',
                                     ' [^ ]*[A-Za-z][^ ]* ')) / greatest(len(t), 1) AS alpha_frac,

@@ -89,3 +89,10 @@ def test_apply_filter_returns_surviving_rows(spark):
     kept = quality.apply_gopher_filter(df, "doc_id", "text")
     assert [r["doc_id"] for r in kept.collect()] == [1]
     assert set(kept.columns) == {"doc_id", "text"}
+
+
+def test_ellipsis_rule_handles_crlf(spark):
+    text = "first line...\r\nsecond stays\r\nthird…\r\nfourth"
+    rows = _rows(spark, [(1, text)])
+    # 2 of 4 lines end with an ellipsis even with Windows terminators
+    assert rows[1]["ellipsis_line_frac"] == 0.5
