@@ -170,3 +170,49 @@ def st05_late_data_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_events"))
         .select(F.col("w.start").alias("w_start"), "n_events")
     )
+
+
+@register(
+    "st06_continuous_rollup",
+    oracle="""
+    SELECT CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS bucket,
+           event_type,
+           COUNT(value) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total,
+           MIN(value) AS vmin,
+           MAX(value) AS vmax,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value) AS vavg
+    FROM events
+    GROUP BY bucket, event_type
+    """,
+    tags=("streaming", "rollup", "hypertable", "incremental"),
+    defer=True,
+)
+def st06_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate (streaming/rollup.py): the
+    hour-bucket rollup is built INCREMENTALLY — three refreshes of
+    event_id-sharded batches merging DECIMAL partials into a
+    bucket-partitioned store — yet the oracle is ONE GROUP BY over all
+    events: incremental maintenance provably equals full recompute,
+    bit-for-bit, because the partials are exact and associative. Deferred
+    oracle: the driver window is capped at 50; the local gate hash-checks
+    it."""
+    import tempfile
+
+    from mlops_pipelines_featurestore_gcp_spark.streaming.rollup import ContinuousAggregate
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("t"),
+        "event_type",
+        F.col("value").alias("v"),
+    )
+    # store lives in the session temp area; reads stay lazy so it must
+    # outlive this function (OS tmp reaping handles cleanup)
+    path = tempfile.mkdtemp(prefix="spark_graft_rollup_")
+    ca = ContinuousAggregate(
+        path, time_col="t", value_col="v", keys=["event_type"], bucket_width=3600 * 1_000_000
+    )
+    for i in range(3):
+        ca.refresh(ev.where(F.col("event_id") % 3 == i).drop("event_id"), batch_id=i)
+    return ca.read(spark)
