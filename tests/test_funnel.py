@@ -71,3 +71,17 @@ def test_two_steps_minimum(spark):
             steps=["only"],
             span=10,
         )
+
+
+def test_null_timestamps_ignored(spark):
+    ev = spark.createDataFrame(
+        [(1, 10, "view"), (1, None, "click"), (1, 20, "click"), (1, 30, "buy")],
+        "uid long, t long, et string",
+    )
+    out = window_funnel(
+        ev, entity_col="uid", time_col="t", type_col="et", steps=STEPS, span=100
+    )
+    r = out.collect()[0]
+    # the null-time click can't participate; the t=20 one completes the chain
+    assert r["funnel_level"] == 3
+    assert r["t_complete"] == 30

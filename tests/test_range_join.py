@@ -91,3 +91,31 @@ def test_bad_args_raise(spark, data):
         binned_range_join(
             points, intervals, point_col="x", start_col="s", end_col="e", bin_width=4, how="full"
         )
+
+
+def test_null_points_and_bounds_are_safe(spark):
+    points = spark.createDataFrame([(1, 5), (2, None)], "pid long, x long")
+    intervals = spark.createDataFrame(
+        [(10, 0, 9), (11, None, 9), (12, 0, None)], "iid long, s long, e long"
+    )
+    inner = binned_range_join(
+        points, intervals, point_col="x", start_col="s", end_col="e", bin_width=4
+    )
+    assert {(r.pid, r.iid) for r in inner.collect()} == {(1, 10)}
+    left = binned_range_join(
+        points, intervals, point_col="x", start_col="s", end_col="e", bin_width=4, how="left"
+    )
+    rows = {(r.pid, r.iid) for r in left.collect()}
+    assert rows == {(1, 10), (2, None)}
+
+
+def test_negative_coordinates(spark):
+    points = spark.createDataFrame([(1, -7), (2, -1), (3, 2)], "pid long, x long")
+    intervals = spark.createDataFrame([(10, -9, -2)], "iid long, s long, e long")
+    got = {
+        (r.pid, r.iid)
+        for r in binned_range_join(
+            points, intervals, point_col="x", start_col="s", end_col="e", bin_width=4
+        ).collect()
+    }
+    assert got == {(1, 10)}
