@@ -149,6 +149,7 @@ def f04_feature_import_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM latest GROUP BY entity_id
     """,
     tags=("feature_store", "pivot"),
+    defer=True,
 )
 def f05_latest_wide_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FS7 wide read: latest long values pivoted to one row per entity
@@ -223,7 +224,6 @@ _DRIFT_SPLIT_EVENTS = "TIMESTAMP '2024-01-16 00:00:00'"
         )
     ),
     tags=("feature_store", "drift", "monitoring"),
-    defer=True,
 )
 def f06_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-serving drift monitor (operators/drift.py): PSI of the

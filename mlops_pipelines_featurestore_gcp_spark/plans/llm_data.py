@@ -645,7 +645,6 @@ def mm01_payload_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Deferred from the driver window: the multimodal mapInPandas path is
     # checked via mm01, and the per-frame contents have an exact pytest
     # (test_multimodal.py); the local differential gate still runs this.
-    defer=True,
 )
 def mm03_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over video-shaped payloads (fixed-size byte frames,
@@ -702,7 +701,6 @@ def mm03_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM emb e JOIN cnt c USING (doc_id)
     """,
     tags=("llm", "text", "embedding", "similarity"),
-    defer=True,
 )
 def t07_hashed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-hashed document embeddings (operators/embeddings.py): the
@@ -750,7 +748,6 @@ def c01_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM counts
     """,
     tags=("text", "llm", "vocab"),
-    defer=True,
 )
 def t09_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequency-ranked token vocabulary + cumulative coverage curve
@@ -786,7 +783,6 @@ def t09_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.old_fp <> n.new_fp
     """,
     tags=("llm", "pipeline", "diff"),
-    defer=True,
 )
 def c02_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus snapshot diff (operators/corpus.py corpus_diff): classify every
@@ -902,7 +898,6 @@ def s04_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM isl GROUP BY doc_id, grp
     """,
     tags=("llm", "dedup", "text"),
-    defer=True,
 )
 def d06_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring span dedup (operators/dedup.py exact_substring_spans):
@@ -943,7 +938,6 @@ def d06_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM placed
     """,
     tags=("llm", "packing", "text"),
-    defer=True,
 )
 def t08_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-token sequence packing (operators/packing.py): every doc gets a
@@ -1019,7 +1013,6 @@ _GOPHER_REQ_SQL = " + ".join(
     FROM feats
     """,
     tags=("text", "llm", "quality", "gopher"),
-    defer=True,
 )
 def t10_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher quality-rule evaluation (operators/quality.py) over the corpus
@@ -1063,7 +1056,6 @@ def t10_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM fp JOIN groups g USING (f)
     """,
     tags=("sampling", "llm", "split", "dedup"),
-    defer=True,
 )
 def s06_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/val split (operators/sampling.py): the split draw
@@ -1099,7 +1091,6 @@ def s06_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM agg
     """,
     tags=("text", "llm", "quality", "lm"),
-    defer=True,
 )
 def t11_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style perplexity signal from a self-trained add-1 unigram LM

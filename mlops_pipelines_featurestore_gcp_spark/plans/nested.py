@@ -84,6 +84,7 @@ def n01_array_build_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM nested
     """,
     tags=("nested", "struct"),
+    defer=True,
 )
 def n03_struct_of_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Struct-of-arrays build + field access (the observation

@@ -92,7 +92,6 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Deferred from the driver window: q03 exercises the same
     # TakeOrderedAndProject top-k on a strictly bigger plan (joins + agg
     # feeding it); the local differential gate still runs this.
-    defer=True,
 )
 def q02_filter_project_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered scan → projection → top-k (TakeOrderedAndProject).
@@ -120,6 +119,7 @@ def q02_filter_project_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24
     """,
     tags=("agg", "filter"),
+    defer=True,
 )
 def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6-shaped scalar aggregate — every predicate pushes to parquet."""
@@ -276,6 +276,7 @@ def q05_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY c.c_mktsegment
     """,
     tags=("join", "anti", "agg"),
+    defer=True,
 )
 def q07_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-anti join: customers with no recent orders, per segment."""
@@ -305,6 +306,7 @@ def q07_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY n_orders
     """,
     tags=("join", "outer", "agg"),
+    defer=True,
 )
 def q08_outer_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customer-order count distribution (TPC-H Q13-shaped left outer join).
@@ -330,6 +332,7 @@ def q08_outer_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE a.r_regionkey <> b.r_regionkey
     """,
     tags=("join", "cross"),
+    defer=True,
 )
 def q19_cross_join_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross join (broadcast nested loop) over the 5-row region table."""
@@ -390,6 +393,7 @@ def q20_range_join_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY c.c_mktsegment
     """,
     tags=("subquery", "semi", "agg"),
+    defer=True,
 )
 def q21_in_and_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IN-subquery (→ semi join) gated by an uncorrelated scalar subquery.
@@ -448,6 +452,7 @@ def q21_in_and_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE rn <= 3
     """,
     tags=("window", "topk", "agg"),
+    defer=True,
 )
 def q09_window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The window-function surface over ONE partition-by-customer shuffle:
@@ -582,6 +587,7 @@ def q12_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'union' AS op, COUNT(*) AS n FROM (SELECT * FROM building UNION SELECT * FROM rich)
     """,
     tags=("setop",),
+    defer=True,
 )
 def q15_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT / EXCEPT / UNION-distinct cardinalities of two key sets."""
@@ -628,6 +634,7 @@ def q15_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE p_name LIKE '%e%' AND p_partkey <= 1200 AND p_retailprice > 0
     """,
     tags=("scalar", "string", "math", "encoding"),
+    defer=True,
 )
 def q16_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar-function surface in one slot (r1's q16 + q18 + the previously
@@ -681,6 +688,7 @@ def q16_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1, 2
     """,
     tags=("scalar", "date", "agg", "pivot", "conditional", "distinct"),
+    defer=True,
 )
 def q17_date_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date/time scalars (extract, trunc, min/max over timestamps), manual
@@ -723,6 +731,7 @@ def q17_date_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY event_type
     """,
     tags=("scalar", "json", "agg"),
+    defer=True,
 )
 def q25_json_and_case(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON extraction from the events.props payload + conditional count.
@@ -757,6 +766,7 @@ def q25_json_and_case(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY GROUPING SETS ((n_name, r_name), (r_name), ())
     """,
     tags=("agg", "grouping-sets"),
+    defer=True,
 )
 def q27_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS with GROUPING() ids — via Spark SQL over temp views
@@ -850,6 +860,7 @@ def q28_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM t GROUP BY 1
     """,
     tags=("nulls", "agg"),
+    defer=True,
 )
 def q29_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NULL semantics: nullif/coalesce, count(col) vs count(*), null-safe
@@ -880,6 +891,7 @@ def q29_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY n_name
     """,
     tags=("agg", "string-agg", "filter-clause"),
+    defer=True,
 )
 def q30_ordered_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered, filtered string aggregation (listagg/string_agg shape):
@@ -1018,7 +1030,6 @@ def q32_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY o.o_orderpriority
     """,
     tags=("join", "range", "binned"),
-    defer=True,
 )
 def q33_binned_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PURE range join (no equi key): every lineitem shipped inside each
@@ -1083,7 +1094,6 @@ def q33_binned_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM s0 LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
     """,
     tags=("events", "funnel", "sequence"),
-    defer=True,
 )
 def q34_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed funnel (view → click → purchase within 24 h of the anchor):
@@ -1132,7 +1142,6 @@ def q34_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM sess GROUP BY user_id, session_seq
     """,
     tags=("events", "session", "window"),
-    defer=True,
 )
 def q35_sessionize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch sessionization (30-min inactivity gap) + per-session rollup
@@ -1163,7 +1172,6 @@ def q35_sessionize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY f.cohort_period, period_offset
     """,
     tags=("events", "retention", "cohort"),
-    defer=True,
 )
 def q36_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort-retention triangle (operators/sessions.py): first-

@@ -65,6 +65,7 @@ def st01_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1, 2
     """,
     tags=("streaming", "window"),
+    defer=True,
 )
 def st02_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-hour windows sliding every 30 min — each event in exactly 2 windows."""
@@ -186,7 +187,6 @@ def st05_late_data_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY bucket, event_type
     """,
     tags=("streaming", "rollup", "hypertable", "incremental"),
-    defer=True,
 )
 def st06_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style continuous aggregate (streaming/rollup.py): the

@@ -44,3 +44,52 @@ def test_deferred_queries_keep_their_oracle():
     for name, spec in plans.QUERIES.items():
         if spec.defer:
             assert spec.oracle is not None, f"{name} is deferred but has no oracle"
+
+
+def _load_ledger():
+    import json
+    from pathlib import Path
+
+    path = Path(__file__).resolve().parent.parent / "WINDOW_LEDGER.json"
+    return json.loads(path.read_text())
+
+
+def test_ledger_current_round_matches_registry():
+    """WINDOW_LEDGER.json's newest entry must equal the live window.
+
+    The ledger is the rotation audit trail (which queries each round's driver
+    run verified); if the registry's window drifts from the recorded entry the
+    ledger must be regenerated before commit.
+    """
+    ledger = _load_ledger()
+    newest = ledger[max(ledger, key=int)]
+    live = list(plans.queries_map())[:DRIVER_WINDOW]
+    assert newest == live, (
+        "WINDOW_LEDGER.json is stale — regenerate its newest entry from "
+        "list(queries())[:50] after changing defer flags"
+    )
+
+
+def test_no_oracle_query_deferred_forever():
+    """Every oracle-bearing query must hit the driver window within 2 rounds.
+
+    VERDICT r3 #9: deferral must not silently become permanent. A query is
+    compliant if it is in the CURRENT window or appeared in either of the two
+    most recent ledger entries.
+    """
+    ledger = _load_ledger()
+    rounds = sorted(ledger, key=int)
+    recent = set()
+    for r in rounds[-2:]:
+        recent.update(ledger[r])
+    current = set(list(plans.queries_map())[:DRIVER_WINDOW])
+    stale = []
+    for name, spec in plans.QUERIES.items():
+        if spec.oracle is None:
+            continue
+        if name not in current and name not in recent:
+            stale.append(name)
+    assert not stale, (
+        f"oracle queries absent from the driver window for 2+ rounds: {stale} — "
+        "rotate them in (flip defer flags) and regenerate WINDOW_LEDGER.json"
+    )
