@@ -4,19 +4,48 @@ parquet + Spark).
 
 A full `groupBy(bucket).agg(...)` over 100 TB per refresh is the thing this
 replaces. The store keeps PARTIAL aggregate state — count, sum, min, max —
-per (time bucket, key), partitioned by bucket on disk. A refresh:
+per (time bucket, key). A refresh:
 
 1. partial-aggregates ONLY the incoming batch (map-side combine; the
    batch's rows never join the historical table);
-2. reads ONLY the stored partials for the buckets the batch touches
+2. reads ONLY the stored partial-state partitions the batch touches
    (partition pruning on disk — untouched history is never opened);
 3. merges (partials are associative: count+count, sum+sum, min(min),
-   max(max)) and dynamic-partition-overwrites just those buckets.
+   max(max)) and dynamic-partition-overwrites just those partitions.
 
-Cost ∝ batch size + touched-bucket state, never table size. Finalization
-(avg = sum/count) happens at READ time, so the stored state stays
-mergeable — the classic partial-aggregate contract, the same one Spark's
-own map-side combine relies on.
+Physical layout (round-4 redesign): state is partitioned by ``pgroup =
+floor(bucket / buckets_per_partition)`` — a CONTIGUOUS bucket group — with
+``bucket`` kept as a data column. Raw per-bucket partitioning (the round-3
+layout) produced one directory per hour bucket: ~9k dirs/year of tiny
+files, rewritten per refresh — a small-files explosion at real retention.
+Contiguous grouping keeps time locality: a streaming refresh touches
+recent buckets, which share the newest group dir, so a refresh rewrites
+O(groups touched) directories each holding at most ``buckets_per_partition``
+buckets of state. (``pmod(bucket, k)`` grouping would NOT work: it scatters
+every group across all of history, so rewriting one recent bucket would
+drag ~table/k state through the merge.) Bucket-range reads prune at two
+levels: pgroup directory pruning, then parquet row-group min/max stats on
+the ``bucket`` data column inside the group.
+
+Each refresh repartitions the merged state by ``pgroup`` before the write,
+so every group directory holds one file per rewrite — refreshes compact as
+they go instead of accumulating shuffle-partition shards. ``compact()``
+remains for stores written by many fine-grained historical refreshes.
+
+Crash safety: the merged state is eagerly materialized
+(``localCheckpoint``) BEFORE the overwrite, because the refresh reads and
+rewrites the SAME path — without the barrier a lazy plan would read
+partitions mid-replacement on a task retry (the registry writer solved
+the same hazard by materializing first; see
+``feature_store/store.py`` `_write_registry`). The dynamic-overwrite mode
+is scoped to the DataFrameWriter ``.option(...)``, never set on the
+session, so sibling static-overwrite writers (e.g. the IVF index rebuild
+in ``operators/similarity.py``) keep truncate-on-overwrite semantics.
+
+Rows with a NULL ``time_col`` are dropped with a warning counter: a NULL
+event time has no bucket (the same convention watermarking applies to
+late/null event times). Silently keeping them would strand state in a
+NULL partition that ``Column.isin`` pruning can never select.
 
 Exactly-once: ``refresh`` records the batch id high-water mark and skips
 replays (Structured Streaming re-delivers a failed micro-batch under the
@@ -26,6 +55,10 @@ this into ``writeStream.foreachBatch``.
 
 Cascades compose: a day-grain ``ContinuousAggregate`` can ``refresh`` from
 the hour-grain store's partials (sum-of-sums), never from raw data.
+
+Finalization (avg = sum/count) happens at READ time, so the stored state
+stays mergeable — the classic partial-aggregate contract, the same one
+Spark's own map-side combine relies on.
 """
 
 from __future__ import annotations
@@ -44,7 +77,10 @@ class ContinuousAggregate:
 
     ``bucket_width`` is in the units of the numeric ``time_col`` (pass
     ``unix_micros(ts)`` upstream, same convention as the session/funnel
-    operators).
+    operators). ``buckets_per_partition`` bounds the on-disk directory
+    count: one partition dir per ``buckets_per_partition`` contiguous
+    buckets (64 hour-buckets ≈ 2.7 days per dir; a year of hourly state
+    is ~137 dirs instead of ~8.8k).
     """
 
     def __init__(
@@ -55,18 +91,31 @@ class ContinuousAggregate:
         value_col: str,
         keys: list[str],
         bucket_width: int,
+        buckets_per_partition: int = 64,
     ) -> None:
+        if buckets_per_partition < 1:
+            raise ValueError("buckets_per_partition must be >= 1")
         self.path = path
         self.time_col = time_col
         self.value_col = value_col
         self.keys = list(keys)
         self.bucket_width = int(bucket_width)
+        self.buckets_per_partition = int(buckets_per_partition)
 
     # --- state layout -----------------------------------------------------
+    def _with_pgroup(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "pgroup",
+            F.floor(F.col("bucket") / F.lit(self.buckets_per_partition)).cast("long"),
+        )
+
     def _partials(self, df: DataFrame) -> DataFrame:
         bucket = (F.floor(F.col(self.time_col) / F.lit(self.bucket_width))).cast("long")
         return (
-            df.withColumn("bucket", bucket)
+            # NULL time ⇒ NULL bucket ⇒ unprunable stranded state; drop, per
+            # the watermark convention for unusable event times
+            df.where(F.col(self.time_col).isNotNull())
+            .withColumn("bucket", bucket)
             .groupBy("bucket", *self.keys)
             .agg(
                 F.count(self.value_col).alias("p_count"),
@@ -103,6 +152,39 @@ class ContinuousAggregate:
         with open(os.path.join(self.path, _META), "w") as f:
             json.dump({"last_batch_id": batch_id}, f)
 
+    @property
+    def _store(self) -> str:
+        return os.path.join(self.path, "state")
+
+    def _store_has_state(self) -> bool:
+        store = self._store
+        return os.path.isdir(store) and any(
+            e.startswith("pgroup=") for e in os.listdir(store)
+        )
+
+    def _write_state(self, merged: DataFrame) -> None:
+        """Dynamic-partition-overwrite the touched pgroup dirs.
+
+        The merge plan READS the same path it overwrites, so the state is
+        eagerly materialized first — a lazy plan would re-read partitions
+        mid-replacement on task retry (`test_rollup.py` injects a store
+        wipe between the two steps to prove the barrier holds).
+        """
+        self._overwrite(self._with_pgroup(merged).localCheckpoint(eager=True))
+
+    def _overwrite(self, materialized: DataFrame) -> None:
+        """One shuffle output per pgroup keeps each dir at a single file
+        per rewrite (self-compacting)."""
+        (
+            materialized.repartition("pgroup")
+            .write.mode("overwrite")
+            # writer-scoped: never mutate the session conf (sibling static
+            # overwrites — e.g. IVF index rebuilds — rely on truncate mode)
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("pgroup")
+            .parquet(self._store)
+        )
+
     # --- API ----------------------------------------------------------------
     def refresh(self, batch: DataFrame, *, batch_id: int = 0) -> None:
         """Merge a batch into the rollup; replay-safe via the batch-id
@@ -112,23 +194,47 @@ class ContinuousAggregate:
             return
         spark = batch.sparkSession
         incoming = self._partials(batch)
-        store = os.path.join(self.path, "state")
-        if os.path.isdir(store) and any(
-            e.startswith("bucket=") for e in os.listdir(store)
-        ):
-            touched = [r["bucket"] for r in incoming.select("bucket").distinct().collect()]
-            existing = spark.read.parquet(store).where(F.col("bucket").isin(touched))
+        if self._store_has_state():
+            # dynamic overwrite replaces whole pgroup dirs, so untouched
+            # buckets in a touched group must ride along through the merge
+            touched_groups = [
+                r["pgroup"]
+                for r in self._with_pgroup(incoming).select("pgroup").distinct().collect()
+            ]
+            existing = (
+                spark.read.parquet(self._store)
+                .where(F.col("pgroup").isin(touched_groups))  # dir-pruned read
+                .drop("pgroup")
+            )
             merged = self._merge(existing.unionByName(incoming))
         else:
             merged = incoming
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        merged.write.mode("overwrite").partitionBy("bucket").parquet(store)
+        self._write_state(merged)
         self._record_batch(batch_id)
 
-    def read(self, spark: SparkSession) -> DataFrame:
+    def read(
+        self,
+        spark: SparkSession,
+        *,
+        bucket_min: int | None = None,
+        bucket_max: int | None = None,
+    ) -> DataFrame:
         """Finalized rollup: (bucket, keys..., n, total, vmin, vmax, vavg).
-        Bucket-range filters prune partitions at the file level."""
-        st = spark.read.parquet(os.path.join(self.path, "state"))
+
+        Bucket-range bounds prune twice: the derived pgroup filter prunes
+        partition DIRECTORIES; the bucket filter then skips parquet
+        row-groups via min/max stats inside the surviving files.
+        """
+        st = spark.read.parquet(self._store)
+        bpp = self.buckets_per_partition
+        if bucket_min is not None:
+            st = st.where(
+                (F.col("pgroup") >= bucket_min // bpp) & (F.col("bucket") >= bucket_min)
+            )
+        if bucket_max is not None:
+            st = st.where(
+                (F.col("pgroup") <= bucket_max // bpp) & (F.col("bucket") <= bucket_max)
+            )
         total = F.col("p_sum").cast("double")
         return st.select(
             "bucket",
@@ -140,7 +246,18 @@ class ContinuousAggregate:
             (total / F.col("p_count")).alias("vavg"),
         )
 
-    def cascade_into(self, coarser: "ContinuousAggregate", spark: SparkSession, *, batch_id: int = 0) -> None:
+    def compact(self, spark: SparkSession) -> None:
+        """Rewrite every pgroup dir to one file (idempotent: state rows are
+        already one per (bucket, keys), so this only coalesces files from
+        stores produced by many historical fine-grained refreshes)."""
+        if not self._store_has_state():
+            return
+        state = spark.read.parquet(self._store).drop("pgroup")
+        self._write_state(state)
+
+    def cascade_into(
+        self, coarser: "ContinuousAggregate", spark: SparkSession, *, batch_id: int = 0
+    ) -> None:
         """Refresh a coarser-grain rollup FROM this store's partials
         (sum-of-sums / min-of-mins) — raw data is never re-read. The
         coarser bucket width must be a multiple of this one's."""
@@ -148,18 +265,15 @@ class ContinuousAggregate:
             raise ValueError(
                 f"coarser width {coarser.bucket_width} is not a multiple of {self.bucket_width}"
             )
-        st = spark.read.parquet(os.path.join(self.path, "state"))
+        if batch_id <= coarser._last_batch():
+            return
+        st = spark.read.parquet(self._store).drop("pgroup")
         ratio = coarser.bucket_width // self.bucket_width
         rebucketed = st.withColumn(
             "bucket", F.floor(F.col("bucket") / F.lit(ratio)).cast("long")
         )
         merged = self._merge(rebucketed)
-        if batch_id <= coarser._last_batch():
-            return
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        merged.write.mode("overwrite").partitionBy("bucket").parquet(
-            os.path.join(coarser.path, "state")
-        )
+        coarser._write_state(merged)
         coarser._record_batch(batch_id)
 
 

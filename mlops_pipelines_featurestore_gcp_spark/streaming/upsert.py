@@ -73,6 +73,10 @@ def upsert_batch(
         .where(F.col("__rn") == 1)
         .drop("__rn")
     )
+    # The merge plan reads the same path it overwrites: eagerly materialize
+    # first, or a task retry mid-replacement would re-read partially
+    # rewritten buckets (same barrier as rollup._write_state).
+    latest = latest.localCheckpoint(eager=True)
     # dynamic overwrite replaces exactly the touched bucket partitions;
     # untouched buckets' files are never rewritten (or read)
     (

@@ -77,3 +77,118 @@ def test_rollup_sink_streaming(spark, tmp_path):
     q.awaitTermination(120)
     rows = ca.read(spark).collect()
     assert len(rows) == 1 and rows[0]["n"] == 2 and rows[0]["total"] == 3.0
+
+
+def test_null_time_rows_dropped(spark, tmp_path):
+    # NULL event time has no bucket: keeping it would strand state in a
+    # NULL partition that isin() pruning can never re-read (silent loss on
+    # the next merge). Contract: dropped, like watermark-expired rows.
+    ca = _ca(tmp_path)
+    ca.refresh(_batch(spark, [(10, "a", 1.0), (None, "a", 9.0)]), batch_id=0)
+    ca.refresh(_batch(spark, [(None, "a", 7.0), (20, "a", 2.0)]), batch_id=1)
+    rows = ca.read(spark).collect()
+    assert len(rows) == 1
+    assert rows[0]["n"] == 2 and rows[0]["total"] == 3.0
+
+
+def test_partition_dirs_bounded_by_bucket_group(spark, tmp_path):
+    # 10 buckets at buckets_per_partition=4 → ceil coverage of 3 pgroup
+    # dirs, NOT 10 bucket dirs (the r3 small-files layout).
+    ca = ContinuousAggregate(
+        str(tmp_path / "rollup"), time_col="t", value_col="v", keys=["k"],
+        bucket_width=100, buckets_per_partition=4,
+    )
+    rows = [(i * 100 + 5, "a", float(i)) for i in range(10)]
+    ca.refresh(_batch(spark, rows), batch_id=0)
+    store = tmp_path / "rollup" / "state"
+    dirs = [e for e in store.iterdir() if e.name.startswith("pgroup=")]
+    assert {d.name for d in dirs} == {"pgroup=0", "pgroup=1", "pgroup=2"}
+    # self-compacting: one data file per pgroup dir per rewrite
+    for d in dirs:
+        files = [f for f in d.iterdir() if f.name.endswith(".parquet")]
+        assert len(files) == 1, f"{d.name} has {len(files)} files"
+
+
+def test_refresh_rewrites_only_touched_groups(spark, tmp_path):
+    ca = ContinuousAggregate(
+        str(tmp_path / "rollup"), time_col="t", value_col="v", keys=["k"],
+        bucket_width=100, buckets_per_partition=4,
+    )
+    ca.refresh(_batch(spark, [(5, "a", 1.0), (905, "b", 2.0)]), batch_id=0)  # pgroups 0, 2
+    store = tmp_path / "rollup" / "state"
+    untouched_files = set((store / "pgroup=2").iterdir())
+    ca.refresh(_batch(spark, [(105, "a", 3.0)]), batch_id=1)  # pgroup 0 only
+    assert set((store / "pgroup=2").iterdir()) == untouched_files, (
+        "refresh of pgroup 0 must not rewrite pgroup 2's files"
+    )
+    got = {(r.bucket, r.k): r.n for r in ca.read(spark).collect()}
+    assert got == {(0, "a"): 1, (1, "a"): 1, (9, "b"): 1}
+
+
+def test_bucket_range_read_prunes_and_matches(spark, tmp_path):
+    ca = ContinuousAggregate(
+        str(tmp_path / "rollup"), time_col="t", value_col="v", keys=["k"],
+        bucket_width=100, buckets_per_partition=4,
+    )
+    rows = [(i * 100 + 5, "a", float(i)) for i in range(12)]
+    ca.refresh(_batch(spark, rows), batch_id=0)
+    got = sorted(r.bucket for r in ca.read(spark, bucket_min=3, bucket_max=9).collect())
+    assert got == [3, 4, 5, 6, 7, 8, 9]
+    # the derived pgroup bounds must appear in the plan (directory pruning)
+    plan = ca.read(spark, bucket_min=3, bucket_max=9)._jdf.queryExecution().executedPlan().toString()
+    assert "pgroup" in plan
+
+
+def test_refresh_survives_store_wipe_after_materialize(spark, tmp_path, monkeypatch):
+    """Kill-and-retry safety: the merged state must be fully materialized
+    BEFORE the overwrite starts. Injecting a total store wipe between the
+    localCheckpoint and the write simulates the worst mid-replacement
+    state a task retry could observe; a lazy merge plan (the r3 hazard)
+    would lose rows or crash reading the vanishing files."""
+    import shutil
+
+    ca = _ca(tmp_path)
+    ca.refresh(_batch(spark, [(10, "a", 1.0), (550, "b", 9.0)]), batch_id=0)
+
+    real_overwrite = ContinuousAggregate._overwrite
+
+    def wiping_overwrite(self, materialized):
+        shutil.rmtree(self._store)  # worst-case: every old file already gone
+        real_overwrite(self, materialized)
+
+    monkeypatch.setattr(ContinuousAggregate, "_overwrite", wiping_overwrite)
+    ca.refresh(_batch(spark, [(20, "a", 1.0)]), batch_id=1)
+    monkeypatch.undo()
+
+    got = {(r.bucket, r.k): r.n for r in ca.read(spark).collect()}
+    # bucket 0 merged across both batches; bucket 5's state survived because
+    # it was read into the merge before the wipe (same pgroup at width=100/64)
+    assert got[(0, "a")] == 2
+    assert got[(5, "b")] == 1
+
+
+def test_compact_coalesces_and_preserves_state(spark, tmp_path):
+    ca = ContinuousAggregate(
+        str(tmp_path / "rollup"), time_col="t", value_col="v", keys=["k"],
+        bucket_width=100, buckets_per_partition=4,
+    )
+    for i in range(3):
+        ca.refresh(_batch(spark, [(i * 10, "a", float(i)), (905, "b", 1.0)]), batch_id=i)
+    before = {(r.bucket, r.k): (r.n, r.total) for r in ca.read(spark).collect()}
+    ca.compact(spark)
+    after = {(r.bucket, r.k): (r.n, r.total) for r in ca.read(spark).collect()}
+    assert before == after
+    store = tmp_path / "rollup" / "state"
+    for d in store.iterdir():
+        if d.name.startswith("pgroup="):
+            assert len([f for f in d.iterdir() if f.name.endswith(".parquet")]) == 1
+
+
+def test_session_overwrite_mode_untouched(spark, tmp_path):
+    # ADVICE r3 (medium): refresh must not flip the SESSION conf — sibling
+    # static overwrites (IVF index rebuild) depend on truncate semantics.
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    ca = _ca(tmp_path)
+    ca.refresh(_batch(spark, [(10, "a", 1.0)]), batch_id=0)
+    ca.refresh(_batch(spark, [(20, "a", 2.0)]), batch_id=1)
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode") == "static"
