@@ -33,6 +33,54 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def auto_bin_width(
+    points: DataFrame,
+    intervals: DataFrame,
+    *,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+) -> int:
+    """Pick ``bin_width`` from sampled data statistics at plan time.
+
+    The per-bin candidate count grows with point density × bin width while
+    the interval explode factor grows with span / bin width; balancing the
+    two cost terms
+
+        cost(w) ≈ N_p · (N_i / domain) · w      (extra candidates)
+                + N_i · (median_span / w)       (explode rows)
+
+    gives the minimizer ``w* = sqrt(median_span · domain / N_p)`` — the
+    width SHRINKS as point density rises, which is exactly what a fixed
+    width gets wrong: at 10× the data a constant width admits 10× the
+    candidates per bin (the r3 q33 scale cliff). Stats come from one
+    narrow aggregate pass per side (count + approx median span + domain
+    bounds — map-side-combined column scans, the same price AQE pays for
+    its runtime stats). Clamped to [1, max(1, 4 × median_span)] so
+    degenerate stats (empty side, zero spans) stay safe; correctness is
+    width-independent, so a bad estimate can only cost time.
+    """
+    istats = intervals.agg(
+        F.count("*").alias("n"),
+        F.percentile_approx(
+            F.col(end_col).cast("double") - F.col(start_col).cast("double"), 0.5, 1000
+        ).alias("med_span"),
+        F.min(start_col).alias("lo"),
+        F.max(end_col).alias("hi"),
+    ).first()
+    pstats = points.agg(
+        F.count("*").alias("n"), F.min(point_col).alias("lo"), F.max(point_col).alias("hi")
+    ).first()
+    if not istats["n"] or not pstats["n"]:
+        return 1
+    med_span = max(float(istats["med_span"] or 0.0), 1.0)
+    domain = max(
+        float(max(istats["hi"], pstats["hi"]) - min(istats["lo"], pstats["lo"])), 1.0
+    )
+    width = (med_span * domain / float(pstats["n"])) ** 0.5
+    return int(max(1.0, min(width, 4.0 * med_span)))
+
+
 def binned_range_join(
     points: DataFrame,
     intervals: DataFrame,
@@ -40,7 +88,7 @@ def binned_range_join(
     point_col: str,
     start_col: str,
     end_col: str,
-    bin_width: int,
+    bin_width: int | None = None,
     how: str = "inner",
 ) -> DataFrame:
     """Join each point row to every interval row with
@@ -53,7 +101,15 @@ def binned_range_join(
     as the equi conjunct — the shuffle key — with the exact containment
     predicate evaluated inside the join, so neither ever degenerates to a
     nested-loop plan (plan-asserted in tests).
+
+    ``bin_width=None`` (the default) derives the width from sampled stats
+    via :func:`auto_bin_width`; pass an explicit width to pin the physical
+    plan (correctness is width-independent either way).
     """
+    if bin_width is None:
+        bin_width = auto_bin_width(
+            points, intervals, point_col=point_col, start_col=start_col, end_col=end_col
+        )
     if bin_width <= 0:
         raise ValueError(f"bin_width must be positive, got {bin_width}")
     if how not in {"inner", "left"}:

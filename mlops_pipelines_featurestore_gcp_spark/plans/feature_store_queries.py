@@ -230,8 +230,7 @@ def f06_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-price and event-value distributions across a time split —
     reference-side fixed-width bins, add-1 smoothing, nano-quantized exact
     integer term sums. The engine-native form of the managed feature-
-    monitoring service the reference configures in Vertex. Deferred oracle:
-    the driver window is capped at 50; the local gate hash-checks it."""
+    monitoring service the reference configures in Vertex."""
     from mlops_pipelines_featurestore_gcp_spark.operators.drift import psi
 
     orders = load_table(spark, "orders", sf_dir)

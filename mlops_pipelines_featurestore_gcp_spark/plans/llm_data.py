@@ -905,8 +905,7 @@ def d06_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     finds shared boilerplate PASSAGES inside otherwise-distinct documents
     (the relational re-expression of suffix-array ExactSubstr dedup). All
     keyed shuffles: window-hash groupBy, hash join back, per-doc island
-    merge. Deferred oracle: outside the driver's 50-entry window, hash-
-    checked by the local gate."""
+    merge."""
     docs = load_table(spark, "documents", sf_dir)
     return dedup.exact_substring_spans(docs, "doc_id", "text", window=20)
 
@@ -943,8 +942,7 @@ def t08_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-token sequence packing (operators/packing.py): every doc gets a
     deterministic position in one of 8 sharded token streams cut into
     512-token training sequences. One window shuffle partitioned by shard —
-    no global sort; only (id, hash, count) rows move. Deferred oracle: the
-    driver window is capped at 50, but the local gate hash-checks it."""
+    no global sort; only (id, hash, count) rows move."""
     docs = load_table(spark, "documents", sf_dir)
     return packing.pack_sequences(docs, "doc_id", "text", seq_tokens=512, shards=8)
 
@@ -1019,8 +1017,7 @@ def t10_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     augmented with deterministic doc_id-derived structure (bullet lines,
     ellipsis lines, symbol runs) — the synthetic single-line documents would
     otherwise make the line-shape rules trivially vacuous, like t01's PII
-    augmentation. Map-only codegen pass, no shuffle. Deferred oracle: the
-    driver window is capped at 50; the local gate hash-checks it."""
+    augmentation. Map-only codegen pass, no shuffle."""
     docs = load_table(spark, "documents", sf_dir)
     gtext = F.concat(
         F.col("text"),
@@ -1061,8 +1058,7 @@ def s06_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/val split (operators/sampling.py): the split draw
     is per exact-dedup group, so a doc and its duplicate can never land on
     opposite sides. One fingerprint aggregate + one join; the md5-derived
-    group draw is replayed verbatim by the oracle. Deferred oracle: the
-    driver window is capped at 50; the local gate hash-checks it."""
+    group draw is replayed verbatim by the oracle."""
     docs = load_table(spark, "documents", sf_dir)
     return sampling.leakage_safe_split(docs, "doc_id", "text", val_fraction=0.1)
 
@@ -1096,8 +1092,7 @@ def t11_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style perplexity signal from a self-trained add-1 unigram LM
     (operators/lm_score.py). Per-token log-probs floor-quantize to integer
     micro-nats BEFORE the per-doc sum, so the aggregate is exact integer
-    addition — summation-order-proof at any parallelism. Deferred oracle:
-    the driver window is capped at 50; the local gate hash-checks it."""
+    addition — summation-order-proof at any parallelism."""
     from mlops_pipelines_featurestore_gcp_spark.operators.lm_score import unigram_lm_score
 
     docs = load_table(spark, "documents", sf_dir)

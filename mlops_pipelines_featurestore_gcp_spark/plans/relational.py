@@ -1040,8 +1040,9 @@ def q33_binned_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     it into an equi shuffle on 32-day bins (interval explode factor ≤ 4)
     with exact containment filtered inside the join; the oracle replays the
     naive containment semantics, proving binning is correctness-neutral.
-    Deferred oracle: the driver window is capped at 50; the local gate
-    hash-checks it."""
+    The bin width is derived from sampled stats at plan time
+    (``auto_bin_width``: shrinks as point density grows — a fixed width
+    was the r3 scale cliff)."""
     from mlops_pipelines_featurestore_gcp_spark.operators.range_join import binned_range_join
 
     day = 86400
@@ -1059,12 +1060,23 @@ def q33_binned_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_quantity", F.col("l_shipdate").cast("long").alias("ship_s")
     )
     joined = binned_range_join(
-        p, o, point_col="ship_s", start_col="win_s", end_col="win_e", bin_width=32 * day
+        p, o, point_col="ship_s", start_col="win_s", end_col="win_e"
     )
-    return joined.groupBy("o_orderpriority").agg(
-        F.count("*").alias("n_in_window"),
-        F.count_distinct("l_orderkey").alias("n_point_orders"),
-        _dec_sum(F.col("l_quantity")).alias("qty_in_window"),
+    # Two-level aggregate instead of a mixed distinct/plain agg: Spark
+    # plans the mixed form with an Expand that doubles the ~30M joined
+    # rows through the shuffle (17s -> 6s at sf0.1 measured). Level 1
+    # partial-combines per (priority, orderkey) — map-side, the join's
+    # output partitions already group nearby keys — so only ~|distinct
+    # pairs| rows cross the final shuffle; count(*) over it IS the
+    # distinct count.
+    pre = joined.groupBy("o_orderpriority", "l_orderkey").agg(
+        F.count("*").alias("__c"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("__q"),
+    )
+    return pre.groupBy("o_orderpriority").agg(
+        F.sum("__c").alias("n_in_window"),
+        F.count("*").alias("n_point_orders"),
+        F.sum("__q").cast("double").alias("qty_in_window"),
     )
 
 
@@ -1099,8 +1111,7 @@ def q34_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed funnel (view → click → purchase within 24 h of the anchor):
     per-user greedy sequence matching in ONE groupBy shuffle
     (operators/funnel.py) — the oracle replays the same greedy chain as
-    sequential min-aggregates. Deferred oracle: the driver window is capped
-    at 50; the local gate hash-checks it."""
+    sequential min-aggregates."""
     from mlops_pipelines_featurestore_gcp_spark.operators.funnel import window_funnel
 
     ev = load_table(spark, "events", sf_dir).select(
@@ -1147,8 +1158,7 @@ def q35_sessionize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch sessionization (30-min inactivity gap) + per-session rollup
     (operators/sessions.py): one window shuffle on user_id, the groupBy
     rides the same partitioning. The batch twin of st03's streaming session
-    window. Deferred oracle: the driver window is capped at 50; the local
-    gate hash-checks it."""
+    window."""
     from mlops_pipelines_featurestore_gcp_spark.operators.sessions import session_stats
 
     ev = load_table(spark, "events", sf_dir).select(
@@ -1175,9 +1185,7 @@ def q35_sessionize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q36_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort-retention triangle (operators/sessions.py): first-
-    activity cohort per user, distinct active periods per (cohort, offset).
-    Deferred oracle: the driver window is capped at 50; the local gate
-    hash-checks it."""
+    activity cohort per user, distinct active periods per (cohort, offset)."""
     from mlops_pipelines_featurestore_gcp_spark.operators.sessions import retention_cohorts
 
     ev = load_table(spark, "events", sf_dir).select(

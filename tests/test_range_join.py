@@ -119,3 +119,51 @@ def test_negative_coordinates(spark):
         ).collect()
     }
     assert got == {(1, 10)}
+
+
+def test_auto_bin_width_matches_fixed_width_result(spark):
+    from mlops_pipelines_featurestore_gcp_spark.operators.range_join import (
+        auto_bin_width,
+        binned_range_join,
+    )
+
+    points = spark.createDataFrame([(i * 7,) for i in range(200)], "p long")
+    intervals = spark.createDataFrame(
+        [(i * 50, i * 50 + 120, i) for i in range(30)], "s long, e long, iid int"
+    )
+    w = auto_bin_width(points, intervals, point_col="p", start_col="s", end_col="e")
+    assert isinstance(w, int) and w >= 1
+    # width* = sqrt(med_span * domain / N_p); clamp ceiling is 4*med_span
+    assert w <= 4 * 120
+    auto = binned_range_join(points, intervals, point_col="p", start_col="s", end_col="e")
+    fixed = binned_range_join(
+        points, intervals, point_col="p", start_col="s", end_col="e", bin_width=97
+    )
+    assert sorted(map(tuple, auto.collect())) == sorted(map(tuple, fixed.collect()))
+
+
+def test_auto_bin_width_shrinks_with_point_density(spark):
+    # the r3 scale cliff: a fixed width admits density-proportional
+    # candidates per bin; the auto width must shrink as points densify
+    from mlops_pipelines_featurestore_gcp_spark.operators.range_join import auto_bin_width
+
+    intervals = spark.createDataFrame(
+        [(i * 1000, i * 1000 + 500) for i in range(20)], "s long, e long"
+    )
+    sparse = spark.createDataFrame([(i * 100,) for i in range(200)], "p long")
+    dense = spark.createDataFrame([(i,) for i in range(20000)], "p long")
+    w_sparse = auto_bin_width(sparse, intervals, point_col="p", start_col="s", end_col="e")
+    w_dense = auto_bin_width(dense, intervals, point_col="p", start_col="s", end_col="e")
+    assert w_dense < w_sparse
+
+
+def test_auto_bin_width_degenerate_inputs(spark):
+    from mlops_pipelines_featurestore_gcp_spark.operators.range_join import auto_bin_width
+
+    empty = spark.createDataFrame([], "p long")
+    intervals = spark.createDataFrame([(0, 10)], "s long, e long")
+    assert auto_bin_width(empty, intervals, point_col="p", start_col="s", end_col="e") == 1
+    pts = spark.createDataFrame([(5,)], "p long")
+    zero_span = spark.createDataFrame([(3, 3)], "s long, e long")
+    w = auto_bin_width(pts, zero_span, point_col="p", start_col="s", end_col="e")
+    assert w >= 1
