@@ -64,8 +64,12 @@ def round6(col: Column) -> Column:
     t01's composite quality score at sf0.1. ``floor(x·10⁶ + 0.5)/10⁶``
     evaluates exactly the same on the identical input double in every IEEE
     engine — determinism by construction, no midpoint interpretation.
-    Intended for non-negative ratio/score columns (floor biases half-cases
-    toward +∞ for negatives).
+    The rule is round-half-toward-+∞ at the 6th digit for EITHER sign:
+    non-negative inputs get classic half-up; negative inputs (e.g.
+    lm_score's avg_logp) have exact .5 midpoints resolve toward zero.
+    That asymmetry is part of the contract — both engines replay the same
+    fold, so cross-engine equality holds for any sign; don't swap in a
+    sign-symmetric quantizer without updating every SQL twin in lockstep.
     """
     return F.floor(col * F.lit(1_000_000.0) + F.lit(0.5)) / F.lit(1_000_000.0)
 

@@ -80,11 +80,16 @@ def fraction_at_least(name: str, cond: Column, min_frac: float) -> Expectation:
     The requirement is computed in exact integer arithmetic (min_frac
     quantized to parts-per-million): ``ceil(n · frac)`` in floats reads
     7.000000000000001 for 100·0.07 and flags a batch that meets the
-    fraction exactly. Holds up to ~9·10¹² rows (ppm·n inside int64).
+    fraction exactly. The ceiling division runs in DECIMAL (``/`` on longs
+    is double division in Spark — above n·ppm ≈ 2⁵³ the long→double
+    conversion drops low bits and the ceiling can miss by a row), so the
+    bound really is int64: ~9·10¹² rows at ppm = 10⁶.
     """
     ppm = round(float(min_frac) * 1_000_000)
     n = F.count(F.lit(1))
-    need = F.floor((n * F.lit(ppm) + F.lit(999_999)) / F.lit(1_000_000)).cast("long")
+    num = (n * F.lit(ppm) + F.lit(999_999)).cast("decimal(38,0)")
+    # exact: the true quotient has ≤6 decimal digits, within decimal scale
+    need = F.floor(num / F.lit(1_000_000)).cast("long")
     have = F.sum(cond.cast("long"))
     return Expectation(
         f"fraction_at_least({name},{min_frac})",

@@ -130,10 +130,17 @@ def frame_sample(df: DataFrame, *, payload_col: str = "payload", frame_bytes: in
     """Frame-sampling stub for video-shaped payloads: split the byte stream
     into fixed-size frames, keep every ``every``-th — pure JVM array ops
     (no Python), one output row per kept frame."""
-    frames = F.transform(
-        F.sequence(F.lit(0), F.floor((F.octet_length(F.col(payload_col)) - 1) / frame_bytes).cast("int")),
-        lambda i: F.substring(F.col(payload_col), (i * frame_bytes + 1).cast("int"), frame_bytes),
-    )
+    # empty-payload guard: floor((0-1)/frame_bytes) = -1 and sequence(0, -1)
+    # DESCENDS to [0, -1], which would explode 2 spurious empty frames —
+    # an empty payload must yield zero rows
+    last_idx = F.floor((F.octet_length(F.col(payload_col)) - 1) / frame_bytes).cast("int")
+    frames = F.when(
+        F.octet_length(F.col(payload_col)) > 0,
+        F.transform(
+            F.sequence(F.lit(0), last_idx),
+            lambda i: F.substring(F.col(payload_col), (i * frame_bytes + 1).cast("int"), frame_bytes),
+        ),
+    ).otherwise(F.array().cast("array<binary>"))
     kept = F.filter(frames, lambda fr, i: i % every == F.lit(0))
     return df.withColumn("frame", F.explode(kept)).withColumn(
         "frame_meta",

@@ -105,3 +105,21 @@ def test_profile_table_subset_and_fixture(spark, sf_small):
     assert set(rep) == {"doc_id", "lang"}
     assert rep["doc_id"]["n_nulls"] == 0
     assert 0 < rep["lang"]["approx_distinct"] <= 10
+
+
+def test_fraction_at_least_exact_at_boundary(spark):
+    from mlops_pipelines_featurestore_gcp_spark.operators.expectations import (
+        fraction_at_least,
+        validate,
+    )
+    from pyspark.sql import functions as F
+
+    # 7 of 100 rows meet cond at min_frac=0.07: exactly met, zero violations
+    df = spark.createDataFrame([(i,) for i in range(100)], "x int")
+    exp = fraction_at_least("x_small", F.col("x") < 7, 0.07)
+    row = validate(df, [exp]).collect()[0]
+    assert row["n_violations"] == 0 and bool(row["ok"])
+    # 6 of 100: short by one row
+    exp2 = fraction_at_least("x_small", F.col("x") < 6, 0.07)
+    row2 = validate(df, [exp2]).collect()[0]
+    assert row2["n_violations"] == 1 and not bool(row2["ok"])

@@ -62,3 +62,16 @@ def test_frame_sample_math(spark):
     # every=1 keeps all four, including the 8-byte tail
     all_frames = mm.frame_sample(mm.attach_payload(df, "text"), frame_bytes=64, every=1)
     assert [r.frame_meta.n_bytes for r in all_frames.collect()] == [64, 64, 64, 8]
+
+
+def test_frame_sample_empty_payload_yields_no_rows(spark):
+    # ADVICE r3: floor((0-1)/frame_bytes) = -1 made sequence(0,-1) DESCEND,
+    # exploding spurious empty frames for a 0-byte payload
+    from mlops_pipelines_featurestore_gcp_spark.operators.multimodal import frame_sample
+
+    df = spark.createDataFrame(
+        [("a", bytearray(b"")), ("b", bytearray(b"x" * 130))], "id string, payload binary"
+    )
+    out = frame_sample(df, frame_bytes=64, every=1).select("id").collect()
+    ids = sorted(r.id for r in out)
+    assert ids == ["b", "b", "b"]  # 130 bytes -> 3 frames; empty -> none
