@@ -54,21 +54,25 @@ def _fake_decode(blob: bytes) -> tuple[int, int, int]:
 
 
 def _real_decode(blob: bytes) -> tuple[int, int, int]:
-    """Actual image decode via PIL — the drop-in the stub stands in for.
-
-    The container has no codec libraries, so this path is exercised only
-    where PIL exists; the Spark-side plumbing (schema, Arrow batches,
-    partition flow) is identical either way.
+    """Actual image decode: PIL when present, else the pure-stdlib PNG
+    decoder (``functions/png.py``) — PNG payloads decode for real even in
+    codec-less containers. Non-PNG formats without PIL raise
+    ``NotImplementedError`` (the documented stub contract).
     """
     import io
 
     try:
         from PIL import Image
-    except ImportError as e:  # codec libs not in this environment
+    except ImportError:
+        from mlops_pipelines_featurestore_gcp_spark.functions import png
+
+        if png.is_png(blob):
+            w, h, ch, _ = png.decode_png(blob)
+            return w, h, ch
         raise NotImplementedError(
-            "use_real_codecs=True needs an image codec library (PIL); "
-            "install pillow or use the deterministic stub decoder"
-        ) from e
+            "use_real_codecs=True without PIL decodes PNG only; "
+            "install pillow for other formats or use the stub decoder"
+        )
     with Image.open(io.BytesIO(blob)) as im:
         return im.width, im.height, len(im.getbands())
 
@@ -76,20 +80,13 @@ def _real_decode(blob: bytes) -> tuple[int, int, int]:
 def decode_media(df: DataFrame, *, payload_col: str = "payload", use_real_codecs: bool = False) -> DataFrame:
     """Decode: payload → (width, height, channels) via ``mapInPandas``.
 
-    ``use_real_codecs=True`` routes each payload through PIL (raises
-    ``NotImplementedError`` where no codec library exists — this container);
-    the default is the deterministic digest-derived stub, which keeps the
-    plumbing testable and SQL-oracle-reproducible.
+    ``use_real_codecs=True`` routes each payload through PIL when
+    installed, else the pure-stdlib PNG decoder (PNG decodes for real in
+    this codec-less container; other formats raise ``NotImplementedError``
+    per payload). The default is the deterministic digest-derived stub,
+    which keeps the plumbing testable and SQL-oracle-reproducible.
     """
     decode = _real_decode if use_real_codecs else _fake_decode
-    if use_real_codecs:
-        import importlib.util
-
-        if importlib.util.find_spec("PIL") is None:  # fail fast on the driver
-            raise NotImplementedError(
-                "use_real_codecs=True needs an image codec library (PIL); "
-                "install pillow or use the deterministic stub decoder"
-            )
     out_schema = ", ".join(f"{c} {t}" for c, t in _schema_of(df).items()) + ", width int, height int, channels int"
     passthrough = [c for c in df.columns]
 
@@ -181,23 +178,21 @@ def perceptual_hash(
     exact machinery text SimHash uses.
 
     Decode follows the module contract: deterministic digest-derived
-    pixels by default (codec libs absent here), PIL behind
-    ``use_real_codecs`` — the Arrow batch flow is identical either way.
+    pixels by default, real pixels behind ``use_real_codecs`` — PIL when
+    installed, else the stdlib PNG decoder's 8×8 box average
+    (``functions/png.gray_8x8``). The Arrow batch flow is identical
+    either way.
     """
-    if use_real_codecs:
-        import importlib.util
-
-        if importlib.util.find_spec("PIL") is None:
-            raise NotImplementedError(
-                "use_real_codecs=True needs an image codec library (PIL); "
-                "install pillow or use the deterministic stub decoder"
-            )
 
     def _pixels_real(blob: bytes) -> list[int]:
         import io
 
-        from PIL import Image
+        try:
+            from PIL import Image
+        except ImportError:
+            from mlops_pipelines_featurestore_gcp_spark.functions import png
 
+            return png.gray_8x8(blob)
         with Image.open(io.BytesIO(blob)) as im:
             return list(im.convert("L").resize((8, 8)).getdata())
 

@@ -39,9 +39,11 @@ def test_decode_stub_matches_digest(spark, docs):
     assert r[2].text == "hello world"
 
 
-def test_decode_real_codecs_is_stubbed(spark, docs):
-    with pytest.raises(NotImplementedError):
-        mm.decode_media(mm.attach_payload(docs, "text"), use_real_codecs=True)
+def test_decode_real_codecs_rejects_non_png_without_pil(spark, docs):
+    # text payloads are not PNG: without PIL the real-codec path must fail
+    # loudly per payload (PNG itself decodes for real — test_png.py)
+    with pytest.raises(Exception, match="PNG|NotImplemented"):
+        mm.decode_media(mm.attach_payload(docs, "text"), use_real_codecs=True).collect()
 
 
 def test_extract_features_shape_and_determinism(spark, docs):
