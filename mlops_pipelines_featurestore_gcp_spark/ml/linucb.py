@@ -185,3 +185,40 @@ class LinUCBModel:
             a_inv=np.asarray(d["a_inv"]),
             counts=np.asarray(d["counts"]),
         )
+
+
+def sufficient_stats_exact(
+    df: DataFrame,
+    *,
+    context_dim: int,
+    obs_col: str = "obs",
+    action_col: str = "action",
+    reward_col: str = "reward",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Order-proof per-arm LinUCB sufficient statistics: the driver-
+    verifiable projection of ``fit``'s accumulation.
+
+    ``fit``'s float partials are exact in value but their driver-side
+    reduction order can wobble the low mantissa bits, so θ itself is not
+    hash-stable across engines. This emits the same per-arm accumulation —
+    pull count, the b vector, and the A diagonal — in micro-scaled INTEGER
+    arithmetic (the t11 trick: quantize each input to ``scale`` units,
+    multiply and sum as longs), which is associative and replayable
+    verbatim by a SQL oracle. Bounds: |x|,|r| ≲ 9·10³ at scale 10⁶ keeps a
+    per-row term under 2⁶³ with ~10⁶ rows/arm headroom.
+
+    Output: (action, n_pulls, b0_micro2..b{k-1}_micro2,
+    a00_micro2..a{k-1}{k-1}_micro2) — ``_micro2`` marks sums of products
+    of two micro-scaled factors (divide by ``scale²`` for float stats).
+    """
+    obs = F.col(obs_col).cast("array<double>")
+    xs = [
+        F.floor(F.element_at(obs, i + 1) * scale + F.lit(0.5)).cast("long")
+        for i in range(context_dim)
+    ]
+    r = F.floor(F.col(reward_col).cast("double") * scale + F.lit(0.5)).cast("long")
+    aggs = [F.count("*").alias("n_pulls")]
+    aggs += [F.sum(r * xs[i]).alias(f"b{i}_micro2") for i in range(context_dim)]
+    aggs += [F.sum(xs[i] * xs[i]).alias(f"a{i}{i}_micro2") for i in range(context_dim)]
+    return df.groupBy(F.col(action_col).cast("long").alias("action")).agg(*aggs)

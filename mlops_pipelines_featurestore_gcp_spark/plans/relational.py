@@ -89,9 +89,6 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 25
     """,
     tags=("scan", "filter", "sort", "limit"),
-    # Deferred from the driver window: q03 exercises the same
-    # TakeOrderedAndProject top-k on a strictly bigger plan (joins + agg
-    # feeding it); the local differential gate still runs this.
 )
 def q02_filter_project_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered scan → projection → top-k (TakeOrderedAndProject).
@@ -160,6 +157,7 @@ def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 10
     """,
     tags=("join", "agg", "sort", "limit"),
+    defer=True,
 )
 def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-shaped 3-way join → agg → top-10.
@@ -504,6 +502,7 @@ def q09_window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE c_custkey <= 300
     """,
     tags=("window",),
+    defer=True,
 )
 def q23_rank_flavors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rank / dense_rank / ntile with a total order (unique tie-break)."""
