@@ -334,9 +334,11 @@ def s03_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d07_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup: KMeans cells, within-cell exact cosine
     (one equi shuffle on cell, Σ cell² pairs), transitive keep-set. The
-    learned-partition counterpart to d05's sign-LSH blocking."""
+    learned-partition counterpart to d05's sign-LSH blocking. Cell count
+    is corpus-derived (k = ceil(N/1024)) so within-cell pair work stays
+    linear in N — the r3 fixed-k scale trap."""
     emb = load_table(spark, "embeddings", sf_dir)
-    pairs = similarity.semantic_dedup_pairs(emb, n_clusters=16, threshold=0.45, dim=64)
+    pairs = similarity.semantic_dedup_pairs(emb, threshold=0.45, dim=64)
     return pairs.select("id_a", "id_b", "cos_sim").orderBy("id_a", "id_b")
 
 

@@ -1,0 +1,117 @@
+"""Decade-up scale sweep for the dedup/ANN family (VERDICT r3 #5).
+
+No sf1 fixture ships, so this synthesizes one at TIMING fidelity from
+sf0.1: documents/embeddings replicated 10× with per-copy perturbation
+(copy-specific token injected into text, hash-derived epsilon added to
+vectors) so replicas do NOT form near-duplicate clusters — the candidate-
+pair distribution stays realistic instead of exploding quadratically on
+artificial duplicates. Other tables are symlinked unchanged.
+
+Usage: python tools/scale_sweep.py [query ...]   (default: the r3 list)
+Prints per-query wall times at sf0.1 and synthetic sf1 plus the scaling
+exponent  log(t1/t0)/log(10)  — 1.0 = linear, >1.5 flagged.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from mlops_pipelines_featurestore_gcp_spark import get_spark, plans
+from mlops_pipelines_featurestore_gcp_spark.sources.catalog import TABLE_NAMES
+
+SRC = "/root/testdata/sf0.1"
+DST = "/tmp/spark_graft_sf1"
+DEFAULT = ["d02_minhash_lsh_neardup", "d03_ngram_jaccard_neardup", "d04_simhash_neardup",
+           "d06_exact_substring_spans", "s03_ann_ivf_topk", "d07_semantic_dedup"]
+COPIES = 10
+
+
+def build_sf1(spark) -> None:
+    os.makedirs(DST, exist_ok=True)
+    for t in TABLE_NAMES:
+        link = os.path.join(DST, f"{t}.parquet")
+        if t in ("documents", "embeddings"):
+            continue
+        if not os.path.exists(link):
+            os.symlink(os.path.join(SRC, f"{t}.parquet"), link)
+    docs_out = os.path.join(DST, "documents.parquet")
+    if not os.path.exists(docs_out):
+        docs = spark.read.parquet(os.path.join(SRC, "documents.parquet"))
+        n = docs.agg(F.max("doc_id")).first()[0] + 1
+        copies = spark.range(COPIES).select(F.col("id").alias("__copy"))
+        big = (
+            docs.crossJoin(F.broadcast(copies))
+            .select(
+                (F.col("doc_id") + F.col("__copy") * n).alias("doc_id"),
+                # copy-specific token at the front: shingle/gram/simhash
+                # signatures diverge per copy -> no synthetic dup clusters
+                F.when(F.col("__copy") == 0, F.col("text"))
+                .otherwise(F.concat(F.format_string("cp%d ", F.col("__copy")),
+                                    F.col("text"), F.format_string(" z%dq", F.col("__copy"))))
+                .alias("text"),
+                *[c for c in docs.columns if c not in ("doc_id", "text")],
+            )
+        )
+        big.repartition(32).write.mode("overwrite").parquet(docs_out)
+    emb_out = os.path.join(DST, "embeddings.parquet")
+    if not os.path.exists(emb_out):
+        emb = spark.read.parquet(os.path.join(SRC, "embeddings.parquet"))
+        n = emb.agg(F.max("vec_id")).first()[0] + 1
+        copies = spark.range(COPIES).select(F.col("id").alias("__copy"))
+        big = (
+            emb.crossJoin(F.broadcast(copies))
+            .select(
+                (F.col("vec_id") + F.col("__copy") * n).alias("vec_id"),
+                # deterministic per-(row, copy) epsilon keeps copies apart
+                # in cosine space without changing the overall distribution
+                F.transform(
+                    F.col("embedding"),
+                    lambda x, i: (
+                        x
+                        + (F.pmod(F.hash(F.col("vec_id"), F.col("__copy"), i), F.lit(1000))
+                           - 500).cast("float") / 2500.0
+                    ).cast("float"),
+                ).alias("embedding"),
+                "label",
+            )
+        )
+        big.repartition(32).write.mode("overwrite").parquet(emb_out)
+
+
+def time_query(spark, name: str, sf_dir: str, runs: int = 2) -> float:
+    fn = plans.QUERIES[name].fn
+    best = math.inf
+    for _ in range(runs):
+        t0 = time.time()
+        fn(spark, sf_dir).collect()
+        best = min(best, time.time() - t0)
+    return best
+
+
+def main() -> int:
+    names = sys.argv[1:] or DEFAULT
+    spark = get_spark("scale-sweep")
+    build_sf1(spark)
+    worst = 0.0
+    print(f"{'query':34s} {'sf0.1':>8s} {'sf1*':>8s} {'ratio':>7s} {'exp':>5s}")
+    for name in names:
+        t0 = time_query(spark, name, SRC)
+        t1 = time_query(spark, name, DST)
+        ratio = t1 / t0
+        exp = math.log(ratio) / math.log(COPIES)
+        worst = max(worst, exp)
+        flag = "  <-- superlinear" if exp > 1.5 else ""
+        print(f"{name:34s} {t0:8.2f} {t1:8.2f} {ratio:6.1f}x {exp:5.2f}{flag}")
+    print(f"\nworst exponent: {worst:.2f} (1.0 = linear; sweep target < 1.5)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
