@@ -37,6 +37,7 @@ EXTRA = [
     "q36_retention_cohorts",
     "f06_feature_drift",
     "d07_semantic_dedup",
+    "ml05_linucb_suffstats",
 ]
 
 
