@@ -150,6 +150,7 @@ def d02_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE c.ni / (sa.n + sb.n - c.ni) >= 0.5
     """,
     tags=("dedup", "llm", "ngram"),
+    defer=True,
 )
 def d03_ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard pairs ≥ 0.5 via inverted-index join."""
@@ -1150,3 +1151,89 @@ def mm04_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads = multimodal.attach_payload(bucketed, "text")
     pairs = multimodal.image_neardup_pairs(payloads, "doc_id", max_hamming=0)
     return pairs.orderBy("id_a", "id_b")
+
+
+@register(
+    "t13_bm25_relevance",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {_NORM} AS nt FROM documents
+    ),
+    dl AS (
+      SELECT doc_id, len({_TOKS.format(col='nt')}) AS n_tokens FROM base
+    ),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(n_tokens) AS avgdl FROM dl),
+    toks AS (
+      SELECT doc_id, unnest({_TOKS.format(col='nt')}) AS term FROM base
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks
+      WHERE term IN ('join', 'scan', 'vector', 'data', 'spark')
+      GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df_docs FROM tf GROUP BY term),
+    contrib AS (
+      SELECT t.doc_id,
+             CAST(floor(
+               ln(1.0 + (CAST(s.n_docs AS DOUBLE) - d.df_docs + 0.5) / (d.df_docs + 0.5))
+               * ((t.tf * (1.2 + 1.0)) / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.n_tokens / s.avgdl)))
+               * 1000000.0 + 0.5) AS BIGINT) AS c_micro
+      FROM tf t JOIN dfreq d USING (term) JOIN dl l USING (doc_id) CROSS JOIN stats s
+    ),
+    scored AS (
+      SELECT doc_id, SUM(c_micro) AS score_micro, COUNT(*) AS n_matched
+      FROM contrib GROUP BY doc_id
+    )
+    SELECT l.doc_id, l.n_tokens,
+           CAST(COALESCE(s.n_matched, 0) AS BIGINT) AS n_matched,
+           CAST(COALESCE(s.score_micro, 0) AS BIGINT) AS score_micro
+    FROM dl l LEFT JOIN scored s USING (doc_id)
+    """,
+    tags=("text", "llm", "relevance", "bm25"),
+)
+def t13_bm25_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranking of every document against a seed query
+    (operators/relevance.py) — the DSIR-style in-domain selection scorer.
+    Per-term contributions are micro-quantized longs summed per doc
+    (t11's integer contract → order-proof, oracle-replayable); zero-match
+    docs keep score 0 so the full ranking survives. The |query|-row df
+    table broadcasts; the only shuffles are the two keyed aggregates."""
+    from mlops_pipelines_featurestore_gcp_spark.operators.relevance import bm25_scores
+
+    docs = load_table(spark, "documents", sf_dir)
+    return bm25_scores(
+        docs, "doc_id", "text", ["join", "scan", "vector", "data", "spark"]
+    )
+
+
+@register(
+    "t14_tf_idf",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {_NORM} AS nt FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, unnest({_TOKS.format(col='nt')}) AS term FROM base
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df_docs FROM tf GROUP BY term),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents)
+    SELECT t.doc_id, t.term, t.tf, d.df_docs,
+           CAST(floor(
+             t.tf * (ln((1.0 + CAST(n.n_docs AS DOUBLE)) / (1.0 + d.df_docs)) + 1.0)
+             * 1000000.0 + 0.5) AS BIGINT) AS tfidf_micro
+    FROM tf t JOIN dfreq d USING (term) CROSS JOIN n
+    """,
+    tags=("text", "llm", "relevance", "tfidf"),
+)
+def t14_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(doc, term) TF-IDF with smooth idf (scikit-learn convention) —
+    the feature build for classifier quality filters and importance
+    weighting. One (doc, term) groupBy + a vocabulary-keyed df join;
+    scores are micro-quantized longs (hash-stable across engines)."""
+    from mlops_pipelines_featurestore_gcp_spark.operators.relevance import tf_idf
+
+    docs = load_table(spark, "documents", sf_dir)
+    return tf_idf(docs, "doc_id", "text")

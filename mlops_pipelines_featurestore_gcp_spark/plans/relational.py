@@ -196,6 +196,7 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY o_orderpriority
     """,
     tags=("join", "semi", "agg"),
+    defer=True,
 )
 def q04_order_priority_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-semi join (EXISTS) + aggregate, TPC-H Q4-shaped."""
