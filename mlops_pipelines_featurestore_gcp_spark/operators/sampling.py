@@ -144,3 +144,26 @@ def leakage_safe_split(
         "group_id",
         F.when(draw < F.lit(float(val_fraction)), F.lit("val")).otherwise(F.lit("train")).alias("split"),
     )
+
+
+def importance_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    *,
+    scale: float = 1.0,
+    salt: str = "importance",
+) -> DataFrame:
+    """Weighted deterministic resampling: keep a row with probability
+    ``min(1, weight · scale)`` — the DSIR-style importance-resampling step
+    that skews a training mix toward high-relevance/quality documents.
+
+    The keep decision is the same md5-uniform draw the mix/split operators
+    use (pure function of (salt, id) — reshuffle-proof, SQL-replayable),
+    compared against the row's own clipped acceptance probability. Map-only
+    pass, no shuffle; weights ≤ 0 always drop, weights ≥ 1/scale always
+    keep. Expected kept tokens ≈ Σ min(1, w·scale) — calibrate ``scale``
+    from a corpus stat (e.g. target_rows / Σw) upstream.
+    """
+    p = F.least(F.lit(1.0), F.col(weight_col).cast("double") * F.lit(float(scale)))
+    return df.where(uniform_hash(id_col, salt) < p)

@@ -116,6 +116,7 @@ def f03_asof_spine_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) AS fv(feature_name, value)
     """,
     tags=("feature_store", "import"),
+    defer=True,
 )
 def f04_feature_import_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FS6's wide→long melt (import_feature_values' core transform), minus

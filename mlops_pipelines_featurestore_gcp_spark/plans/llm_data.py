@@ -1237,3 +1237,62 @@ def t14_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     return tf_idf(docs, "doc_id", "text")
+
+
+@register(
+    "t15_importance_resample",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {_NORM} AS nt FROM documents
+    ),
+    dl AS (
+      SELECT doc_id, len({_TOKS.format(col='nt')}) AS n_tokens FROM base
+    ),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(n_tokens) AS avgdl FROM dl),
+    toks AS (
+      SELECT doc_id, unnest({_TOKS.format(col='nt')}) AS term FROM base
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks
+      WHERE term IN ('join', 'scan', 'vector', 'data', 'spark')
+      GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df_docs FROM tf GROUP BY term),
+    contrib AS (
+      SELECT t.doc_id,
+             CAST(floor(
+               ln(1.0 + (CAST(s.n_docs AS DOUBLE) - d.df_docs + 0.5) / (d.df_docs + 0.5))
+               * ((t.tf * (1.2 + 1.0)) / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.n_tokens / s.avgdl)))
+               * 1000000.0 + 0.5) AS BIGINT) AS c_micro
+      FROM tf t JOIN dfreq d USING (term) JOIN dl l USING (doc_id) CROSS JOIN stats s
+    ),
+    scored AS (
+      SELECT l.doc_id, l.n_tokens,
+             CAST(COALESCE(SUM(c.c_micro), 0) AS BIGINT) AS score_micro
+      FROM dl l LEFT JOIN contrib c USING (doc_id)
+      GROUP BY l.doc_id, l.n_tokens
+    )
+    SELECT doc_id, n_tokens, score_micro
+    FROM scored
+    WHERE {_UHASH.format(salt='importance')}
+          < least(1.0, score_micro / 1000000.0 * 0.3)
+    """,
+    tags=("llm", "sampling", "relevance", "importance"),
+)
+def t15_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-shaped in-domain selection: BM25-score the corpus against a
+    seed query (t13's scorer), then importance-resample with acceptance
+    probability min(1, score·0.3) (operators/sampling.importance_sample).
+    Both stages are deterministic pure functions of the data — the oracle
+    replays scoring AND the md5-uniform keep draw verbatim. Zero-score
+    docs always drop; the map-only resample adds no shuffle beyond the
+    scorer's two keyed aggregates."""
+    from mlops_pipelines_featurestore_gcp_spark.operators.relevance import bm25_scores
+    from mlops_pipelines_featurestore_gcp_spark.operators.sampling import importance_sample
+
+    docs = load_table(spark, "documents", sf_dir)
+    scored = bm25_scores(
+        docs, "doc_id", "text", ["join", "scan", "vector", "data", "spark"]
+    ).withColumn("score", F.col("score_micro") / 1_000_000.0)
+    kept = importance_sample(scored, "doc_id", "score", scale=0.3)
+    return kept.select("doc_id", "n_tokens", "score_micro")

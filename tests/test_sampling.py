@@ -100,3 +100,21 @@ def test_leakage_safe_split_deterministic(spark, sf_small):
     assert a == b
     frac = sum(1 for s in a.values() if s == "val") / len(a)
     assert 0.03 < frac < 0.25
+
+
+def test_importance_sample_weight_extremes_and_determinism(spark):
+    from mlops_pipelines_featurestore_gcp_spark.operators.sampling import importance_sample
+
+    rows = [(i, 0.0) for i in range(50)] + [(i + 100, 10.0) for i in range(50)] + [
+        (i + 1000, 0.5) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    kept = importance_sample(df, "doc_id", "w", scale=1.0)
+    ids = sorted(r.doc_id for r in kept.collect())
+    assert all(i >= 100 for i in ids)                    # zero weights always drop
+    assert all(100 <= i < 200 for i in ids if i < 1000)  # w*scale >= 1 always keeps
+    assert sum(1 for i in ids if i < 1000) == 50
+    mid = sum(1 for i in ids if i >= 1000)
+    assert 60 <= mid <= 140  # ~p=0.5 of 200, generous band
+    again = sorted(r.doc_id for r in importance_sample(df, "doc_id", "w", scale=1.0).collect())
+    assert ids == again  # reshuffle-proof determinism
