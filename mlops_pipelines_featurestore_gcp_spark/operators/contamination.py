@@ -59,16 +59,19 @@ def contamination_check(
         .distinct()
         .withColumn("__hit", F.lit(1))
     )
-    hit_gram = F.when(F.col("__hit").isNotNull(), F.col("gram"))
-    return (
+    # Distinct (doc, gram) FIRST, then plain counts: two count_distinct
+    # aggregates would plan an Expand that doubles every gram row through
+    # the shuffle, and the broadcast probe would run on raw positional
+    # grams instead of the (smaller) deduped set. The distinct's partial
+    # combine also shrinks the only wide shuffle.
+    per_doc = (
         _grams(corpus, id_col, text_col, n)
+        .select(id_col, "gram")
+        .distinct()
         .join(F.broadcast(bench_grams), "gram", "left")
-        .groupBy(id_col)
-        .agg(
-            F.count_distinct(F.col("gram")).alias("n_grams"),
-            F.count_distinct(hit_gram).alias("n_hits"),
-            round6(F.count_distinct(hit_gram) / F.count_distinct(F.col("gram"))).alias(
-                "contamination_frac"
-            ),
-        )
+    )
+    return per_doc.groupBy(id_col).agg(
+        F.count("*").alias("n_grams"),
+        F.count("__hit").alias("n_hits"),
+        round6(F.count("__hit") / F.count("*")).alias("contamination_frac"),
     )

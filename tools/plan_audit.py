@@ -38,6 +38,9 @@ EXTRA = [
     "f06_feature_drift",
     "d07_semantic_dedup",
     "ml05_linucb_suffstats",
+    "t13_bm25_relevance",
+    "t14_tf_idf",
+    "t15_importance_resample",
 ]
 
 
