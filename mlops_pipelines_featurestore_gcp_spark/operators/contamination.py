@@ -15,10 +15,17 @@ Gram construction is the codegen explode pattern (positions →
 ``slice`` + ``concat_ws``), NOT a ``transform`` lambda — Spark's
 higher-order functions are CodegenFallback and run interpreted (profiled
 4.7× slower on this exact pass at sf0.1; same lesson as
-``text_analysis.doc_fingerprint``). Per-document gram dedup happens in the
-aggregate (``count_distinct``), which map-side-combines before the
-exchange, so shuffle volume equals the distinct (doc, gram) pairs — the
-same bytes an explicit pre-distinct would move, one stage earlier.
+``text_analysis.doc_fingerprint``). Per-document gram dedup is an explicit
+pre-``distinct`` (map-side combined) feeding plain ``count`` aggregates —
+two ``count_distinct`` in one agg would plan an Expand that doubles every
+gram row through the shuffle, and deduping first also shrinks the
+broadcast probe's input.
+
+When the benchmark side is itself large (corpus-vs-corpus checks, giant
+eval suites), ``bloom_contamination`` swaps the exact broadcast gram set
+for a distributed Bloom filter: fixed ``m``-bit memory regardless of gram
+count, no false negatives, tunable false-positive rate — the standard
+two-tier recipe (bloom prefilter, exact verify of the survivors).
 
 Grams are joined as strings here so the DuckDB oracle is bit-identical; a
 production run would hash grams to int64 first (``functions.text.md5_long``)
@@ -74,4 +81,96 @@ def contamination_check(
         F.count("*").alias("n_grams"),
         F.count("__hit").alias("n_hits"),
         round6(F.count("__hit") / F.count("*")).alias("contamination_frac"),
+    )
+
+
+def _bloom_positions(gram, *, m_bits: int, k: int):
+    """k bit positions for a gram: xxhash64 with k seeds (JVM codegen —
+    the probe side must reproduce these bit-for-bit, so no Python hashing
+    anywhere)."""
+    return [F.pmod(F.xxhash64(gram, F.lit(i)), F.lit(m_bits)) for i in range(k)]
+
+
+def build_gram_bloom(
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 5,
+    m_bits: int = 1 << 23,
+    k: int = 4,
+) -> DataFrame:
+    """Distributed Bloom filter over the benchmark's word n-grams.
+
+    One aggregate builds it: explode each gram's ``k`` bit positions,
+    group by 64-bit word index, fold masks with ``bit_or`` (associative →
+    map-side combined; the shuffle carries at most ``m_bits/64`` rows no
+    matter how many grams went in). Returns ``(word long, bits long)`` —
+    ≤ m/64 rows, broadcastable at ANY benchmark size; persist it next to
+    the corpus for reuse across decontamination runs.
+
+    Sizing: fpr ≈ (1 − e^(−k·g/m))^k for g distinct grams; the default
+    8M bits / k=4 gives ~2% at one million grams.
+    """
+    pos = (
+        _grams(benchmark, id_col, text_col, n)
+        .select(F.explode(F.array(*_bloom_positions(F.col("gram"), m_bits=m_bits, k=k))).alias("idx"))
+    )
+    return (
+        pos.select(
+            (F.col("idx") / 64).cast("long").alias("word"),
+            # SQL shiftleft: the PySpark helper only takes a literal shift
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(idx, 64) AS INT))").alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def bloom_contamination(
+    corpus: DataFrame,
+    bloom: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 5,
+    m_bits: int = 1 << 23,
+    k: int = 4,
+) -> DataFrame:
+    """Contamination evidence against a Bloom filter from
+    :func:`build_gram_bloom` (same ``m_bits``/``k``!).
+
+    A gram "might hit" iff ALL ``k`` probed bits are set — Bloom semantics:
+    every truly-contaminated gram is flagged (no false negatives; the exact
+    check on survivors stays cheap because survivors are rare), plus an
+    ~fpr sliver of clean grams. Plan: distinct (doc, gram) → explode k
+    probe words → broadcast join the (tiny, fixed-size) filter → per-gram
+    all-bits-set fold → per-doc counts. The corpus side stays map-side
+    except the two keyed aggregates on its own keys.
+
+    Output: (id, n_grams, n_maybe_hits, maybe_frac) — a SUPERSET of
+    ``contamination_check``'s hits, asserted in tests.
+    """
+    per_doc = _grams(corpus, id_col, text_col, n).select(id_col, "gram").distinct()
+    probes = per_doc.select(
+        id_col,
+        "gram",
+        F.posexplode(F.array(*_bloom_positions(F.col("gram"), m_bits=m_bits, k=k))).alias("pi", "idx"),
+    ).select(
+        id_col,
+        "gram",
+        "pi",
+        (F.col("idx") / 64).cast("long").alias("word"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(idx, 64) AS INT))").alias("mask"),
+    )
+    checked = probes.join(F.broadcast(bloom), "word", "left").withColumn(
+        "bit_set", (F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("mask")) != 0).cast("int")
+    )
+    gram_hits = checked.groupBy(id_col, "gram").agg(
+        (F.sum("bit_set") == F.lit(k)).cast("int").alias("maybe_hit")
+    )
+    return gram_hits.groupBy(id_col).agg(
+        F.count("*").alias("n_grams"),
+        F.sum("maybe_hit").cast("long").alias("n_maybe_hits"),
+        round6(F.sum("maybe_hit") / F.count("*")).alias("maybe_frac"),
     )

@@ -1296,3 +1296,30 @@ def t15_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("score", F.col("score_micro") / 1_000_000.0)
     kept = importance_sample(scored, "doc_id", "score", scale=0.3)
     return kept.select("doc_id", "n_tokens", "score_micro")
+
+
+@register(
+    "t16_bloom_contamination",
+    oracle=None,  # xxhash64 bit positions have no DuckDB twin; the Bloom
+    # superset/fpr contracts vs the exact checker are asserted in
+    # tests/test_chunking_contamination.py.
+    tags=("llm", "contamination", "bloom"),
+)
+def t16_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter contamination pass (operators/contamination.py
+    build_gram_bloom + bloom_contamination): the fixed-memory path for
+    benchmark sides too big to broadcast as raw grams — no false
+    negatives, ~fpr false positives, filter size m/64 longs regardless of
+    gram count. Same benchmark slice as t06 so the two evidence tables
+    compose (bloom prefilter → exact verify)."""
+    from mlops_pipelines_featurestore_gcp_spark.operators.contamination import (
+        bloom_contamination,
+        build_gram_bloom,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    bench = docs.where(F.col("doc_id") % 97 == 3).select(
+        "doc_id", F.col("text").alias("bench_text")
+    )
+    bloom = build_gram_bloom(bench, "doc_id", "bench_text", n=5)
+    return bloom_contamination(docs, bloom, "doc_id", "text", n=5).orderBy("doc_id")

@@ -217,3 +217,58 @@ def test_null_text_rows_are_safe(spark):
     pii = {r.doc_id: r for r in text_analysis.pii_redact(df, "doc_id", "text").collect()}
     assert pii[1].redacted_text is None
     assert pii[2].redacted_text == "alpha beta gamma delta epsilon zeta"
+
+
+def test_bloom_contamination_superset_of_exact_and_bounded_fpr(spark):
+    from mlops_pipelines_featurestore_gcp_spark.operators.contamination import (
+        bloom_contamination,
+        build_gram_bloom,
+        contamination_check,
+    )
+
+    rows = [(i, f"alpha beta gamma delta epsilon zeta doc{i} x{i} y{i} z{i} w{i} v{i}") for i in range(40)]
+    # docs 0-9 share a full 5-gram run with the benchmark; 10-39 are clean
+    bench_rows = [(1000, "alpha beta gamma delta epsilon zeta")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame(bench_rows, "doc_id long, text string")
+
+    exact = {r.doc_id: r.n_hits for r in contamination_check(docs, bench, "doc_id", "text", n=5).collect()}
+    bloom = build_gram_bloom(bench, "doc_id", "text", n=5)
+    maybe = {r.doc_id: r.n_maybe_hits for r in
+             bloom_contamination(docs, bloom, "doc_id", "text", n=5).collect()}
+
+    # no false negatives: every exact hit is a bloom might-hit
+    for d, hits in exact.items():
+        assert maybe[d] >= hits, (d, hits, maybe[d])
+    # bounded false positives: tiny gram universe vs 8M bits → essentially none
+    total_extra = sum(maybe[d] - exact.get(d, 0) for d in maybe)
+    assert total_extra == 0
+
+
+def test_bloom_filter_size_is_bounded(spark):
+    from mlops_pipelines_featurestore_gcp_spark.operators.contamination import build_gram_bloom
+
+    rows = [(i, " ".join(f"tok{i}_{j}" for j in range(30))) for i in range(50)]
+    bench = spark.createDataFrame(rows, "doc_id long, text string")
+    m_bits = 1 << 12
+    bloom = build_gram_bloom(bench, "doc_id", "text", n=5, m_bits=m_bits, k=4).collect()
+    assert len(bloom) <= m_bits // 64  # fixed memory regardless of gram count
+    assert all(0 <= r.word < m_bits // 64 for r in bloom)
+
+
+def test_bloom_contamination_counts_grams_like_exact(spark):
+    from mlops_pipelines_featurestore_gcp_spark.operators.contamination import (
+        bloom_contamination,
+        build_gram_bloom,
+        contamination_check,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "one two three four five")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(9, "zz yy xx ww vv uu")], "doc_id long, text string")
+    exact = {r.doc_id: r.n_grams for r in contamination_check(docs, bench, "doc_id", "text", n=5).collect()}
+    bloom = build_gram_bloom(bench, "doc_id", "text", n=5)
+    got = {r.doc_id: r.n_grams for r in bloom_contamination(docs, bloom, "doc_id", "text", n=5).collect()}
+    assert got == exact  # same distinct-gram denominators
