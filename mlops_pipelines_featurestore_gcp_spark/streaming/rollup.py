@@ -246,6 +246,40 @@ class ContinuousAggregate:
             (total / F.col("p_count")).alias("vavg"),
         )
 
+    def expire(self, spark: SparkSession, *, before_bucket: int) -> None:
+        """Retention: drop all state with ``bucket < before_bucket``.
+
+        Partition-grain first: pgroup dirs ENTIRELY older than the cutoff
+        are removed directly (no read, no rewrite — the dominant case for
+        steady retention on time-ordered data). Only the single boundary
+        group straddling the cutoff is filtered and rewritten. Cost is
+        O(dirs dropped) + one group rewrite, never a table scan.
+        """
+        import shutil
+
+        if not self._store_has_state():
+            return
+        boundary = before_bucket // self.buckets_per_partition
+        store = self._store
+        for entry in sorted(os.listdir(store)):
+            if not entry.startswith("pgroup="):
+                continue
+            g = int(entry.split("=", 1)[1])
+            if g < boundary:
+                shutil.rmtree(os.path.join(store, entry))
+        # boundary group: keep only >= cutoff rows (skip if cutoff aligns)
+        bpath = os.path.join(store, f"pgroup={boundary}")
+        if before_bucket % self.buckets_per_partition and os.path.isdir(bpath):
+            kept = (
+                spark.read.parquet(store)
+                .where((F.col("pgroup") == boundary) & (F.col("bucket") >= before_bucket))
+                .drop("pgroup")
+                .localCheckpoint(eager=True)
+            )
+            shutil.rmtree(bpath)
+            if kept.limit(1).count():
+                self._overwrite(self._with_pgroup(kept))
+
     def compact(self, spark: SparkSession) -> None:
         """Rewrite every pgroup dir to one file (idempotent: state rows are
         already one per (bucket, keys), so this only coalesces files from

@@ -60,11 +60,17 @@ def upsert_batch(
         e.startswith(f"{_BUCKET}=") for e in os.listdir(table_path)
     ):
         existing = (
+            # mergeSchema: batches may EVOLVE the schema (new columns);
+            # untouched buckets keep their old files and read as NULL for
+            # columns they predate — plain parquet schema evolution
             spark.read.option("basePath", table_path)
+            .option("mergeSchema", "true")
             .parquet(table_path)
             .where(F.col(_BUCKET).isin(touched))  # partition-pruned read
         )
-        merged = existing.unionByName(incoming)
+        # allowMissingColumns both ways: a batch can add columns the table
+        # lacks, and late replays can lack columns the table gained
+        merged = existing.unionByName(incoming, allowMissingColumns=True)
     else:
         merged = incoming
     w = Window.partitionBy(key).orderBy(F.col(version_col).desc())
@@ -88,8 +94,9 @@ def upsert_batch(
 
 
 def read_upsert_table(spark: SparkSession, table_path: str) -> DataFrame:
-    """Current state of the upsert table (one row per key)."""
-    return spark.read.parquet(table_path).drop(_BUCKET)
+    """Current state of the upsert table (one row per key); mergeSchema so
+    buckets untouched since a schema evolution still read (as NULLs)."""
+    return spark.read.option("mergeSchema", "true").parquet(table_path).drop(_BUCKET)
 
 
 def upsert_sink(

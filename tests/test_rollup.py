@@ -192,3 +192,37 @@ def test_session_overwrite_mode_untouched(spark, tmp_path):
     ca.refresh(_batch(spark, [(10, "a", 1.0)]), batch_id=0)
     ca.refresh(_batch(spark, [(20, "a", 2.0)]), batch_id=1)
     assert spark.conf.get("spark.sql.sources.partitionOverwriteMode") == "static"
+
+
+def test_expire_drops_old_partitions_and_filters_boundary(spark, tmp_path):
+    ca = ContinuousAggregate(
+        str(tmp_path / "rollup"), time_col="t", value_col="v", keys=["k"],
+        bucket_width=100, buckets_per_partition=4,
+    )
+    rows = [(i * 100 + 5, "a", float(i)) for i in range(12)]  # buckets 0..11
+    ca.refresh(_batch(spark, rows), batch_id=0)
+    store = tmp_path / "rollup" / "state"
+    # cutoff mid-group: bucket >= 6 kept → pgroup 0 dropped whole, pgroup 1
+    # (buckets 4-7) filtered, pgroup 2 untouched
+    untouched = set((store / "pgroup=2").iterdir())
+    ca.expire(spark, before_bucket=6)
+    names = {e.name for e in store.iterdir() if e.name.startswith("pgroup=")}
+    assert names == {"pgroup=1", "pgroup=2"}
+    assert set((store / "pgroup=2").iterdir()) == untouched  # not rewritten
+    got = sorted(r.bucket for r in ca.read(spark).collect())
+    assert got == [6, 7, 8, 9, 10, 11]
+
+
+def test_expire_aligned_cutoff_is_pure_deletion(spark, tmp_path):
+    ca = ContinuousAggregate(
+        str(tmp_path / "rollup"), time_col="t", value_col="v", keys=["k"],
+        bucket_width=100, buckets_per_partition=4,
+    )
+    ca.refresh(_batch(spark, [(i * 100 + 5, "a", 1.0) for i in range(12)]), batch_id=0)
+    store = tmp_path / "rollup" / "state"
+    survivors = {n: set((store / n).iterdir()) for n in ("pgroup=1", "pgroup=2")}
+    ca.expire(spark, before_bucket=4)  # exactly at a group boundary
+    assert {e.name for e in store.iterdir() if e.name.startswith("pgroup=")} == {"pgroup=1", "pgroup=2"}
+    for n, files in survivors.items():
+        assert set((store / n).iterdir()) == files  # zero rewrites
+    assert sorted(r.bucket for r in ca.read(spark).collect()) == list(range(4, 12))

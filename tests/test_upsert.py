@@ -84,3 +84,32 @@ def test_upsert_streaming_foreachbatch(spark, tmp_path):
     q.awaitTermination(120)
     got = {r.k: (r.v, r.ver) for r in read_upsert_table(spark, str(tmp_path / "tbl")).collect()}
     assert got == {1: ("a2", 2), 2: ("b", 1)}
+
+
+def test_upsert_schema_evolution_new_column(spark, tmp_path):
+    from mlops_pipelines_featurestore_gcp_spark.streaming.upsert import read_upsert_table, upsert_batch
+
+    path = str(tmp_path / "tbl")
+    b1 = spark.createDataFrame([("k1", 1, 10.0), ("k2", 1, 20.0)], "id string, ver int, v double")
+    upsert_batch(path, b1, key="id", version_col="ver", n_buckets=8)
+    # batch 2 ADDS a column and updates k2 only
+    b2 = spark.createDataFrame([("k2", 2, 21.0, "new")], "id string, ver int, v double, tag string")
+    upsert_batch(path, b2, key="id", version_col="ver", n_buckets=8)
+    got = {r.id: (r.ver, r.v, r.tag) for r in
+           spark.read.option("mergeSchema", "true").parquet(path).drop("__kbucket").collect()}
+    assert got["k2"] == (2, 21.0, "new")
+    assert got["k1"][0] == 1 and got["k1"][2] is None  # untouched row: NULL for new col
+
+
+def test_upsert_replay_missing_new_column(spark, tmp_path):
+    from mlops_pipelines_featurestore_gcp_spark.streaming.upsert import upsert_batch
+
+    path = str(tmp_path / "tbl")
+    wide = spark.createDataFrame([("k1", 2, 1.0, "x")], "id string, ver int, v double, tag string")
+    upsert_batch(path, wide, key="id", version_col="ver", n_buckets=8)
+    # a late/replayed narrow batch (older version) must neither fail nor
+    # regress the key
+    narrow = spark.createDataFrame([("k1", 1, 0.5)], "id string, ver int, v double")
+    upsert_batch(path, narrow, key="id", version_col="ver", n_buckets=8)
+    row = spark.read.option("mergeSchema", "true").parquet(path).collect()[0]
+    assert (row.ver, row.v, row.tag) == (2, 1.0, "x")
