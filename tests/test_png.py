@@ -162,3 +162,47 @@ def test_image_neardup_real_codecs_finds_noisy_duplicate(spark):
     got = {(r.id_a, r.id_b): r.hamming for r in pairs}
     assert (1, 2) in got and got[(1, 2)] <= 8
     assert (1, 3) not in got and (2, 3) not in got
+
+
+# --- property tests (pure Python, no Spark) --------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _dims = st.tuples(st.integers(1, 24), st.integers(1, 24))
+
+    @given(
+        dims=_dims,
+        channels=st.sampled_from([1, 3, 4]),
+        data=st.data(),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_roundtrip_property(dims, channels, data):
+        w, h = dims
+        n = w * h * channels
+        samples = bytes(data.draw(st.binary(min_size=n, max_size=n)))
+        blob = png.encode_png(w, h, samples, channels=channels)
+        gw, gh, gch, out = png.decode_png(blob)
+        assert (gw, gh, gch) == (w, h, channels)
+        assert out == samples
+
+    @given(dims=_dims, filt=st.integers(0, 4), data=st.data())
+    @settings(max_examples=40, deadline=None)
+    def test_unfilter_property(dims, filt, data):
+        w, h = dims
+        samples = bytes(data.draw(st.binary(min_size=w * h, max_size=w * h)))
+        blob = _encode_with_filter(w, h, samples, filt)
+        assert png.decode_png(blob)[3] == samples
+
+    @given(data=st.binary(min_size=0, max_size=64))
+    @settings(max_examples=40, deadline=None)
+    def test_garbage_raises_cleanly(data):
+        # arbitrary bytes must raise the documented ValueError (the magic
+        # check front-runs everything), never an uncontrolled IndexError /
+        # struct.error from deeper in the parser
+        with pytest.raises(ValueError):
+            png.decode_png(data)
+
+except ImportError:  # hypothesis not installed — property tests skip
+    pass
