@@ -216,3 +216,40 @@ def st06_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i in range(3):
         ca.refresh(ev.where(F.col("event_id") % 3 == i).drop("event_id"), batch_id=i)
     return ca.read(spark)
+
+
+@register(
+    "st07_distinct_rollup",
+    oracle=None,  # HLL estimates are sketch-implementation-specific (Apache
+    # DataSketches HllSketch); incremental ≡ full-rebuild equality and the
+    # accuracy band are asserted in tests/test_distinct_rollup.py.
+    tags=("streaming", "rollup", "sketch", "distinct"),
+)
+def st07_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained distinct-user counts per (hour, event_type)
+    via mergeable HLL sketches (streaming/distinct_rollup.py): three
+    event_id-sharded refreshes into the pgroup store, then per-bucket
+    estimates — the only maintainable form of COUNT DISTINCT at 100 TB
+    (exact distinct state grows with cardinality; sketches are KBs and
+    union associatively, so day/month/all-time re-aggregate from the same
+    hour store)."""
+    import tempfile
+
+    from mlops_pipelines_featurestore_gcp_spark.streaming.distinct_rollup import DistinctCountRollup
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("t"),
+        "event_type",
+        "user_id",
+    )
+    path = tempfile.mkdtemp(prefix="spark_graft_distinct_rollup_")
+    dr = DistinctCountRollup(
+        path, time_col="t", item_col="user_id", keys=["event_type"],
+        bucket_width=3600 * 1_000_000,
+    )
+    for i in range(3):
+        dr.refresh(ev.where(F.col("event_id") % 3 == i).drop("event_id"), batch_id=i)
+    return dr.read(spark).select(
+        "bucket", "event_type", "n_rows", F.col("approx_distinct").cast("long").alias("approx_distinct")
+    )
