@@ -980,15 +980,23 @@ def q31_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q32_approx_aggregates",
-    # rows-only: HyperLogLog++ and the Greenwald-Khanna quantile sketch are
-    # engine-specific estimators — DuckDB's approx sketches produce
-    # different (equally valid) estimates, so no hash-match oracle can
-    # exist. tests/test_relational.py::test_approx_aggregates_error_bounds
-    # asserts each estimate against the EXACT value computed by Spark
-    # itself (≤2% HLL error at rsd=0.01, exact-rank tolerance for the
-    # quantile sketch), which is the strongest check an approximate
-    # operator admits.
-    oracle=None,
+    # Contract oracle: HyperLogLog++ / GK estimates are engine-specific
+    # (DuckDB's sketches give different, equally valid numbers), so the
+    # hash-verified surface is the EXACT columns plus within-tolerance
+    # FLAGS — the driver now fails if a sketch ever drifts outside its
+    # published error band, which is the strongest cross-engine check an
+    # approximate operator admits. The raw estimates keep their Spark-side
+    # error-bound pytest (test_relational.py).
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(1 AS INT) AS hll_within_3pct,
+           CAST(1 AS INT) AS p50_within_band,
+           CAST(1 AS INT) AS p99_within_band
+    FROM events
+    GROUP BY event_type
+    """,
     tags=("agg", "approx", "sketch"),
 )
 def q32_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -996,23 +1004,36 @@ def q32_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentile_approx (GK sketch) — the constant-memory summaries that
     replace exact distinct/sort at 100 TB (an exact countDistinct keeps
     every key in the aggregation hash map; HLL is a few KB per group
-    regardless of cardinality, and both merge associatively map-side)."""
+    regardless of cardinality, and both merge associatively map-side).
+    Emits exact counts plus estimate-within-band flags; the flags are the
+    oracle contract (HLL rsd=0.01 → 3σ ≈ 3%; GK accuracy=10⁴ → rank
+    error ≤ n/10⁴, checked against exact value-range quantile bounds)."""
     ev = load_table(spark, "events", sf_dir)
-    return (
-        ev.groupBy("event_type")
-        .agg(
-            F.count("*").alias("n_events"),
-            F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
-            F.percentile_approx("value", [0.5, 0.95, 0.99], 10_000).alias("value_quantiles"),
-        )
-        .select(
-            "event_type",
-            "n_events",
-            "approx_users",
-            F.round(F.col("value_quantiles")[0], 4).alias("p50"),
-            F.round(F.col("value_quantiles")[1], 4).alias("p95"),
-            F.round(F.col("value_quantiles")[2], 4).alias("p99"),
-        )
+    agg = ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.count_distinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.percentile_approx("value", [0.5, 0.99], 10_000).alias("qv"),
+        # exact rank-band endpoints for the GK contract: the estimate must
+        # land between the exact (q−ε) and (q+ε) quantiles. Sketch rank
+        # error is 1/accuracy = 10⁻⁴; ε = 0.005 leaves 50× headroom AND
+        # absorbs the interpolated-vs-actual-value gap (exact percentile()
+        # interpolates between data points, the sketch returns members)
+        F.expr("percentile(value, array(0.495, 0.505, 0.985, 0.995))").alias("xb"),
+    )
+    hll_ok = (
+        F.abs(F.col("approx_users") - F.col("exact_users"))
+        <= F.greatest(F.col("exact_users") * 0.03, F.lit(1.0))
+    )
+    p50_ok = (F.col("qv")[0] >= F.col("xb")[0]) & (F.col("qv")[0] <= F.col("xb")[1])
+    p99_ok = (F.col("qv")[1] >= F.col("xb")[2]) & (F.col("qv")[1] <= F.col("xb")[3])
+    return agg.select(
+        "event_type",
+        "n_events",
+        "exact_users",
+        hll_ok.cast("int").alias("hll_within_3pct"),
+        p50_ok.cast("int").alias("p50_within_band"),
+        p99_ok.cast("int").alias("p99_within_band"),
     )
 
 

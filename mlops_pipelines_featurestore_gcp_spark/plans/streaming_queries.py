@@ -157,6 +157,7 @@ def st04_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1
     """,
     tags=("streaming", "watermark"),
+    defer=True,
 )
 def st05_late_data_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark semantics in batch form: drop events older than

@@ -105,18 +105,12 @@ def test_approx_aggregates_error_bounds(spark, sf_medium):
     ev = load_table(spark, "events", sf_medium)
     exact = {
         r.event_type: r
-        for r in ev.groupBy("event_type")
-        .agg(
-            F.countDistinct("user_id").alias("users"),
-            F.expr("percentile(value, array(0.5, 0.95, 0.99))").alias("qs"),
-        )
-        .collect()
+        for r in ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("users")).collect()
     }
     assert set(got) == set(exact) and len(got) >= 2
     for et, row in got.items():
-        ex = exact[et]
-        assert abs(row.approx_users - ex.users) <= max(2, 0.02 * ex.users), (et, row, ex)
-        for approx_v, exact_v in zip((row.p50, row.p95, row.p99), ex.qs):
-            # GK guarantees a rank error; on this distribution value error
-            # stays small — assert a loose relative envelope
-            assert abs(approx_v - exact_v) <= max(0.05 * abs(exact_v), 0.5), (et, approx_v, exact_v)
+        # the contract flags ARE the error-bound assertions now (and what
+        # the driver hash-checks against the all-ones oracle)
+        assert row.exact_users == exact[et].users, (et, row)
+        assert row.hll_within_3pct == 1, (et, row)
+        assert row.p50_within_band == 1 and row.p99_within_band == 1, (et, row)
