@@ -119,3 +119,44 @@ def bpe_segment(
     for s1, s2 in merges:
         expr = _merge_expr(expr, s1, s2)
     return out.select(id_col, "word", F.split(expr, " ").alias("pieces"))
+
+
+def reference_learn_bpe(word_freqs: dict[str, int], n_merges: int) -> list[tuple[str, str]]:
+    """Pure-Python reference of the published algorithm (greedy
+    most-frequent pair; count-desc then lexicographic tie-break;
+    left-to-right non-overlapping merging) — single-threaded ground truth
+    the distributed ``learn_bpe`` must reproduce merge-for-merge.
+
+    Used by the t12 contract query to replay the learned sequence on the
+    collected word-frequency table (corpus-collapsed → vocabulary-sized,
+    so the replay is driver-cheap even when the corpus is not), and by
+    tests as the independent oracle.
+    """
+    import collections
+
+    vocab = {tuple(list(w) + [END]): f for w, f in word_freqs.items()}
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: collections.Counter = collections.Counter()
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += f
+        if not pairs:
+            break
+        top = max(pairs.values())
+        best = min(p for p, c in pairs.items() if c == top)
+        merges.append(best)
+        nv: dict[tuple, int] = {}
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            nv[key] = nv.get(key, 0) + f
+        vocab = nv
+    return merges

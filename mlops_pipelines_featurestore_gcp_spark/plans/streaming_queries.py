@@ -130,6 +130,7 @@ def st03_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ranked WHERE rn = 1
     """,
     tags=("streaming", "dedup"),
+    defer=True,
 )
 def st04_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """At-least-once → exactly-once: first-wins dedup on the message key

@@ -7,36 +7,9 @@ from pyspark.sql import functions as F
 from mlops_pipelines_featurestore_gcp_spark.operators import bpe
 
 
-def ref_learn_bpe(word_freqs: dict[str, int], n_merges: int):
-    """Pure-Python reference of the paper's algorithm (greedy most-frequent
-    pair, count-desc then lexicographic tie-break, left-to-right
-    non-overlapping merging)."""
-    vocab = {tuple(list(w) + [bpe.END]): f for w, f in word_freqs.items()}
-    merges = []
-    for _ in range(n_merges):
-        pairs: collections.Counter = collections.Counter()
-        for syms, f in vocab.items():
-            for i in range(len(syms) - 1):
-                pairs[(syms[i], syms[i + 1])] += f
-        if not pairs:
-            break
-        top = max(pairs.values())
-        best = min(p for p, c in pairs.items() if c == top)
-        merges.append(best)
-        nv: dict[tuple, int] = {}
-        for syms, f in vocab.items():
-            out, i = [], 0
-            while i < len(syms):
-                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
-                    out.append(syms[i] + syms[i + 1])
-                    i += 2
-                else:
-                    out.append(syms[i])
-                    i += 1
-            key = tuple(out)
-            nv[key] = nv.get(key, 0) + f
-        vocab = nv
-    return merges
+# the pure-Python reference now lives in the operator module (the t12
+# contract query replays it); tests keep using it as the independent oracle
+ref_learn_bpe = bpe.reference_learn_bpe
 
 
 CORPUS = (
