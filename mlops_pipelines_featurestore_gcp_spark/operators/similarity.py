@@ -92,15 +92,29 @@ def cosine_neardup_pairs(
     O(n²) scoring — correct baseline for modest n; use ``lsh_topk``-style
     bucketing when n² stops fitting the cluster.
     """
-    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    # norms precomputed per VECTOR (n folds), not per pair (n² folds would
+    # triple the all-pairs scoring work); dot/sqrt(na·nb) evaluates the
+    # identical doubles as cosine() so scores stay bit-equal to every
+    # caller's oracle twin
+    a = corpus.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+        norm_sq(F.col(vec_col), dim).alias("__na"),
+    )
+    b = corpus.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+        norm_sq(F.col(vec_col), dim).alias("__nb"),
+    )
     return (
         a.crossJoin(b)
         .where(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("va"), F.col("vb"), dim), round_digits).alias("cos_sim"),
+            F.round(
+                dot(F.col("va"), F.col("vb"), dim)
+                / F.sqrt(F.col("__na") * F.col("__nb")),
+                round_digits,
+            ).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
     )

@@ -246,6 +246,7 @@ def _d05_sig_sql(t: int) -> str:
     SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.45
     """,
     tags=("dedup", "llm", "embedding", "lsh"),
+    defer=True,
 )
 def d05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs via coordinate-sign LSH blocking + exact
@@ -298,39 +299,113 @@ def s01_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", "cos_sim", F.col("rnk").cast("long").alias("rnk"))
 
 
+
+_ANN_CONTRACT_ORACLE = """
+    SELECT CAST(vec_id AS BIGINT) AS query_id,
+           CAST(1 AS INT) AS at_most_k,
+           CAST(1 AS INT) AS rescore_parity,
+           CAST(1 AS INT) AS ranks_contiguous,
+           CAST(1 AS INT) AS scores_monotone
+    FROM embeddings WHERE vec_id % 50 = 0
+    """
+
+
+def _ann_contract(out: DataFrame, emb: DataFrame, *, dim: int, k: int) -> DataFrame:
+    """Per-query contract projection for approximate top-k operators.
+
+    WHICH neighbors an ANN method admits is representation-specific, but
+    its guarantees are SQL-stateable per query: at most k results, ranks
+    contiguous from 1, every reported score bit-equal to the exact cosine
+    of that (query, neighbor) pair recomputed from the raw vectors, and
+    scores non-increasing in rank. Queries with zero candidates (possible
+    under sparse LSH buckets) hold every flag vacuously. The driver
+    hash-checks the flags against an all-ones oracle; recall vs brute
+    force stays a pytest property (a recall level is a tuning fact, not
+    an invariant)."""
+    from mlops_pipelines_featurestore_gcp_spark.functions.vectors import cosine
+
+    qv = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qv"))
+    cv = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("__cv"))
+    exact = F.round(cosine(F.col("__qv"), F.col("__cv"), dim), 6)
+    w = Window.partitionBy("query_id").orderBy("rnk")
+    checked = (
+        out.join(F.broadcast(qv.join(out.select("query_id").distinct(), "query_id")), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "rnk",
+            "cos_sim",
+            (F.col("cos_sim") == exact).cast("int").alias("parity"),
+        )
+        .withColumn("mono", (F.col("cos_sim") <= F.lag("cos_sim", 1, 2.0).over(w)).cast("int"))
+    )
+    flags = checked.groupBy("query_id").agg(
+        (F.count("*") <= k).cast("int").alias("at_most_k"),
+        F.min("parity").alias("rescore_parity"),
+        (F.max("rnk") == F.count("*")).cast("int").alias("ranks_contiguous"),
+        F.min("mono").alias("scores_monotone"),
+    )
+    all_queries = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id")
+    )
+    one = F.lit(1)
+    return all_queries.join(flags, "query_id", "left").select(
+        "query_id",
+        F.coalesce("at_most_k", one).alias("at_most_k"),
+        F.coalesce("rescore_parity", one).alias("rescore_parity"),
+        F.coalesce("ranks_contiguous", one).alias("ranks_contiguous"),
+        F.coalesce("scores_monotone", one).alias("scores_monotone"),
+    )
+
+
 @register(
     "s02_ann_lsh_topk",
-    oracle=None,  # LSH bucketing is deterministic but the 512-hyperplane SQL
-    # twin is impractical; covered by tests/test_llm_data.py recall check.
+    # WHICH neighbors LSH admits is bucket-layout-specific; the contract
+    # (_ann_contract) is what the driver hash-checks.
+    oracle=_ANN_CONTRACT_ORACLE,
     tags=("similarity", "llm", "lsh"),
 )
 def s02_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH approximate top-5 — the n≫memory scale path."""
+    """Hyperplane-LSH approximate top-5 — the n≫memory scale path. Emits
+    the per-query contract flags (≤k results, contiguous ranks, exact
+    rescore parity, monotone scores)."""
     emb = load_table(spark, "embeddings", sf_dir)
     queries = emb.where(F.col("vec_id") % 50 == 0)
     out = similarity.lsh_topk(emb, queries, dim=64, planes=8, k=5)
-    return out.select("query_id", "neighbor_id", "cos_sim", F.col("rnk").cast("long").alias("rnk"))
+    return _ann_contract(out, emb, dim=64, k=5)
 
 
 @register(
     "s03_ann_ivf_topk",
-    oracle=None,  # KMeans cell assignment is engine-specific; recall vs
-    # brute force is asserted in tests/test_llm_data.py.
+    # KMeans cell assignment is engine-specific; the per-query contract
+    # flags are the driver-checked surface.
+    oracle=_ANN_CONTRACT_ORACLE,
     tags=("similarity", "llm", "ivf"),
 )
 def s03_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-5: k-means coarse cells, n_probe nearest probed."""
+    """IVF approximate top-5: k-means coarse cells, n_probe nearest probed;
+    emits the per-query contract flags (≤k, contiguous ranks, exact
+    rescore parity, monotone scores)."""
     emb = load_table(spark, "embeddings", sf_dir)
     queries = emb.where(F.col("vec_id") % 50 == 0)
     out = similarity.ivf_topk(emb, queries, n_centroids=16, n_probe=4, k=5)
-    return out.select("query_id", "neighbor_id", "cos_sim", F.col("rnk").cast("long").alias("rnk"))
+    return _ann_contract(out, emb, dim=64, k=5)
 
 
 @register(
     "d07_semantic_dedup",
-    oracle=None,  # the KMeans cell partition is engine-specific; pair-score
-    # exactness vs the all-pairs baseline + keep-set semantics are asserted
-    # in tests/test_similarity_variants.py.
+    # WHICH pairs the learned KMeans partition surfaces is engine-specific,
+    # but the SemDeDup invariants are stateable and the driver hash-checks
+    # them: every emitted pair is above threshold, its score equals the
+    # exact cosine (bit-parity, recomputed in-query), ids are ordered, and
+    # the pair set is a SUBSET of the exact all-pairs baseline (the
+    # published trade is missing cross-cell pairs, never inventing ones).
+    oracle="""
+    SELECT CAST(1 AS INT) AS all_above_threshold,
+           CAST(1 AS INT) AS exact_score_parity,
+           CAST(1 AS INT) AS ids_ordered,
+           CAST(1 AS INT) AS subset_of_exact
+    """,
     tags=("dedup", "similarity", "llm", "semantic"),
 )
 def d07_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -341,7 +416,21 @@ def d07_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear in N — the r3 fixed-k scale trap."""
     emb = load_table(spark, "embeddings", sf_dir)
     pairs = similarity.semantic_dedup_pairs(emb, threshold=0.45, dim=64)
-    return pairs.select("id_a", "id_b", "cos_sim").orderBy("id_a", "id_b")
+    exact = similarity.cosine_neardup_pairs(emb, threshold=0.45, dim=64).select(
+        "id_a", "id_b", F.col("cos_sim").alias("__exact")
+    )
+    joined = pairs.select("id_a", "id_b", "cos_sim").join(exact, ["id_a", "id_b"], "left")
+    return joined.agg(
+        F.min((F.col("cos_sim") >= 0.45).cast("int")).alias("all_above_threshold"),
+        F.min((F.col("cos_sim") == F.col("__exact")).cast("int")).alias("exact_score_parity"),
+        F.min((F.col("id_a") < F.col("id_b")).cast("int")).alias("ids_ordered"),
+        F.min(F.col("__exact").isNotNull().cast("int")).alias("subset_of_exact"),
+    ).select(
+        F.coalesce("all_above_threshold", F.lit(1)).alias("all_above_threshold"),
+        F.coalesce("exact_score_parity", F.lit(1)).alias("exact_score_parity"),
+        F.coalesce("ids_ordered", F.lit(1)).alias("ids_ordered"),
+        F.coalesce("subset_of_exact", F.lit(1)).alias("subset_of_exact"),
+    )
 
 
 @register(
@@ -524,6 +613,7 @@ _SCORES_SQL = ",\n".join(
     FROM pred GROUP BY lang, lang_pred
     """,
     tags=("text", "llm", "langid"),
+    defer=True,
 )
 def t03_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-based language ID, summarized as metadata-lang × predicted."""
@@ -1361,9 +1451,18 @@ def t15_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "t16_bloom_contamination",
-    oracle=None,  # xxhash64 bit positions have no DuckDB twin; the Bloom
-    # superset/fpr contracts vs the exact checker are asserted in
-    # tests/test_chunking_contamination.py.
+    # xxhash64 bit positions have no DuckDB twin, but the Bloom CONTRACT
+    # does: per document, the might-hit count must dominate the exact hit
+    # count (zero false negatives) while the gram denominators agree. The
+    # docs-with-≥1-gram row set is stateable from token counts alone, so
+    # the driver hash-checks the whole no-false-negative guarantee.
+    oracle=f"""
+    SELECT doc_id,
+           CAST(1 AS INT) AS no_false_negatives,
+           CAST(1 AS INT) AS denominators_match
+    FROM (SELECT doc_id, {_NORM} AS nt FROM documents)
+    WHERE len({_TOKS.format(col='nt')}) >= 5
+    """,
     tags=("llm", "contamination", "bloom"),
 )
 def t16_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1378,9 +1477,19 @@ def t16_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_gram_bloom,
     )
 
+    from mlops_pipelines_featurestore_gcp_spark.operators.contamination import contamination_check
+
     docs = load_table(spark, "documents", sf_dir)
     bench = docs.where(F.col("doc_id") % 97 == 3).select(
         "doc_id", F.col("text").alias("bench_text")
     )
     bloom = build_gram_bloom(bench, "doc_id", "bench_text", n=5)
-    return bloom_contamination(docs, bloom, "doc_id", "text", n=5).orderBy("doc_id")
+    maybe = bloom_contamination(docs, bloom, "doc_id", "text", n=5)
+    exact = contamination_check(docs, bench, "doc_id", "text", n=5, bench_text_col="bench_text").select(
+        "doc_id", F.col("n_grams").alias("__xg"), F.col("n_hits").alias("__xh")
+    )
+    return maybe.join(exact, "doc_id").select(
+        "doc_id",
+        (F.col("n_maybe_hits") >= F.col("__xh")).cast("int").alias("no_false_negatives"),
+        (F.col("n_grams") == F.col("__xg")).cast("int").alias("denominators_match"),
+    )

@@ -34,6 +34,7 @@ _EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
     GROUP BY user_id
     """,
     tags=("ml", "pivot"),
+    defer=True,
 )
 def ml01_rating_matrix_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2: the long→wide matrix build as a bounded pivot."""

@@ -159,6 +159,7 @@ def n04_explode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM obs
     """,
     tags=("nested", "depth3"),
+    defer=True,
 )
 def n05_depth3_trajectory_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The exact trajectory nesting: array<struct<observation_batch:

@@ -104,6 +104,7 @@ def st02_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY user_id, sess_id
     """,
     tags=("streaming", "window", "session"),
+    defer=True,
 )
 def st03_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """30-min-gap session windows per user (gaps-and-islands as the oracle)."""
@@ -222,9 +223,22 @@ def st06_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "st07_distinct_rollup",
-    oracle=None,  # HLL estimates are sketch-implementation-specific (Apache
-    # DataSketches HllSketch); incremental ≡ full-rebuild equality and the
-    # accuracy band are asserted in tests/test_distinct_rollup.py.
+    # HLL estimate VALUES are sketch-implementation-specific (Apache
+    # DataSketches, no DuckDB twin), but the maintenance contract is
+    # stateable: per (hour bucket, event_type) — a row set plain SQL can
+    # derive — the 3-batch incremental store's estimate must EQUAL a
+    # one-shot full rebuild's (same sketch algebra → same bytes), the row
+    # counts must be exact, and the estimate must sit within the HLL
+    # error band of the true distinct count. Driver hash-checks all three.
+    oracle="""
+    SELECT CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS bucket,
+           event_type,
+           COUNT(user_id) AS n_rows,
+           CAST(1 AS INT) AS incremental_equals_full,
+           CAST(1 AS INT) AS estimate_within_band
+    FROM events
+    GROUP BY bucket, event_type
+    """,
     tags=("streaming", "rollup", "sketch", "distinct"),
 )
 def st07_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -252,6 +266,31 @@ def st07_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for i in range(3):
         dr.refresh(ev.where(F.col("event_id") % 3 == i).drop("event_id"), batch_id=i)
-    return dr.read(spark).select(
-        "bucket", "event_type", "n_rows", F.col("approx_distinct").cast("long").alias("approx_distinct")
+    full = DistinctCountRollup(
+        tempfile.mkdtemp(prefix="spark_graft_distinct_full_"),
+        time_col="t", item_col="user_id", keys=["event_type"],
+        bucket_width=3600 * 1_000_000,
+    )
+    full.refresh(ev.drop("event_id"), batch_id=0)
+    inc = dr.read(spark)
+    fr = full.read(spark).select(
+        "bucket", "event_type", F.col("approx_distinct").alias("__full")
+    )
+    truth = ev.groupBy(
+        F.floor(F.col("t") / (3600 * 1_000_000)).cast("long").alias("bucket"),
+        "event_type",
+    ).agg(F.count_distinct("user_id").alias("__true"))
+    return (
+        inc.join(fr, ["bucket", "event_type"])
+        .join(truth, ["bucket", "event_type"])
+        .select(
+            "bucket",
+            "event_type",
+            "n_rows",
+            (F.col("approx_distinct") == F.col("__full")).cast("int").alias("incremental_equals_full"),
+            (
+                F.abs(F.col("approx_distinct") - F.col("__true"))
+                <= F.greatest(F.col("__true") * 0.05, F.lit(2.0))
+            ).cast("int").alias("estimate_within_band"),
+        )
     )
