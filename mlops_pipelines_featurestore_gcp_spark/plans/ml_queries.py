@@ -82,12 +82,27 @@ def ml02_reward_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ml03_linucb_policy", oracle=None, tags=("ml", "bandit"))
+@register(
+    "ml03_linucb_policy",
+    # The θ numerics themselves are float-reduction-order-sensitive (ml05
+    # hash-checks their exact integer projection); what IS stateable is the
+    # POLICY contract: every training row gets exactly one prediction, the
+    # action is legal, and it is the true argmax of the row's own UCB score
+    # vector (greedy consistency, recomputed from the emitted scores).
+    oracle="""
+    SELECT (SELECT COUNT(*) FROM embeddings WHERE vec_id < 200) AS n_predictions,
+           CAST(1 AS INT) AS actions_legal,
+           CAST(1 AS INT) AS argmax_consistent
+    """,
+    tags=("ml", "bandit"),
+)
 def ml03_linucb_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M4+M5: LinUCB fit on a deterministic synthetic bandit + greedy
-    prediction; returns per-arm pull counts and prediction histogram.
-    Non-SQL-expressible (matrix inverse) → rows-only here; numerical
-    assertions live in tests/test_ml.py."""
+    prediction, verified through the policy contract: one legal prediction
+    per row, equal to the argmax of that row's emitted UCB scores (ties
+    break to the lowest arm, matching numpy argmax). Numerical parity of
+    the fit lives in tests/test_ml.py; the suff-stats data path is
+    hash-checked by ml05."""
     emb = load_table(spark, "embeddings", sf_dir).where(F.col("vec_id") < 200)
     k = 4
     train = emb.select(
@@ -96,11 +111,16 @@ def ml03_linucb_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("label") % 3).cast("double").alias("reward"),
     )
     model = LinUCB(context_dim=k, num_actions=5, alpha=1.0, tikhonov=0.01).fit(train)
-    pred = model.transform(train, obs_col="obs")
-    return (
-        pred.groupBy("predicted_action")
-        .agg(F.count("*").cast("long").alias("n"))
-        .orderBy("predicted_action")
+    pred = model.transform(train, obs_col="obs", with_scores=True)
+    best = F.array_position(F.col("scores"), F.array_max("scores")) - 1
+    flagged = pred.select(
+        (F.col("predicted_action").between(0, 4)).cast("int").alias("legal"),
+        (F.col("predicted_action") == best).cast("int").alias("greedy"),
+    )
+    return flagged.agg(
+        F.count("*").alias("n_predictions"),
+        F.min("legal").alias("actions_legal"),
+        F.min("greedy").alias("argmax_consistent"),
     )
 
 
