@@ -472,9 +472,12 @@ def exact_substring_spans(
     """
     w = window_hash_rows(df, id_col, text_col, window=window)
     dup = (
+        # "seen in ≥2 distinct docs" ⇔ min(id) ≠ max(id): plain min/max
+        # partials instead of a count_distinct (whose planner rewrite adds
+        # a second aggregation level + exchange for the same answer)
         w.groupBy("whash")
-        .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
-        .where(F.col("n_docs") >= 2)
+        .agg(F.min(F.col(id_col)).alias("__lo"), F.max(F.col(id_col)).alias("__hi"))
+        .where(F.col("__lo") != F.col("__hi"))
         .select("whash")
     )
     hits = w.join(dup, "whash").select(id_col, "pos")
