@@ -72,6 +72,8 @@ def decode_png(blob: bytes) -> tuple[int, int, int, bytes]:
             break
     if width is None:
         raise ValueError("no IHDR chunk")
+    if width < 1 or height < 1:
+        raise ValueError(f"invalid dimensions {width}x{height} (PNG requires >= 1)")
     if bit_depth != 8:
         raise ValueError(f"unsupported bit depth {bit_depth} (8-bit only)")
     if interlace:
@@ -112,8 +114,13 @@ def decode_png(blob: bytes) -> tuple[int, int, int, bytes]:
     if color_type == 3:  # palette → RGB
         if not plte:
             raise ValueError("palette image without PLTE")
+        n_entries = len(plte) // 3
         rgb = bytearray(width * height * 3)
         for i, idx in enumerate(out):
+            if idx >= n_entries:
+                # a short slice here would silently SHRINK the buffer and
+                # corrupt every later pixel — bad input must raise
+                raise ValueError(f"palette index {idx} >= PLTE size {n_entries}")
             rgb[3 * i : 3 * i + 3] = plte[3 * idx : 3 * idx + 3]
         return width, height, 3, bytes(rgb)
     return width, height, ch, bytes(out)
@@ -124,6 +131,8 @@ def encode_png(width: int, height: int, samples: bytes, *, channels: int = 1) ->
     media sink. ``samples`` is row-major 8-bit, gray (1), RGB (3) or
     RGBA (4)."""
     color_type = {1: 0, 3: 2, 4: 6}[channels]
+    if width < 1 or height < 1:
+        raise ValueError(f"invalid dimensions {width}x{height} (PNG requires >= 1)")
     stride = width * channels
     if len(samples) != stride * height:
         raise ValueError(f"need {stride * height} samples, got {len(samples)}")

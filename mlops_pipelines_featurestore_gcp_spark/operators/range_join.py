@@ -73,10 +73,14 @@ def auto_bin_width(
     ).first()
     if not istats["n"] or not pstats["n"]:
         return 1
+    # a side whose coordinates are entirely NULL contributes no bounds
+    # (count(*) counts its rows anyway) — ignore Nones instead of crashing
+    his = [v for v in (istats["hi"], pstats["hi"]) if v is not None]
+    los = [v for v in (istats["lo"], pstats["lo"]) if v is not None]
+    if not his or not los:
+        return 1
     med_span = max(float(istats["med_span"] or 0.0), 1.0)
-    domain = max(
-        float(max(istats["hi"], pstats["hi"]) - min(istats["lo"], pstats["lo"])), 1.0
-    )
+    domain = max(float(max(his) - min(los)), 1.0)
     width = (med_span * domain / float(pstats["n"])) ** 0.5
     return int(max(1.0, min(width, 4.0 * med_span)))
 

@@ -435,60 +435,26 @@ def d07_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "s05_ann_quantized_topk",
-    # Contract oracle: WHICH neighbors the int8 shortlist admits is
-    # representation-specific (no SQL twin), but the operator's guarantees
-    # are SQL-stateable per query: exactly k results, ranks 1..k, every
-    # reported score bit-equal to the exact float cosine of that pair
-    # (rescore parity — recomputed in-query from the raw vectors), and
-    # scores non-increasing in rank. The driver hash-checks those flags;
-    # recall vs brute force stays in test_similarity_variants.py.
-    oracle="""
-    SELECT CAST(vec_id AS BIGINT) AS query_id,
-           CAST(5 AS BIGINT) AS n_results,
-           CAST(1 AS INT) AS rescore_parity,
-           CAST(1 AS INT) AS ranks_contiguous,
-           CAST(1 AS INT) AS scores_monotone
-    FROM embeddings WHERE vec_id % 50 = 0
-    """,
+    # Same per-query ANN contract as s02/s03 (_ann_contract): WHICH
+    # neighbors the int8 shortlist admits is representation-specific, but
+    # ≤k results, contiguous ranks, exact rescore parity, and monotone
+    # scores are stateable — zero-candidate queries hold the flags
+    # vacuously via the shared left join, so a sparse slice can never
+    # drop an oracle row. Recall stays in test_similarity_variants.py.
+    oracle=_ANN_CONTRACT_ORACLE,
     tags=("similarity", "llm", "quantization"),
 )
 def s05_ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage quantized top-5: int8-dot shortlist over the 4×-smaller
     quantized corpus, exact float rescore of survivors
-    (similarity.quantize_embeddings / quantized_topk). Emits the per-query
-    contract projection the oracle states (count/rank/parity/monotonicity
-    flags)."""
-    from mlops_pipelines_featurestore_gcp_spark.functions.vectors import cosine
-
+    (similarity.quantize_embeddings / quantized_topk); emits the shared
+    per-query ANN contract flags."""
     emb = load_table(spark, "embeddings", sf_dir)
     dim = 64
     queries = emb.where(F.col("vec_id") % 50 == 0)
     cq = similarity.quantize_embeddings(emb, dim=dim)
     out = similarity.quantized_topk(cq, queries, emb, k=5, shortlist=25, dim=dim)
-    qv = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qv"))
-    cv = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("__cv"))
-    exact = F.round(cosine(F.col("__qv"), F.col("__cv"), dim), 6)
-    checked = (
-        out.join(F.broadcast(qv), "query_id")
-        .join(cv, "neighbor_id")
-        .select(
-            "query_id",
-            "rnk",
-            "cos_sim",
-            (F.col("cos_sim") == exact).cast("int").alias("parity"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy("rnk")
-    flagged = checked.withColumn(
-        "mono", (F.col("cos_sim") <= F.lag("cos_sim", 1, 2.0).over(w)).cast("int")
-    )
-    return flagged.groupBy("query_id").agg(
-        F.count("*").alias("n_results"),
-        F.min("parity").alias("rescore_parity"),
-        # ranks are row_number output: contiguous iff max == count
-        (F.max("rnk") == F.count("*")).cast("int").alias("ranks_contiguous"),
-        F.min("mono").alias("scores_monotone"),
-    )
+    return _ann_contract(out, emb, dim=dim, k=5)
 
 
 # ---------------------------------------------------------------------------
@@ -1320,10 +1286,12 @@ def t12_bpe_subwords(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in bpe_op.word_symbol_table(docs, "text").select("word", "freq").collect()
     }
     expect = bpe_op.reference_learn_bpe(wf, 8)
-    rows = [
-        (i, int(i < len(merges) and i < len(expect) and merges[i] == expect[i]))
-        for i in range(8)
-    ]
+    def _flag(i: int) -> int:
+        if i >= len(merges) and i >= len(expect):
+            return 1  # both sides exhausted the pair supply at the same point
+        return int(i < len(merges) and i < len(expect) and merges[i] == expect[i])
+
+    rows = [(i, _flag(i)) for i in range(8)]
     return docs.sparkSession.createDataFrame(rows, "merge_idx long, matches_reference int")
 
 

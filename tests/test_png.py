@@ -206,3 +206,27 @@ try:
 
 except ImportError:  # hypothesis not installed — property tests skip
     pass
+
+
+def test_zero_dimension_rejected():
+    with pytest.raises(ValueError):
+        png.encode_png(0, 0, b"")
+    with pytest.raises(ValueError):
+        png.encode_png(3, 0, b"")
+
+
+def test_palette_index_out_of_range_raises():
+    import struct
+
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0)
+    plte = bytes([10, 20, 30])  # one entry; pixel indexes 0 and 5
+    raw = bytes([0, 0, 5])
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    blob = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"PLTE", plte)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="palette index"):
+        png.decode_png(blob)

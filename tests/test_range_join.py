@@ -167,3 +167,13 @@ def test_auto_bin_width_degenerate_inputs(spark):
     zero_span = spark.createDataFrame([(3, 3)], "s long, e long")
     w = auto_bin_width(pts, zero_span, point_col="p", start_col="s", end_col="e")
     assert w >= 1
+
+
+def test_auto_bin_width_all_null_side_is_safe(spark):
+    # code-review r4: count(*) counts NULL-coordinate rows, so the empty-
+    # side guard passed while min/max were None -> TypeError
+    from mlops_pipelines_featurestore_gcp_spark.operators.range_join import binned_range_join
+
+    pts = spark.createDataFrame([(None,), (None,)], "p long")
+    iv = spark.createDataFrame([(0, 10)], "s long, e long")
+    assert binned_range_join(pts, iv, point_col="p", start_col="s", end_col="e").count() == 0

@@ -21,7 +21,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import functions as F
+from pyspark.sql import functions as F  # noqa: E402
 
 from mlops_pipelines_featurestore_gcp_spark import get_spark, plans
 from mlops_pipelines_featurestore_gcp_spark.sources.catalog import TABLE_NAMES
@@ -85,12 +85,31 @@ def build_sf1(spark) -> None:
         big.repartition(32).write.mode("overwrite").parquet(emb_out)
 
 
+def _materialize(df) -> None:
+    """Full materialization without driver transfer (bench.py's trick):
+    hash-aggregate over every output column — collect() would add
+    driver-side row shipping to the timing and can OOM on pair-heavy
+    outputs at the synthetic 10× scale."""
+    df.agg(F.count(F.lit(1)), F.sum(F.hash(*df.columns).cast("long"))).collect()
+
+
+def _swept_df(name: str, spark, sf_dir: str):
+    """The OPERATOR under sweep. d07's registered query now wraps the
+    operator in an O(N²) exact-baseline verification contract — sweeping
+    that would measure the verifier, so d07 sweeps the operator directly."""
+    if name == "d07_semantic_dedup":
+        from mlops_pipelines_featurestore_gcp_spark.operators import similarity
+
+        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        return similarity.semantic_dedup_pairs(emb, threshold=0.45, dim=64)
+    return plans.QUERIES[name].fn(spark, sf_dir)
+
+
 def time_query(spark, name: str, sf_dir: str, runs: int = 2) -> float:
-    fn = plans.QUERIES[name].fn
     best = math.inf
     for _ in range(runs):
         t0 = time.time()
-        fn(spark, sf_dir).collect()
+        _materialize(_swept_df(name, spark, sf_dir))
         best = min(best, time.time() - t0)
     return best
 
