@@ -31,9 +31,30 @@ TRAJECTORY_SCHEMA = T.StructType(
 )
 
 
-def read_trajectories_ndjson(spark: SparkSession, path: str) -> DataFrame:
-    """NDJSON → trajectories with the explicit nested schema (no inference)."""
-    return spark.read.schema(TRAJECTORY_SCHEMA).json(path)
+def read_trajectories_ndjson(
+    spark: SparkSession, path: str, *, corrupt_col: str | None = None
+) -> DataFrame:
+    """NDJSON → trajectories with the explicit nested schema (no inference).
+
+    ``corrupt_col`` opts into PERMISSIVE corrupt-record capture: malformed
+    lines land with every schema column NULL and the raw line preserved in
+    ``corrupt_col`` (quarantine-and-continue, the posture a 100 TB ingest
+    needs — one bad producer line must not kill the load). Default keeps
+    the strict schema shape unchanged.
+    """
+    if corrupt_col is None:
+        return spark.read.schema(TRAJECTORY_SCHEMA).json(path)
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        list(TRAJECTORY_SCHEMA.fields) + [T.StructField(corrupt_col, T.StringType())]
+    )
+    return (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )
 
 
 def write_trajectories_ndjson(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:

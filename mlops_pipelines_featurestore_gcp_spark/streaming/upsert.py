@@ -84,9 +84,13 @@ def upsert_batch(
     # rewritten buckets (same barrier as rollup._write_state).
     latest = latest.localCheckpoint(eager=True)
     # dynamic overwrite replaces exactly the touched bucket partitions;
-    # untouched buckets' files are never rewritten (or read)
+    # untouched buckets' files are never rewritten (or read). One shuffle
+    # output per bucket keeps each rewritten dir at a single file
+    # (self-compacting — without this every merge leaves one shard per
+    # contributing shuffle partition and small files accumulate)
     (
-        latest.write.mode("overwrite")
+        latest.repartition(F.col(_BUCKET))
+        .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(_BUCKET)
         .parquet(table_path)

@@ -195,3 +195,21 @@ def test_fixture_schemas_match_declared(sf_small):
                     f"{name}.{field.name}: declared {spark_t}, fixture has {actual} — "
                     "update sources/catalog.py SCHEMAS for the regenerated testdata"
                 )
+
+
+def test_ndjson_corrupt_record_quarantine(spark, tmp_path):
+    from mlops_pipelines_featurestore_gcp_spark.sources.trajectories import read_trajectories_ndjson
+
+    good = '{"step_type": [1], "observation": [{"observation_batch": [1.0, 2.0]}], "action": [3], "policy_info": [0.0], "next_step_type": [1], "reward": [0.5], "discount": [1.0]}'
+    path = tmp_path / "msgs"
+    path.mkdir()
+    (path / "a.json").write_text(good + "\n{not json at all\n" + good + "\n")
+    out = read_trajectories_ndjson(spark, str(path), corrupt_col="_corrupt").collect()
+    bad = [r for r in out if r["_corrupt"] is not None]
+    ok = [r for r in out if r["_corrupt"] is None]
+    assert len(out) == 3 and len(bad) == 1 and len(ok) == 2
+    assert bad[0]["_corrupt"].startswith("{not json")
+    assert ok[0].action == [3]
+    # strict default shape unchanged
+    strict = read_trajectories_ndjson(spark, str(path))
+    assert "_corrupt" not in strict.columns

@@ -113,3 +113,18 @@ def test_upsert_replay_missing_new_column(spark, tmp_path):
     upsert_batch(path, narrow, key="id", version_col="ver", n_buckets=8)
     row = spark.read.option("mergeSchema", "true").parquet(path).collect()[0]
     assert (row.ver, row.v, row.tag) == (2, 1.0, "x")
+
+
+def test_upsert_buckets_self_compact(spark, tmp_path):
+    from mlops_pipelines_featurestore_gcp_spark.streaming.upsert import upsert_batch
+
+    path = tmp_path / "tbl"
+    for v in range(3):  # three merges into the same bucket set
+        b = spark.createDataFrame(
+            [(f"k{i}", v, float(v)) for i in range(20)], "id string, ver int, v double"
+        )
+        upsert_batch(str(path), b, key="id", version_col="ver", n_buckets=4)
+    for d in path.iterdir():
+        if d.name.startswith("__kbucket="):
+            files = [f for f in d.iterdir() if f.name.endswith(".parquet")]
+            assert len(files) == 1, f"{d.name}: {len(files)} files"
