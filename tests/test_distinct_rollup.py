@@ -74,3 +74,10 @@ def test_replay_skipped_and_range_pruning(spark, tmp_path):
     assert out.n_rows == 4  # only buckets 4..7 contribute
     plan = dr2.read_range(spark, bucket_min=4, bucket_max=7)._jdf.queryExecution().executedPlan().toString()
     assert "pgroup" in plan  # dir-level pruning reached the plan
+
+
+def test_null_time_rows_dropped(spark, tmp_path):
+    dr = _dr(tmp_path)
+    dr.refresh(_batch(spark, [(5, "a", 1), (None, "a", 2)]), batch_id=0)
+    rows = dr.read(spark).collect()
+    assert len(rows) == 1 and rows[0].n_rows == 1

@@ -77,3 +77,18 @@ def test_bm25_ranking_prefers_matching_docs(spark):
     out = {r.doc_id: r.score_micro for r in bm25_scores(df, "doc_id", "text", ["target"]).collect()}
     assert out[100] > out[101] > 0  # higher tf → higher score
     assert all(out[i] == 0 for i in range(20))
+
+
+def test_bm25_empty_corpus_and_duplicate_query_terms(spark):
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    out = bm25_scores(empty, "doc_id", "text", ["x"]).collect()
+    assert out == []
+    docs = spark.createDataFrame([(1, "x x y")], "doc_id long, text string")
+    a = {r.doc_id: r.score_micro for r in bm25_scores(docs, "doc_id", "text", ["x"]).collect()}
+    b = {r.doc_id: r.score_micro for r in bm25_scores(docs, "doc_id", "text", ["x", "x"]).collect()}
+    assert a == b  # duplicate query terms are deduped, not double-counted
+
+
+def test_tf_idf_empty_corpus(spark):
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert tf_idf(empty, "doc_id", "text").collect() == []
