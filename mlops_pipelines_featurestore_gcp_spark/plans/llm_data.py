@@ -819,70 +819,96 @@ def t07_hashed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "c01_prepare_corpus",
-    # The survivor SET is the composition of three stages (each separately
-    # oracle-verified: t01, d01, d02); a full composite SQL twin would be
-    # enormous and brittle, but the pipeline's END-TO-END guarantees are
-    # stateable and the driver hash-checks them: every survivor passes the
-    # quality gate (recomputed from raw text, not the carried columns), no
-    # two survivors share an exact fingerprint, re-running the near-dup
-    # detector over the survivors finds ZERO pairs at the drop threshold,
-    # and the carried profile columns equal a fresh profile computation.
-    oracle="""
-    SELECT CAST(1 AS INT) AS all_pass_quality,
-           CAST(1 AS INT) AS no_exact_dups,
-           CAST(1 AS INT) AS no_near_dups,
-           CAST(1 AS INT) AS profile_consistent
+    # FULL-VALUE composite oracle (upgraded from the round-4 contract
+    # oracle): the three stages each have proven SQL twins (t01's quality
+    # formula, d01's min-id-per-fingerprint rule, d02's MinHash+LSH+exact-
+    # Jaccard pipeline), so the whole survivor SET and its profile columns
+    # replay in one SQL statement — the strongest possible check for the
+    # composition. Stage order matters and is mirrored exactly: profile →
+    # gate (n_tokens ≥ 5 AND quality ≥ 0.3) → keep min-id per normalized-
+    # text md5 → MinHash pairs at threshold 0.7 over the remaining docs →
+    # drop every doc_b.
+    oracle=f"""
+    WITH prof AS (
+      SELECT doc_id, lang, text,
+             {_NORM} AS nt,
+             {_TOKS.format(col='text')} AS t,
+             len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id, lang, nt,
+             CAST(len(t) AS BIGINT) AS n_tokens,
+             floor((least(len(t), 100) / 100.0 * 0.4
+                   + (len(list_filter(t, x -> list_contains(['the','a','of','to','and','in','is','it','that','for'], x)))
+                      / greatest(len(t), 1)) * 0.2
+                   + (len(list_distinct(t)) / greatest(len(t), 1)) * 0.3
+                   + (1.0 - n_punct / greatest(len(text), 1)) * 0.1) * 1000000.0 + 0.5) / 1000000.0 AS quality
+      FROM prof
+    ),
+    gated AS (SELECT * FROM feats WHERE n_tokens >= 5 AND quality >= 0.3),
+    ke AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(nt) ORDER BY doc_id) AS rn
+        FROM gated
+      ) WHERE rn = 1
+    ),
+    base AS (SELECT doc_id, nt FROM ke WHERE len(nt) >= 5),
+    sh AS (
+      SELECT doc_id, {poly_char_hash_sql('nt', 'i', 5, dedup.MINHASH_PRIME)} AS h
+      FROM (SELECT doc_id, nt, unnest(range(1, len(nt) - 3)) AS i FROM base)
+    ),
+    seeds(hi, a, b) AS (VALUES {", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(dedup.minhash_coeffs(16)))}),
+    mh AS (
+      SELECT doc_id, seeds.hi AS hi, MIN((seeds.a * h + seeds.b) % {dedup.MINHASH_PRIME}) AS mhv
+      FROM sh, seeds GROUP BY doc_id, seeds.hi
+    ),
+    bands AS (
+      SELECT doc_id, hi // 4 AS band,
+             md5(string_agg(CAST(mhv AS VARCHAR), ',' ORDER BY hi)) AS bkey
+      FROM mh GROUP BY doc_id, hi // 4
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ),
+    cd AS (SELECT doc_a AS doc_id FROM cand UNION SELECT doc_b FROM cand),
+    dsh AS (
+      SELECT DISTINCT doc_id, h FROM sh WHERE doc_id IN (SELECT doc_id FROM cd)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM dsh GROUP BY doc_id),
+    drops AS (
+      SELECT DISTINCT i.doc_b AS doc_id
+      FROM (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS ni
+        FROM cand c
+        JOIN dsh x ON x.doc_id = c.doc_a
+        JOIN dsh y ON y.doc_id = c.doc_b AND y.h = x.h
+        GROUP BY c.doc_a, c.doc_b
+      ) i
+      JOIN sizes sa ON sa.doc_id = i.doc_a
+      JOIN sizes sb ON sb.doc_id = i.doc_b
+      WHERE i.ni / (sa.n + sb.n - i.ni) >= 0.7
+    )
+    SELECT k.doc_id, k.lang, k.n_tokens, k.quality
+    FROM ke k LEFT JOIN drops d USING (doc_id)
+    WHERE d.doc_id IS NULL
     """,
     tags=("llm", "pipeline", "dedup", "text"),
 )
 def c01_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus preparation (operators/corpus.py): quality gate →
-    exact dedup → MinHash near-dup removal → profiled survivors, verified
-    through the pipeline contract (gate holds on recomputed profiles, no
-    exact or near duplicates remain, carried stats are faithful).
-    Per-stage counts + survivor sets stay asserted in tests/test_corpus.py
-    on a hand-built fixture."""
-    from mlops_pipelines_featurestore_gcp_spark.operators import dedup as dedup_op
+    exact dedup → MinHash near-dup removal → profiled survivors, replayed
+    VALUE-FOR-VALUE by a composite SQL oracle stitched from the proven
+    per-stage twins. Per-stage counts + survivor sets stay asserted in
+    tests/test_corpus.py on a hand-built fixture."""
     from mlops_pipelines_featurestore_gcp_spark.operators.corpus import prepare_corpus
-    from mlops_pipelines_featurestore_gcp_spark.operators.text_analysis import text_profile
 
     docs = load_table(spark, "documents", sf_dir)
     out = prepare_corpus(
         docs, "doc_id", "text", min_tokens=5, min_quality=0.3, near_dup_threshold=0.7
     )
-    survivors = out.select("doc_id", "n_tokens", "quality")
-    surv_docs = docs.join(survivors.select("doc_id"), "doc_id")
-    fresh = text_profile(surv_docs, "doc_id", "text").select(
-        "doc_id", F.col("n_tokens").alias("__nt"), F.col("quality").alias("__q")
-    )
-    per_doc = survivors.join(fresh, "doc_id").select(
-        ((F.col("__q") >= 0.3) & (F.col("__nt") >= 5)).cast("int").alias("gate_ok"),
-        ((F.col("n_tokens") == F.col("__nt")) & (F.col("quality") == F.col("__q")))
-        .cast("int")
-        .alias("prof_ok"),
-    )
-    fp_clean = (
-        dedup_op.fingerprint(surv_docs, "doc_id", "text")
-        .groupBy("fp")
-        .agg(F.count("*").alias("c"))
-        .agg(F.min((F.col("c") == 1).cast("int")).alias("ok"))
-    )
-    residual_pairs = dedup_op.minhash_lsh_pairs(
-        surv_docs, "doc_id", "text", k=5, num_hashes=16, bands=4, threshold=0.7
-    )
-    flags = per_doc.agg(
-        F.min("gate_ok").alias("all_pass_quality"),
-        F.min("prof_ok").alias("profile_consistent"),
-    )
-    return (
-        flags.crossJoin(fp_clean.select(F.col("ok").alias("no_exact_dups")))
-        .crossJoin(
-            residual_pairs.agg(
-                (F.count("*") == 0).cast("int").alias("no_near_dups")
-            )
-        )
-        .select("all_pass_quality", "no_exact_dups", "no_near_dups", "profile_consistent")
-    )
+    return out.select("doc_id", "lang", "n_tokens", "quality")
 
 
 @register(
