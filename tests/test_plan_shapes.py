@@ -90,3 +90,39 @@ def test_sql_api_matches_dataframe_path(spark, sf_small):
     ).collect()
     df_out = plans.QUERIES["q02_filter_project_topk"].fn(spark, sf_small).collect()
     assert [tuple(r) for r in sql_out] == [tuple(r) for r in df_out]
+
+
+def test_bm25_plan_broadcasts_df_table_no_cartesian(spark):
+    from mlops_pipelines_featurestore_gcp_spark.operators.relevance import bm25_scores
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta doc{i} gamma") for i in range(50)], "doc_id long, text string"
+    )
+    plan = _plan(bm25_scores(docs, "doc_id", "text", ["alpha", "gamma"]))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+    # the |query|-row df table must come in as a broadcast, not a shuffle join
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_bloom_contamination_plan_broadcasts_filter(spark):
+    from mlops_pipelines_featurestore_gcp_spark.operators.contamination import (
+        bloom_contamination,
+        build_gram_bloom,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(12))) for i in range(30)],
+        "doc_id long, text string",
+    )
+    bloom = build_gram_bloom(docs.limit(5), "doc_id", "text", n=5)
+    plan = _plan(bloom_contamination(docs, bloom, "doc_id", "text", n=5))
+    assert "BroadcastHashJoin" in plan, plan  # fixed-size filter broadcasts
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_importance_sample_is_map_only(spark):
+    from mlops_pipelines_featurestore_gcp_spark.operators.sampling import importance_sample
+
+    df = spark.createDataFrame([(i, 0.5) for i in range(100)], "doc_id long, w double")
+    plan = _plan(importance_sample(df, "doc_id", "w"))
+    assert "Exchange" not in plan, plan  # pure filter: zero shuffles
