@@ -41,6 +41,9 @@ EXTRA = [
     "t13_bm25_relevance",
     "t14_tf_idf",
     "t15_importance_resample",
+    "t16_bloom_contamination",
+    "st07_distinct_rollup",
+    "c01_prepare_corpus",
 ]
 
 
@@ -84,7 +87,7 @@ def main() -> None:
         # s01's is the design (broadcast exact-scoring baseline); d07's and
         # f06's are broadcast singleton/centroid/stat tables joined with
         # crossJoin — size-1-side broadcasts, not data-path cartesians
-        expected_cartesian = name.startswith(("s01", "d07", "f06", "t11"))
+        expected_cartesian = name.startswith(("s01", "d07", "f06", "t11", "ml03", "c01"))
         flag = " (by design: broadcast query set)" if a["cartesian"] and expected_cartesian else (" ⚠" if a["cartesian"] else "")
         print(
             f"| {name} | {a['exchanges']} | {a['bhj']} | {a['smj']} | {a['cartesian']}{flag} "
