@@ -239,3 +239,53 @@ def run_log_loop(
         # the socket source has no offsets so availableNow can't drain it
         writer = writer.trigger(processingTime=processing_time)
     return writer.start()
+
+
+def publish_messages(
+    df: DataFrame,
+    target: str,
+    *,
+    source: str = "files",
+) -> int:
+    """S8: message-queue PUBLISH — the serving container's side of the loop
+    (``prediction_container/main.py:38-58`` publishes prediction JSON to
+    Pub/Sub; here the consumer-facing wire format is one JSON object per
+    line, exactly what ``read_prediction_stream`` parses back).
+
+    ``source="files"``: append NDJSON into the message directory the file
+    source tails (the durable stand-in). ``source="socket"``: every
+    EXECUTOR partition opens its own TCP connection to ``host:port`` and
+    streams its rows — a real distributed network publish (no driver
+    collect; the per-partition connection is the same shape a Kafka
+    producer pool has). Returns the number of messages published.
+
+    Publishing is at-least-once either way — exactly-once lives on the
+    CONSUMER side (watermarked dedup on ``message_id``), matching the
+    reference's Pub/Sub delivery contract.
+    """
+    payload = df.select(F.to_json(F.struct(*df.columns)).alias("line"))
+    if source == "files":
+        n = payload.count()
+        payload.write.mode("append").text(target)
+        return n
+    if source != "socket":
+        raise ValueError(f"unknown publish target {source!r} (expected 'files' or 'socket')")
+    host, _, port = target.rpartition(":")
+    host, port = host or "127.0.0.1", int(port)
+
+    def _send(rows):
+        import socket as _socket
+
+        lines = [r["line"] for r in rows]
+        if not lines:
+            return iter(())
+        s = _socket.socket(_socket.AF_INET, _socket.SOCK_STREAM)
+        try:
+            s.connect((host, port))
+            s.sendall(("\n".join(lines) + "\n").encode())
+        finally:
+            s.close()
+        return iter([len(lines)])
+
+    counts = payload.rdd.mapPartitions(_send).collect()
+    return int(sum(counts))

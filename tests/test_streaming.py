@@ -237,3 +237,61 @@ def test_log_loop_live_socket_source(spark, factors, tmp_path):
     got = {r.message_id: r.reward for r in rows}
     assert got["s1"] == [3.0]  # dot([3,4],[1,0]) — enrichment ran on live rows
     assert got["s2"] == [1.5]  # dot([1,2],[.5,.5])
+
+
+def test_publish_messages_over_live_socket(spark, tmp_path):
+    """S8's network leg: executor partitions publish JSON lines to a real
+    TCP endpoint (per-partition connections, no driver collect), and the
+    received lines parse back through the consumer's exact schema."""
+    import socket
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from mlops_pipelines_featurestore_gcp_spark.streaming.log_loop import (
+        MESSAGE_SCHEMA,
+        publish_messages,
+    )
+
+    received = []
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(8)
+    port = srv.getsockname()[1]
+    done = threading.Event()
+
+    def _serve():
+        srv.settimeout(30)
+        while not done.is_set():
+            try:
+                conn, _ = srv.accept()
+            except socket.timeout:
+                break
+            buf = b""
+            while chunk := conn.recv(65536):
+                buf += chunk
+            conn.close()
+            received.extend(l for l in buf.decode().splitlines() if l)
+
+    t = threading.Thread(target=_serve, daemon=True)
+    t.start()
+
+    msgs = spark.createDataFrame(
+        [(f"m{i}", "2024-01-01 00:00:00", [[float(i), 0.0]], [i % 3]) for i in range(10)],
+        "message_id string, publish_time string, observations array<array<double>>, predicted_actions array<long>",
+    ).withColumn("publish_time", F.col("publish_time").cast("timestamp"))
+    n = publish_messages(msgs.repartition(4), f"127.0.0.1:{port}", source="socket")
+    assert n == 10
+
+    import time
+    deadline = time.time() + 20
+    while len(received) < 10 and time.time() < deadline:
+        time.sleep(0.2)
+    done.set()
+    srv.close()
+    assert len(received) == 10
+    # the wire format round-trips through the consumer's parser
+    parsed = spark.read.schema(MESSAGE_SCHEMA).json(spark.sparkContext.parallelize(received))
+    ids = sorted(r.message_id for r in parsed.collect())
+    assert ids == sorted(f"m{i}" for i in range(10))
