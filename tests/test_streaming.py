@@ -295,3 +295,98 @@ def test_publish_messages_over_live_socket(spark, tmp_path):
     parsed = spark.read.schema(MESSAGE_SCHEMA).json(spark.sparkContext.parallelize(received))
     ids = sorted(r.message_id for r in parsed.collect())
     assert ids == sorted(f"m{i}" for i in range(10))
+
+
+def test_full_loop_publish_relay_consume_over_tcp(spark, factors, tmp_path):
+    """The complete live circle: executor partitions PUBLISH JSON over TCP
+    to a relay; the streaming CONSUMER reads the relay's feed over TCP and
+    runs dedup → enrichment → idempotent sink. No files anywhere on the
+    wire path — both halves of the message loop execute over real
+    sockets in one test."""
+    import socket
+    import threading
+    import time
+
+    from mlops_pipelines_featurestore_gcp_spark.streaming.log_loop import publish_messages
+
+    # relay: one listener for publishers (ingest), one for the consumer
+    ingest = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    ingest.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    ingest.bind(("127.0.0.1", 0)); ingest.listen(8)
+    serve = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    serve.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    serve.bind(("127.0.0.1", 0)); serve.listen(1)
+    ingest_port, serve_port = ingest.getsockname()[1], serve.getsockname()[1]
+
+    buffered: list[str] = []
+    stop = threading.Event()
+
+    def _ingest():
+        ingest.settimeout(30)
+        while not stop.is_set():
+            try:
+                conn, _ = ingest.accept()
+            except socket.timeout:
+                return
+            buf = b""
+            while chunk := conn.recv(65536):
+                buf += chunk
+            conn.close()
+            buffered.extend(l for l in buf.decode().splitlines() if l)
+
+    def _serve():
+        conn, _ = serve.accept()
+        deadline = time.time() + 60
+        sent = 0
+        while time.time() < deadline and not stop.is_set():
+            while sent < len(buffered):
+                conn.sendall((buffered[sent] + "\n").encode())
+                sent += 1
+            time.sleep(0.2)
+        conn.close()
+
+    threading.Thread(target=_ingest, daemon=True).start()
+    threading.Thread(target=_serve, daemon=True).start()
+
+    # half 1: distributed publish (with a duplicate message)
+    msgs = spark.createDataFrame(
+        [
+            ("p1", "2024-01-01 00:00:00", [[3.0, 4.0]], [0]),
+            ("p1", "2024-01-01 00:00:00", [[3.0, 4.0]], [0]),  # redelivery
+            ("p2", "2024-01-01 00:01:00", [[1.0, 2.0]], [2]),
+        ],
+        "message_id string, publish_time string, observations array<array<double>>, predicted_actions array<long>",
+    ).withColumn("publish_time", F.col("publish_time").cast("timestamp"))
+    assert publish_messages(msgs.repartition(2), f"127.0.0.1:{ingest_port}", source="socket") == 3
+
+    # half 2: live consume through the full loop
+    sink = str(tmp_path / "loop_sink")
+    q = run_log_loop(
+        spark,
+        f"127.0.0.1:{serve_port}",
+        factors,
+        sink,
+        str(tmp_path / "loop_ckpt"),
+        available_now=False,
+        source="socket",
+        processing_time="1 seconds",
+    )
+    try:
+        deadline = time.time() + 90
+        rows = []
+        while time.time() < deadline:
+            try:
+                rows = spark.read.parquet(sink).collect()
+            except Exception:
+                rows = []
+            if len(rows) >= 2:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+        stop.set()
+        ingest.close(); serve.close()
+
+    got = {r.message_id: r.reward for r in rows}
+    assert sorted(got) == ["p1", "p2"]  # deduped across the live wire
+    assert got["p1"] == [3.0] and got["p2"] == [1.5]
