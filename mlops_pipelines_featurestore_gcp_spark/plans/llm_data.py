@@ -310,7 +310,9 @@ _ANN_CONTRACT_ORACLE = """
     """
 
 
-def _ann_contract(out: DataFrame, emb: DataFrame, *, dim: int, k: int) -> DataFrame:
+def _ann_contract(
+    out: DataFrame, emb: DataFrame, *, dim: int, k: int, exact_k: bool = False
+) -> DataFrame:
     """Per-query contract projection for approximate top-k operators.
 
     WHICH neighbors an ANN method admits is representation-specific, but
@@ -321,7 +323,11 @@ def _ann_contract(out: DataFrame, emb: DataFrame, *, dim: int, k: int) -> DataFr
     under sparse LSH buckets) hold every flag vacuously. The driver
     hash-checks the flags against an all-ones oracle; recall vs brute
     force stays a pytest property (a recall level is a tuning fact, not
-    an invariant)."""
+    an invariant). ``exact_k=True`` (the exhaustive-scan variants, e.g.
+    the quantized path whose shortlist always covers k) tightens the
+    count flag to EXACTLY k results per query — zero-result vacuity is
+    only correct where candidate generation can legitimately come up
+    empty."""
     from mlops_pipelines_featurestore_gcp_spark.functions.vectors import cosine
 
     qv = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qv"))
@@ -339,8 +345,9 @@ def _ann_contract(out: DataFrame, emb: DataFrame, *, dim: int, k: int) -> DataFr
         )
         .withColumn("mono", (F.col("cos_sim") <= F.lag("cos_sim", 1, 2.0).over(w)).cast("int"))
     )
+    count_ok = (F.count("*") == k) if exact_k else (F.count("*") <= k)
     flags = checked.groupBy("query_id").agg(
-        (F.count("*") <= k).cast("int").alias("at_most_k"),
+        count_ok.cast("int").alias("at_most_k"),
         F.min("parity").alias("rescore_parity"),
         (F.max("rnk") == F.count("*")).cast("int").alias("ranks_contiguous"),
         F.min("mono").alias("scores_monotone"),
@@ -349,9 +356,10 @@ def _ann_contract(out: DataFrame, emb: DataFrame, *, dim: int, k: int) -> DataFr
         F.col("vec_id").alias("query_id")
     )
     one = F.lit(1)
+    missing_default = F.lit(0) if exact_k else one
     return all_queries.join(flags, "query_id", "left").select(
         "query_id",
-        F.coalesce("at_most_k", one).alias("at_most_k"),
+        F.coalesce("at_most_k", missing_default).alias("at_most_k"),
         F.coalesce("rescore_parity", one).alias("rescore_parity"),
         F.coalesce("ranks_contiguous", one).alias("ranks_contiguous"),
         F.coalesce("scores_monotone", one).alias("scores_monotone"),
@@ -435,12 +443,11 @@ def d07_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "s05_ann_quantized_topk",
-    # Same per-query ANN contract as s02/s03 (_ann_contract): WHICH
-    # neighbors the int8 shortlist admits is representation-specific, but
-    # ≤k results, contiguous ranks, exact rescore parity, and monotone
-    # scores are stateable — zero-candidate queries hold the flags
-    # vacuously via the shared left join, so a sparse slice can never
-    # drop an oracle row. Recall stays in test_similarity_variants.py.
+    # Same per-query ANN contract as s02/s03 (_ann_contract) but with
+    # exact_k=True: the int8 stage scans exhaustively with shortlist ≥ k,
+    # so EXACTLY k results per query is guaranteed — a zero/short result
+    # set is a regression and must fail the gate (review r4: the shared
+    # at-most-k vacuity is only right where buckets can come up empty).
     oracle=_ANN_CONTRACT_ORACLE,
     tags=("similarity", "llm", "quantization"),
 )
@@ -454,7 +461,7 @@ def s05_ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") % 50 == 0)
     cq = similarity.quantize_embeddings(emb, dim=dim)
     out = similarity.quantized_topk(cq, queries, emb, k=5, shortlist=25, dim=dim)
-    return _ann_contract(out, emb, dim=dim, k=5)
+    return _ann_contract(out, emb, dim=dim, k=5, exact_k=True)
 
 
 # ---------------------------------------------------------------------------

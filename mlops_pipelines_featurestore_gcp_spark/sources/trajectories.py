@@ -41,11 +41,15 @@ def read_trajectories_ndjson(
     ``corrupt_col`` (quarantine-and-continue, the posture a 100 TB ingest
     needs — one bad producer line must not kill the load). Default keeps
     the strict schema shape unchanged.
+
+    Spark caveat: a query projecting ONLY the corrupt column from a raw
+    JSON scan raises AnalysisException by design — quarantine writes must
+    either keep at least one schema column in the projection or
+    ``.cache()`` the frame first (both patterns are exercised in
+    tests/test_sources.py).
     """
     if corrupt_col is None:
         return spark.read.schema(TRAJECTORY_SCHEMA).json(path)
-    import pyspark.sql.types as T
-
     schema = T.StructType(
         list(TRAJECTORY_SCHEMA.fields) + [T.StructField(corrupt_col, T.StringType())]
     )

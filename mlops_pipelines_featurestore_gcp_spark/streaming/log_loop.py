@@ -265,9 +265,12 @@ def publish_messages(
     """
     payload = df.select(F.to_json(F.struct(*df.columns)).alias("line"))
     if source == "files":
-        n = payload.count()
+        # materialize once: counting then writing would execute the whole
+        # upstream plan twice (and could disagree on non-deterministic
+        # sources)
+        payload = payload.localCheckpoint(eager=True)
         payload.write.mode("append").text(target)
-        return n
+        return payload.count()
     if source != "socket":
         raise ValueError(f"unknown publish target {source!r} (expected 'files' or 'socket')")
     host, _, port = target.rpartition(":")
@@ -276,16 +279,26 @@ def publish_messages(
     def _send(rows):
         import socket as _socket
 
-        lines = [r["line"] for r in rows]
-        if not lines:
-            return iter(())
-        s = _socket.socket(_socket.AF_INET, _socket.SOCK_STREAM)
+        sock = None
+        buf = bytearray()
+        n = 0
         try:
-            s.connect((host, port))
-            s.sendall(("\n".join(lines) + "\n").encode())
+            for r in rows:
+                if sock is None:  # connect lazily: empty partitions stay silent
+                    sock = _socket.socket(_socket.AF_INET, _socket.SOCK_STREAM)
+                    sock.connect((host, port))
+                buf += r["line"].encode()
+                buf += b"\n"
+                n += 1
+                if len(buf) >= 1 << 16:  # stream in ~64KB chunks: O(chunk)
+                    sock.sendall(buf)     # memory, not O(partition)
+                    buf.clear()
+            if sock is not None and buf:
+                sock.sendall(buf)
         finally:
-            s.close()
-        return iter([len(lines)])
+            if sock is not None:
+                sock.close()
+        return iter(()) if n == 0 else iter([n])
 
     counts = payload.rdd.mapPartitions(_send).collect()
     return int(sum(counts))

@@ -213,3 +213,24 @@ def test_ndjson_corrupt_record_quarantine(spark, tmp_path):
     # strict default shape unchanged
     strict = read_trajectories_ndjson(spark, str(path))
     assert "_corrupt" not in strict.columns
+
+
+def test_ndjson_quarantine_write_patterns(spark, tmp_path):
+    # the two supported quarantine projections (Spark disallows
+    # corrupt-column-only queries on raw JSON scans)
+    from pyspark.sql import functions as F
+
+    from mlops_pipelines_featurestore_gcp_spark.sources.trajectories import read_trajectories_ndjson
+
+    path = tmp_path / "msgs"
+    path.mkdir()
+    (path / "a.json").write_text('{bad line\n')
+    df = read_trajectories_ndjson(spark, str(path), corrupt_col="_corrupt")
+    # pattern 1: keep a schema column in the projection
+    bad = df.where(F.col("_corrupt").isNotNull()).select("action", "_corrupt").collect()
+    assert len(bad) == 1 and bad[0]["_corrupt"].startswith("{bad")
+    # pattern 2: cache first, then corrupt-only projection is legal
+    cached = df.cache()
+    only = cached.where(F.col("_corrupt").isNotNull()).select("_corrupt").collect()
+    assert len(only) == 1
+    cached.unpersist()

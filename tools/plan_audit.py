@@ -87,7 +87,7 @@ def main() -> None:
         # s01's is the design (broadcast exact-scoring baseline); d07's and
         # f06's are broadcast singleton/centroid/stat tables joined with
         # crossJoin — size-1-side broadcasts, not data-path cartesians
-        expected_cartesian = name.startswith(("s01", "d07", "f06", "t11", "ml03", "c01"))
+        expected_cartesian = name.startswith(("s01", "d07", "f06", "t11"))
         flag = " (by design: broadcast query set)" if a["cartesian"] and expected_cartesian else (" ⚠" if a["cartesian"] else "")
         print(
             f"| {name} | {a['exchanges']} | {a['bhj']} | {a['smj']} | {a['cartesian']}{flag} "
