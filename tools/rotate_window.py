@@ -1,0 +1,152 @@
+"""Driver-window rotation helper (round 5+).
+
+The driver verifies only the FIRST 50 registered queries; `defer=True`
+sorts a query after the window while the local gate keeps checking its
+oracle. The rotation contract (tests/test_registry_contract.py) requires
+every oracle query to hit the window at least every 2 rounds, tracked in
+WINDOW_LEDGER.json.
+
+Usage:
+  python tools/rotate_window.py plan  [round_no]
+      Print which queries MUST rotate in next round (absent from the last
+      two ledger windows), which are safe to rotate out (2+ recorded green
+      windows), and whether the swap fits the 50 slots.
+  python tools/rotate_window.py apply <round_no> IN:q1,q2 OUT:q3,q4
+      Flip the defer flags in the plans/ sources (textual edit of the
+      @register blocks), then regenerate the ledger entry for round_no
+      from the live registry. Run the contract tests afterwards.
+
+The edit is textual on purpose: defer flags are declarative source, and
+the flip must survive review like any other diff.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+PLANS = REPO / "mlops_pipelines_featurestore_gcp_spark" / "plans"
+LEDGER = REPO / "WINDOW_LEDGER.json"
+WINDOW = 50
+
+
+def _registry():
+    from mlops_pipelines_featurestore_gcp_spark import plans
+
+    return plans
+
+
+def _find_register_block(src: str, name: str) -> tuple[int, int] | None:
+    m = re.search(r'@register\(\s*\n?\s*"' + re.escape(name) + '"', src)
+    if not m:
+        return None
+    depth, j = 0, m.start()
+    while True:
+        c = src[j]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return m.start(), j + 1
+        j += 1
+
+
+def set_defer(name: str, defer: bool) -> bool:
+    for f in PLANS.glob("*.py"):
+        src = f.read_text()
+        span = _find_register_block(src, name)
+        if span is None:
+            continue
+        a, b = span
+        block = src[a:b]
+        has = "defer=True" in block
+        if has == defer:
+            return False  # already in the requested state
+        if defer:
+            nb = block[:-1].rstrip()
+            if not nb.endswith(","):
+                nb += ","
+            nb += "\n    defer=True,\n)"
+        else:
+            nb = re.sub(r"\n\s*defer=True,?", "", block)
+        f.write_text(src[:a] + nb + src[b:])
+        return True
+    raise KeyError(f"query {name!r} not found in any plans/*.py")
+
+
+def plan(round_no: int) -> int:
+    plans = _registry()
+    ledger = json.loads(LEDGER.read_text())
+    rounds = sorted(ledger, key=int)
+    recent = set()
+    for r in rounds[-2:]:
+        recent.update(ledger[r])
+    current = set(list(plans.queries_map())[:WINDOW])
+    oracle = {n for n, s in plans.QUERIES.items() if s.oracle is not None}
+    must_in = sorted(oracle - current - recent)
+    green_counts = {n: sum(n in ledger[r] for r in rounds) for n in current}
+    safe_out = sorted((n for n in current if green_counts[n] >= 2),
+                      key=lambda n: -green_counts[n])
+    print(f"round {round_no}: {len(must_in)} must rotate IN next: {must_in}")
+    print(f"{len(safe_out)} in-window queries have 2+ recorded windows (safe OUT candidates):")
+    for n in safe_out:
+        print(f"  {green_counts[n]}x {n}")
+    need = max(0, len(must_in))
+    print(f"swap feasible: need {need} slots, {len(safe_out)} available -> "
+          f"{'OK' if len(safe_out) >= need else 'NOT ENOUGH — merge or extend'}")
+    return 0
+
+
+def apply(round_no: int, ins: list[str], outs: list[str]) -> int:
+    for n in ins:
+        changed = set_defer(n, False)
+        print(f"IN  {n}: {'flipped' if changed else 'already primary'}")
+    for n in outs:
+        changed = set_defer(n, True)
+        print(f"OUT {n}: {'flipped' if changed else 'already deferred'}")
+    # re-import fresh to pick up the edited defer flags
+    for mod in list(sys.modules):
+        if mod.startswith("mlops_pipelines_featurestore_gcp_spark"):
+            del sys.modules[mod]
+    plans = _registry()
+    win = list(plans.queries_map())[:WINDOW]
+    n_primary = sum(1 for s in plans.QUERIES.values() if s.oracle is not None and not s.defer)
+    if n_primary > WINDOW:
+        print(f"ERROR: {n_primary} primary oracle queries > {WINDOW}-slot window")
+        return 1
+    ledger = json.loads(LEDGER.read_text())
+    ledger[str(round_no)] = win
+    LEDGER.write_text(json.dumps(ledger, indent=1))
+    print(f"ledger[{round_no}] = {len(win)} entries; run "
+          "pytest tests/test_registry_contract.py next")
+    return 0
+
+
+def main() -> int:
+    if len(sys.argv) < 2 or sys.argv[1] not in ("plan", "apply"):
+        print(__doc__)
+        return 2
+    if sys.argv[1] == "plan":
+        ledger = json.loads(LEDGER.read_text())
+        rn = int(sys.argv[2]) if len(sys.argv) > 2 else max(int(k) for k in ledger) + 1
+        return plan(rn)
+    rn = int(sys.argv[2])
+    ins: list[str] = []
+    outs: list[str] = []
+    for arg in sys.argv[3:]:
+        if arg.startswith("IN:"):
+            ins += [x for x in arg[3:].split(",") if x]
+        elif arg.startswith("OUT:"):
+            outs += [x for x in arg[4:].split(",") if x]
+    return apply(rn, ins, outs)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
