@@ -93,3 +93,32 @@ def test_no_oracle_query_deferred_forever():
         f"oracle queries absent from the driver window for 2+ rounds: {stale} — "
         "rotate them in (flip defer flags) and regenerate WINDOW_LEDGER.json"
     )
+
+
+def test_rotation_tool_planner_is_consistent_with_contract():
+    """tools/rotate_window.py `plan` must agree with the contract tests:
+    with the current ledger, no oracle query may already be overdue."""
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "rotate_window", Path(__file__).resolve().parent.parent / "tools" / "rotate_window.py"
+    )
+    rw = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rw)
+    ledger = _load_ledger()
+    rounds = sorted(ledger, key=int)
+    recent = set()
+    for r in rounds[-2:]:
+        recent.update(ledger[r])
+    current = set(list(plans.queries_map())[:DRIVER_WINDOW])
+    oracle = {n for n, s in plans.QUERIES.items() if s.oracle is not None}
+    assert oracle - current - recent == set()  # nothing overdue right now
+    # the textual block finder locates every registered query exactly once
+    found = 0
+    for f in (Path(__file__).resolve().parent.parent / "mlops_pipelines_featurestore_gcp_spark" / "plans").glob("*.py"):
+        src = f.read_text()
+        for name in plans.QUERIES:
+            if rw._find_register_block(src, name) is not None:
+                found += 1
+    assert found == len(plans.QUERIES), "every query's @register block must be findable"
