@@ -167,3 +167,25 @@ class DistinctCountRollup:
             F.sum("n_rows").alias("n_rows"),
             F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_distinct"),
         )
+
+
+def distinct_rollup_sink(
+    stream: DataFrame,
+    agg: DistinctCountRollup,
+    checkpoint_dir: str,
+    *,
+    available_now: bool = True,
+):
+    """Maintain the sketch store from a stream: each micro-batch unions its
+    sketches under its batch id (replay-idempotent via the high-water
+    mark) — the same foreachBatch contract as ``rollup.rollup_sink``."""
+
+    def _refresh(batch_df: DataFrame, batch_id: int) -> None:
+        agg.refresh(batch_df, batch_id=batch_id)
+
+    writer = stream.writeStream.foreachBatch(_refresh).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -226,3 +226,19 @@ def test_expire_aligned_cutoff_is_pure_deletion(spark, tmp_path):
     for n, files in survivors.items():
         assert set((store / n).iterdir()) == files  # zero rewrites
     assert sorted(r.bucket for r in ca.read(spark).collect()) == list(range(4, 12))
+
+
+def test_cascade_after_expire_reflects_retention(spark, tmp_path):
+    fine = ContinuousAggregate(
+        str(tmp_path / "fine"), time_col="t", value_col="v", keys=["k"],
+        bucket_width=100, buckets_per_partition=4,
+    )
+    coarse = ContinuousAggregate(
+        str(tmp_path / "coarse"), time_col="t", value_col="v", keys=["k"], bucket_width=400
+    )
+    fine.refresh(_batch(spark, [(i * 100 + 5, "a", 1.0) for i in range(8)]), batch_id=0)
+    fine.expire(spark, before_bucket=4)
+    fine.cascade_into(coarse, spark, batch_id=0)
+    got = {(r.bucket, r.k): r.n for r in coarse.read(spark).collect()}
+    # only fine buckets 4..7 survive -> one coarse bucket (4..7)//4 == 1
+    assert got == {(1, "a"): 4}
