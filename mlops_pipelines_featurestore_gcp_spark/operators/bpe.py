@@ -28,9 +28,10 @@ non-overlapping occurrence.
 
 The driver loop holds only the (tiny) merge list; word tables are lazily
 localCheckpointed per round so lineage doesn't grow with merge count.
-Iterative fixed-point loops are not SQL-expressible → rows-only for any
-oracle; the merge sequence is asserted against a pure-Python reference
-implementation of the paper's algorithm in tests.
+Iterative fixed-point loops are not SQL-expressible, so the t12 oracle
+is a CONTRACT: the learned sequence must match the pure-Python reference
+implementation (reference_learn_bpe) merge-for-merge, replayed on the
+collected vocabulary-sized word-frequency table.
 """
 
 from __future__ import annotations

@@ -26,9 +26,10 @@ Same physical layout as ``rollup.py``: contiguous ``pgroup`` dirs,
 ``bucket`` as a data column, one file per group per rewrite.
 
 Estimates are deterministic for a fixed sketch algorithm + lgConfigK:
-incremental-vs-full equality is asserted EXACTLY in tests (same sketch
-bytes → same estimate), while accuracy vs true distinct is only bounded
-(~1.6%/√2^lgK), so queries exposing estimates register rows-only.
+incremental-vs-full equality holds EXACTLY (same sketch bytes → same
+estimate) and accuracy vs true distinct is bounded (~1.6%/√2^lgK) —
+the two properties the st07 CONTRACT oracle hash-checks per (bucket,
+key), since the raw estimate values have no SQL twin.
 """
 
 from __future__ import annotations
