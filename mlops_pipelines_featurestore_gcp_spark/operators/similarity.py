@@ -657,9 +657,10 @@ def ivf_topk(
     broadcast-scored pass; (3) each query probes its ``n_probe`` nearest
     cells and rescoring runs only inside those cells, cutting scored pairs
     by ~``n_centroids/n_probe``× vs brute force. Centroid assignment is
-    seeded and deterministic per engine build (not SQL-reproducible → this
-    operator is rows-only for the oracle; recall vs brute force is asserted
-    in tests).
+    seeded and deterministic per engine build (not SQL-reproducible → the
+    s03 oracle is the per-query ANN contract: ≤k, contiguous ranks, exact
+    rescore parity, monotone scores; recall vs brute force is asserted in
+    tests).
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -709,8 +710,9 @@ def semantic_dedup_pairs(
     SemDeDup trade — so the canonical setting pairs a high threshold with
     enough clusters that a cell fits in executor memory. KMeans state is
     seeded and deterministic per engine build but not SQL-replayable →
-    rows-only for the oracle; within-cell exactness is asserted in tests
-    against the brute-force all-pairs baseline.
+    the d07 oracle is the SemDeDup contract (subset-of-exact + bit-parity
+    scores); within-cell exactness is asserted in tests against the
+    brute-force all-pairs baseline.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
