@@ -81,7 +81,11 @@ def decode_png(blob: bytes) -> tuple[int, int, int, bytes]:
     if color_type not in _CHANNELS:
         raise ValueError(f"unsupported color type {color_type}")
     ch = _CHANNELS[color_type]
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        # keep the documented bad-input contract: callers catch ValueError
+        raise ValueError(f"bad IDAT deflate stream: {e}") from e
     stride = width * ch
     expected = (stride + 1) * height
     if len(raw) < expected:
@@ -130,6 +134,8 @@ def encode_png(width: int, height: int, samples: bytes, *, channels: int = 1) ->
     """Baseline PNG writer (filter 0, one IDAT) — test fixtures and the
     media sink. ``samples`` is row-major 8-bit, gray (1), RGB (3) or
     RGBA (4)."""
+    if channels not in (1, 3, 4):
+        raise ValueError(f"unsupported channels {channels} (supported: 1, 3, 4)")
     color_type = {1: 0, 3: 2, 4: 6}[channels]
     if width < 1 or height < 1:
         raise ValueError(f"invalid dimensions {width}x{height} (PNG requires >= 1)")

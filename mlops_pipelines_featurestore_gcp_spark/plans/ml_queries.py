@@ -171,14 +171,16 @@ def ml04_als_trajectories(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(vec_id % 5 AS BIGINT) AS action,
            COUNT(*) AS n_pulls,
-           SUM(r_micro * x0) AS b0_micro2,
-           SUM(r_micro * x1) AS b1_micro2,
-           SUM(r_micro * x2) AS b2_micro2,
-           SUM(r_micro * x3) AS b3_micro2,
-           SUM(x0 * x0) AS a00_micro2,
-           SUM(x1 * x1) AS a11_micro2,
-           SUM(x2 * x2) AS a22_micro2,
-           SUM(x3 * x3) AS a33_micro2
+           -- CAST: DuckDB SUM(BIGINT) -> HUGEINT -> pandas float64 breaks
+           -- the driver's hash vs Spark int64 (round-4 verdict root cause).
+           CAST(SUM(r_micro * x0) AS BIGINT) AS b0_micro2,
+           CAST(SUM(r_micro * x1) AS BIGINT) AS b1_micro2,
+           CAST(SUM(r_micro * x2) AS BIGINT) AS b2_micro2,
+           CAST(SUM(r_micro * x3) AS BIGINT) AS b3_micro2,
+           CAST(SUM(x0 * x0) AS BIGINT) AS a00_micro2,
+           CAST(SUM(x1 * x1) AS BIGINT) AS a11_micro2,
+           CAST(SUM(x2 * x2) AS BIGINT) AS a22_micro2,
+           CAST(SUM(x3 * x3) AS BIGINT) AS a33_micro2
     FROM (
       SELECT vec_id,
              CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS x0,

@@ -84,10 +84,13 @@ def main() -> None:
         # s01's BroadcastNestedLoopJoin is the operator's DESIGN: the tiny
         # query set is broadcast against the corpus for exact scoring (the
         # approximate s02/s03 paths exist precisely to avoid it at scale)
-        # s01's is the design (broadcast exact-scoring baseline); d07's and
-        # f06's are broadcast singleton/centroid/stat tables joined with
-        # crossJoin — size-1-side broadcasts, not data-path cartesians
-        expected_cartesian = name.startswith(("s01", "d07", "f06", "t11"))
+        # s01's is the design (broadcast exact-scoring baseline); f06's and
+        # t11's are broadcast singleton/centroid/stat tables joined with
+        # crossJoin — size-1-side broadcasts, not data-path cartesians.
+        # d07 was REMOVED from this list in round 5: its verifier now
+        # rescores emitted pairs via keyed joins, so any cartesian in its
+        # plan is a real regression.
+        expected_cartesian = name.startswith(("s01", "f06", "t11"))
         flag = " (by design: broadcast query set)" if a["cartesian"] and expected_cartesian else (" ⚠" if a["cartesian"] else "")
         print(
             f"| {name} | {a['exchanges']} | {a['bhj']} | {a['smj']} | {a['cartesian']}{flag} "

@@ -70,10 +70,18 @@ def set_defer(name: str, defer: bool) -> bool:
         if has == defer:
             return False  # already in the requested state
         if defer:
-            nb = block[:-1].rstrip()
-            if not nb.endswith(","):
-                nb += ","
-            nb += "\n    defer=True,\n)"
+            # Insert after the LAST real argument line, not after whatever
+            # precedes ')' — a trailing comment line there would swallow
+            # the comma and orphan defer=True (ADVICE r4).
+            lines = block[:-1].split("\n")
+            idx = max(
+                i for i, ln in enumerate(lines)
+                if ln.strip() and not ln.strip().startswith("#")
+            )
+            if not lines[idx].rstrip().endswith(","):
+                lines[idx] = lines[idx].rstrip() + ","
+            lines.insert(idx + 1, "    defer=True,")
+            nb = "\n".join(lines).rstrip() + "\n)"
         else:
             nb = re.sub(r"\n\s*defer=True,?", "", block)
         f.write_text(src[:a] + nb + src[b:])

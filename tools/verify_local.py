@@ -1,9 +1,16 @@
 """Local stand-in for the driver's correctness gate.
 
 Runs every registered query on Spark and its oracle on DuckDB at the given
-scale factor, then compares row count, column names, and order-insensitive
-values (exact string compare after canonicalization — stricter than any
-reasonable hash, so passing here should pass the driver).
+scale factor, then compares row count, column names, pandas DTYPES, and
+order-insensitive values. Both sides are materialized THROUGH PANDAS the
+way the driver does it, so pandas' own widenings are visible: DuckDB types
+a bare ``SUM(BIGINT)`` as HUGEINT, which pandas materializes as float64
+while Spark returns int64 — identical values, different driver hash. The
+round-4 local gate fetched Python objects (``fetchall`` gives true ints
+for HUGEINT) and canonicalized through ``str`` with an int shortcut, so it
+was structurally blind to exactly that divergence; this version fails on
+it (dtype-kind mismatch AND value-string mismatch, since floats keep their
+``.0``).
 
 Usage: python tools/verify_local.py [sf_dir] [query_name ...]
 """
@@ -18,36 +25,54 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 from mlops_pipelines_featurestore_gcp_spark import get_spark, plans
 from mlops_pipelines_featurestore_gcp_spark.sources.catalog import TABLE_NAMES
 
 
 def canon(v) -> str:
-    """Canonical string form of a cell value for cross-engine compare."""
+    """Canonical string form of a cell value, dtype-faithful.
+
+    Unlike the round-4 canonicalizer there is NO integral-float shortcut:
+    float64 574445863480.0 and int64 574445863480 produce DIFFERENT
+    strings, mirroring how the driver's value-hash sees them.
+    """
     if v is None:
         return "NULL"
-    if isinstance(v, float):
+    if isinstance(v, (float, np.floating)):
         if math.isnan(v):
             return "NaN"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
-        return repr(v)
-    if isinstance(v, bool):
+        return repr(float(v))
+    if isinstance(v, (bool, np.bool_)):
         return str(int(v))
-    if isinstance(v, (list, tuple)):
+    if isinstance(v, np.integer):
+        return str(int(v))
+    if isinstance(v, (list, tuple, np.ndarray)):
         return "[" + ",".join(canon(x) for x in v) + "]"
+    if v is pd.NaT:
+        return "NULL"
     if hasattr(v, "isoformat"):
         return v.isoformat()
     return str(v)
 
 
-def rows_to_multiset(rows, colnames):
-    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+def dtype_kind(dt) -> str:
+    """Collapse a pandas dtype to the kind the driver's hash is sensitive
+    to: i(nt) u(int) f(loat) b(ool) M(datetime) m(timedelta) O(bject)."""
+    try:
+        return np.dtype(dt).kind
+    except TypeError:  # pandas extension dtypes (Int64, boolean, ...)
+        k = getattr(dt, "kind", None)
+        return k if k else "O"
+
+
+def frame_to_multiset(pdf: pd.DataFrame):
+    pdf = pdf[sorted(pdf.columns)]
     out = []
-    for r in rows:
-        vals = list(r)
-        out.append(tuple(canon(vals[i]) for i in order))
+    for row in pdf.itertuples(index=False, name=None):
+        out.append(tuple(canon(v) for v in row))
     out.sort()
     return out
 
@@ -68,7 +93,7 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = spec.fn(spark, sf_dir)
-            srows = sdf.collect()
+            spdf = sdf.toPandas()
             scols = sdf.columns
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"SPARK ERROR: {e}"))
@@ -88,24 +113,33 @@ def main() -> int:
             continue
         if spec.oracle is None:
             rows_only.append(name)
-            print(f"  {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            print(f"  {name}: rows-only ({len(spdf)} rows, {time.time()-t0:.1f}s)")
             continue
         try:
-            ores = con.execute(spec.oracle)
-            ocols = [d[0] for d in ores.description]
-            orows = ores.fetchall()
+            opdf = con.execute(spec.oracle).df()
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"ORACLE ERROR: {e}"))
             print(f"  {name}: ORACLE ERROR {str(e)[:300]}")
             continue
+        ocols = list(opdf.columns)
         problems = []
         if sorted(scols) != sorted(ocols):
             problems.append(f"cols spark={sorted(scols)} oracle={sorted(ocols)}")
-        if len(srows) != len(orows):
-            problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
+        if len(spdf) != len(opdf):
+            problems.append(f"rowcount spark={len(spdf)} oracle={len(opdf)}")
         if not problems:
-            sm = rows_to_multiset([[r[c] for c in scols] for r in srows], scols)
-            om = rows_to_multiset(orows, ocols)
+            # Dtype-kind check FIRST: this is the driver's failure mode the
+            # round-4 gate could not see (HUGEINT -> float64 vs int64).
+            for c in sorted(scols):
+                sk, ok = dtype_kind(spdf[c].dtype), dtype_kind(opdf[c].dtype)
+                if sk != ok:
+                    problems.append(
+                        f"dtype kind mismatch on {c!r}: spark "
+                        f"{spdf[c].dtype}({sk}) vs oracle {opdf[c].dtype}({ok})"
+                    )
+        if not problems:
+            sm = frame_to_multiset(spdf)
+            om = frame_to_multiset(opdf)
             if sm != om:
                 diff = [(a, b) for a, b in zip(sm, om) if a != b][:3]
                 problems.append(f"values differ, first diffs: {diff}")
@@ -114,7 +148,7 @@ def main() -> int:
             print(f"  {name}: FAIL {('; '.join(problems))[:500]}")
         else:
             passed.append(name)
-            print(f"  {name}: OK ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            print(f"  {name}: OK ({len(spdf)} rows, {time.time()-t0:.1f}s)")
 
     print(f"\n{len(passed)} passed, {len(failures)} failed, {len(rows_only)} rows-only")
     for name, msg in failures:
