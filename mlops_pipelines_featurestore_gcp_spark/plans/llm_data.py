@@ -65,6 +65,7 @@ def _md5_long_sql(expr: str, nhex: int = 8) -> str:
     GROUP BY 1
     """,
     tags=("dedup", "llm"),
+    defer=True,
 )
 def d01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: md5 fingerprint of normalized text, hash-groupBy."""
@@ -116,6 +117,7 @@ def d01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE i.ni / (sa.n + sb.n - i.ni) >= 0.5
     """,
     tags=("dedup", "llm", "minhash"),
+    defer=True,
 )
 def d02_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16) + 4-band LSH candidates + exact-Jaccard verify ≥ 0.5."""
@@ -150,7 +152,6 @@ def d02_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE c.ni / (sa.n + sb.n - c.ni) >= 0.5
     """,
     tags=("dedup", "llm", "ngram"),
-    defer=True,
 )
 def d03_ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard pairs ≥ 0.5 via inverted-index join."""
@@ -197,7 +198,6 @@ _SIMHASH_SIG_SQL = f"""
     FROM pairs WHERE hamming <= 8
     """,
     tags=("dedup", "llm", "simhash"),
-    defer=True,
 )
 def d04_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash, 4×15-bit chunk blocking, hamming ≤ 8 verify."""
@@ -246,7 +246,6 @@ def _d05_sig_sql(t: int) -> str:
     SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.45
     """,
     tags=("dedup", "llm", "embedding", "lsh"),
-    defer=True,
 )
 def d05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs via coordinate-sign LSH blocking + exact
@@ -290,6 +289,7 @@ def d05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     QUALIFY rnk <= 5
     """,
     tags=("similarity", "llm"),
+    defer=True,
 )
 def s01_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 neighbors for every 50th vector (broadcast scoring)."""
@@ -372,6 +372,7 @@ def _ann_contract(
     # (_ann_contract) is what the driver hash-checks.
     oracle=_ANN_CONTRACT_ORACLE,
     tags=("similarity", "llm", "lsh"),
+    defer=True,
 )
 def s02_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH approximate top-5 — the n≫memory scale path. Emits
@@ -389,6 +390,7 @@ def s02_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # flags are the driver-checked surface.
     oracle=_ANN_CONTRACT_ORACLE,
     tags=("similarity", "llm", "ivf"),
+    defer=True,
 )
 def s03_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-5: k-means coarse cells, n_probe nearest probed;
@@ -555,6 +557,7 @@ _PII_REDACT_SQL = (
     FROM feats
     """,
     tags=("text", "llm", "pii", "repetition"),
+    defer=True,
 )
 def t01_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token statistics (whitespace + BPE-ish counts, distinct tokens, avg
@@ -613,7 +616,6 @@ _SCORES_SQL = ",\n".join(
     FROM pred GROUP BY lang, lang_pred
     """,
     tags=("text", "llm", "langid"),
-    defer=True,
 )
 def t03_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-based language ID, summarized as metadata-lang × predicted."""
@@ -648,7 +650,6 @@ def t03_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM base b LEFT JOIN sk USING (doc_id)
     """,
     tags=("text", "llm", "fingerprint"),
-    defer=True,
 )
 def t04_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash document fingerprint: bottom-4 sketch of 8-gram hashes.
@@ -679,6 +680,7 @@ def t04_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM s
     """,
     tags=("text", "llm", "chunking"),
+    defer=True,
 )
 def t05_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping token-window chunking (64-token chunks, 16-token overlap):
@@ -713,6 +715,7 @@ def t05_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     HAVING COUNT(b.gram) > 0
     """,
     tags=("text", "llm", "contamination", "dedup"),
+    defer=True,
 )
 def t06_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-set decontamination: flag corpus docs sharing 5-token grams
@@ -740,7 +743,6 @@ def t06_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents
     """,
     tags=("multimodal", "llm", "pandas-udf"),
-    defer=True,
 )
 def mm01_payload_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Opaque binary payload + typed JVM-side metadata (mime, size,
@@ -777,6 +779,7 @@ def mm01_payload_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM f
     """,
     tags=("multimodal", "llm", "video"),
+    defer=True,
     # Deferred from the driver window: the multimodal mapInPandas path is
     # checked via mm01, and the per-frame contents have an exact pytest
     # (test_multimodal.py); the local differential gate still runs this.
@@ -963,6 +966,7 @@ def c01_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM counts
     """,
     tags=("text", "llm", "vocab"),
+    defer=True,
 )
 def t09_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequency-ranked token vocabulary + cumulative coverage curve
@@ -998,6 +1002,7 @@ def t09_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.old_fp <> n.new_fp
     """,
     tags=("llm", "pipeline", "diff"),
+    defer=True,
 )
 def c02_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus snapshot diff (operators/corpus.py corpus_diff): classify every
@@ -1063,6 +1068,7 @@ _UHASH = (
        OR {_UHASH.format(salt='budget').replace('doc_id', 's.doc_id')} < 20000.0 / tot.total
     """,
     tags=("llm", "sampling", "mix"),
+    defer=True,
 )
 def s04_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-mix construction (operators/sampling.py):
@@ -1229,6 +1235,7 @@ _GOPHER_REQ_SQL = " + ".join(
     FROM feats
     """,
     tags=("text", "llm", "quality", "gopher"),
+    defer=True,
 )
 def t10_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher quality-rule evaluation (operators/quality.py) over the corpus
@@ -1377,6 +1384,7 @@ def t12_bpe_subwords(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY 1, 2
     """,
     tags=("multimodal", "dedup", "phash"),
+    defer=True,
 )
 def mm04_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-dup over the multimodal payload column: perceptual aHash
@@ -1431,6 +1439,7 @@ def mm04_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM dl l LEFT JOIN scored s USING (doc_id)
     """,
     tags=("text", "llm", "relevance", "bm25"),
+    defer=True,
 )
 def t13_bm25_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 ranking of every document against a seed query
@@ -1468,6 +1477,7 @@ def t13_bm25_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM tf t JOIN dfreq d USING (term) CROSS JOIN n
     """,
     tags=("text", "llm", "relevance", "tfidf"),
+    defer=True,
 )
 def t14_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(doc, term) TF-IDF with smooth idf (scikit-learn convention) —
@@ -1519,6 +1529,7 @@ def t14_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
           < least(1.0, score_micro / 1000000.0 * 0.3)
     """,
     tags=("llm", "sampling", "relevance", "importance"),
+    defer=True,
 )
 def t15_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-shaped in-domain selection: BM25-score the corpus against a
@@ -1554,6 +1565,7 @@ def t15_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE len({_TOKS.format(col='nt')}) >= 5
     """,
     tags=("llm", "contamination", "bloom"),
+    defer=True,
 )
 def t16_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter contamination pass (operators/contamination.py
