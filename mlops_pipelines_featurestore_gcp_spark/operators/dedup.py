@@ -454,11 +454,16 @@ def exact_substring_spans(
 
     Plan shape (all keyed shuffles, no all-pairs anything):
 
-    1. window hashes, map-side (:func:`window_hash_rows`);
-    2. hashes seen in ≥2 distinct docs — one groupBy on the hash;
-    3. flagged positions: join windows back on the hash — reuses the
-       groupBy's partitioning, so no extra full shuffle of the window side;
-    4. adjacent flagged positions merge into maximal spans via the
+    1. window hashes, map-side (:func:`window_hash_rows`) — ONE corpus
+       scan/tokenize/md5 pass;
+    2. "seen in ≥2 distinct docs" as min(id)/max(id) OVER (PARTITION BY
+       whash) on that same pass — one shuffle on the hash, then a filter.
+       (Round 4 shape was groupBy(whash) + join back, which scanned and
+       hashed the corpus twice and broadcast the dup-hash set; at 100 TB
+       the dup set — every boilerplate window — is exactly the side that
+       outgrows a broadcast, and WindowExec's spillable per-group buffer
+       handles hot hashes that a collect_list row could not.)
+    3. adjacent flagged positions merge into maximal spans via the
        pos − row_number() island trick — one window pass partitioned by
        document (per-doc row counts are bounded by document length, so the
        partition-by-doc window has no skew beyond the longest document).
@@ -471,16 +476,21 @@ def exact_substring_spans(
     inclusive token positions in the normalized token sequence.
     """
     w = window_hash_rows(df, id_col, text_col, window=window)
-    dup = (
-        # "seen in ≥2 distinct docs" ⇔ min(id) ≠ max(id): plain min/max
-        # partials instead of a count_distinct (whose planner rewrite adds
-        # a second aggregation level + exchange for the same answer)
-        w.groupBy("whash")
-        .agg(F.min(F.col(id_col)).alias("__lo"), F.max(F.col(id_col)).alias("__hi"))
+    # "seen in ≥2 distinct docs" ⇔ min(id) ≠ max(id) over the hash
+    # partition: both extrema come out of ONE WindowExec over one shuffle
+    # of the single window-hash pass (min/max, not count_distinct, whose
+    # planner rewrite adds a second aggregation level for the same answer)
+    ww = Window.partitionBy("whash")
+    hits = (
+        w.select(
+            F.col(id_col),
+            "pos",
+            F.min(F.col(id_col)).over(ww).alias("__lo"),
+            F.max(F.col(id_col)).over(ww).alias("__hi"),
+        )
         .where(F.col("__lo") != F.col("__hi"))
-        .select("whash")
+        .select(id_col, "pos")
     )
-    hits = w.join(dup, "whash").select(id_col, "pos")
     island = F.col("pos") - F.row_number().over(
         Window.partitionBy(id_col).orderBy("pos")
     )

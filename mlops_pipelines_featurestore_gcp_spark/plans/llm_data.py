@@ -309,9 +309,29 @@ _ANN_CONTRACT_ORACLE = """
     FROM embeddings WHERE vec_id % 50 = 0
     """
 
+# s02/s03 variant with the aggregate recall floor (VERDICT r4 #7): same
+# per-query flags plus one constant column asserting recall@k vs exact
+# brute force over a DETERMINISTIC 32-query sample meets the floor.
+_ANN_CONTRACT_RECALL_ORACLE = """
+    SELECT CAST(vec_id AS BIGINT) AS query_id,
+           CAST(1 AS INT) AS at_most_k,
+           CAST(1 AS INT) AS rescore_parity,
+           CAST(1 AS INT) AS ranks_contiguous,
+           CAST(1 AS INT) AS scores_monotone,
+           CAST(1 AS INT) AS recall_floor_met
+    FROM embeddings WHERE vec_id % 50 = 0
+    """
+
 
 def _ann_contract(
-    out: DataFrame, emb: DataFrame, *, dim: int, k: int, exact_k: bool = False
+    out: DataFrame,
+    emb: DataFrame,
+    *,
+    dim: int,
+    k: int,
+    exact_k: bool = False,
+    recall_floor: float | None = None,
+    n_recall_sample: int = 32,
 ) -> DataFrame:
     """Per-query contract projection for approximate top-k operators.
 
@@ -321,9 +341,14 @@ def _ann_contract(
     of that (query, neighbor) pair recomputed from the raw vectors, and
     scores non-increasing in rank. Queries with zero candidates (possible
     under sparse LSH buckets) hold every flag vacuously. The driver
-    hash-checks the flags against an all-ones oracle; recall vs brute
-    force stays a pytest property (a recall level is a tuning fact, not
-    an invariant). ``exact_k=True`` (the exhaustive-scan variants, e.g.
+    hash-checks the flags against an all-ones oracle. With
+    ``recall_floor`` set, one more constant column ``recall_floor_met``
+    asserts that aggregate recall@k against the exact brute-force top-k
+    meets the floor — measured over a deterministic md5-ordered sample of
+    at most ``n_recall_sample`` queries, so the verifier's brute-force
+    stage is O(sample·N), never O(N²) (the d07-verifier lesson from round
+    4: a sampled-query cap must be ABSOLUTE, not a fraction of N).
+    ``exact_k=True`` (the exhaustive-scan variants, e.g.
     the quantized path whose shortlist always covers k) tightens the
     count flag to EXACTLY k results per query — zero-result vacuity is
     only correct where candidate generation can legitimately come up
@@ -357,49 +382,92 @@ def _ann_contract(
     )
     one = F.lit(1)
     missing_default = F.lit(0) if exact_k else one
-    return all_queries.join(flags, "query_id", "left").select(
+    result = all_queries.join(flags, "query_id", "left").select(
         "query_id",
         F.coalesce("at_most_k", missing_default).alias("at_most_k"),
         F.coalesce("rescore_parity", one).alias("rescore_parity"),
         F.coalesce("ranks_contiguous", one).alias("ranks_contiguous"),
         F.coalesce("scores_monotone", one).alias("scores_monotone"),
     )
+    if recall_floor is None:
+        return result
+    from mlops_pipelines_featurestore_gcp_spark.functions.text import md5_long
+    from mlops_pipelines_featurestore_gcp_spark.operators.similarity import brute_force_topk
+
+    sampled = (
+        emb.where(F.col("vec_id") % 50 == 0)
+        .select("vec_id", "embedding")
+        .withColumn(
+            "__h",
+            md5_long(F.concat(F.lit("recall|"), F.col("vec_id").cast("string")), bits=60),
+        )
+        .orderBy("__h", "vec_id")
+        .limit(n_recall_sample)
+        .drop("__h")
+    )
+    truth = brute_force_topk(emb, sampled, k=k, dim=dim).select("query_id", "neighbor_id")
+    hit = (
+        truth.join(
+            out.select("query_id", "neighbor_id").withColumn("__hit", one),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+        .agg(
+            (
+                (F.sum(F.coalesce("__hit", F.lit(0))) / F.count("*")) >= F.lit(recall_floor)
+            )
+            .cast("int")
+            .alias("recall_floor_met")
+        )
+    )
+    # one-row flag fanned onto every contract row — a size-1 broadcast,
+    # the same shape the plan audit accepts for f06/t11
+    return result.crossJoin(F.broadcast(hit))
 
 
 @register(
     "s02_ann_lsh_topk",
     # WHICH neighbors LSH admits is bucket-layout-specific; the contract
-    # (_ann_contract) is what the driver hash-checks.
-    oracle=_ANN_CONTRACT_ORACLE,
+    # (_ann_contract) is what the driver hash-checks, now including the
+    # aggregate recall@5 floor over the deterministic 32-query sample
+    # (VERDICT r4 #7). Measured recall at planes=6/tables=16: 0.58 at
+    # sf0.01, 0.54 at sf0.1 — floor 0.35 leaves honest margin. (The r4
+    # registration's planes=8/tables=4 measured 0.08/0.04 against the
+    # clustered embeddings fixture — contract-green but practically
+    # useless; the AND-of-6-bits / OR-of-16-tables setting trades ~N/4
+    # candidates per query for recall that actually clears a floor.)
+    oracle=_ANN_CONTRACT_RECALL_ORACLE,
     tags=("similarity", "llm", "lsh"),
     defer=True,
 )
 def s02_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH approximate top-5 — the n≫memory scale path. Emits
     the per-query contract flags (≤k results, contiguous ranks, exact
-    rescore parity, monotone scores)."""
+    rescore parity, monotone scores) plus the sampled recall floor."""
     emb = load_table(spark, "embeddings", sf_dir)
     queries = emb.where(F.col("vec_id") % 50 == 0)
-    out = similarity.lsh_topk(emb, queries, dim=64, planes=8, k=5)
-    return _ann_contract(out, emb, dim=64, k=5)
+    out = similarity.lsh_topk(emb, queries, dim=64, planes=6, tables=16, k=5)
+    return _ann_contract(out, emb, dim=64, k=5, recall_floor=0.35)
 
 
 @register(
     "s03_ann_ivf_topk",
     # KMeans cell assignment is engine-specific; the per-query contract
-    # flags are the driver-checked surface.
-    oracle=_ANN_CONTRACT_ORACLE,
+    # flags are the driver-checked surface, now including the aggregate
+    # recall@5 floor (VERDICT r4 #7). Measured: 0.86 at sf0.01, 0.575 at
+    # sf0.1 (16 fixed cells coarsen as N grows) — floor 0.4.
+    oracle=_ANN_CONTRACT_RECALL_ORACLE,
     tags=("similarity", "llm", "ivf"),
     defer=True,
 )
 def s03_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-5: k-means coarse cells, n_probe nearest probed;
     emits the per-query contract flags (≤k, contiguous ranks, exact
-    rescore parity, monotone scores)."""
+    rescore parity, monotone scores) plus the sampled recall floor."""
     emb = load_table(spark, "embeddings", sf_dir)
     queries = emb.where(F.col("vec_id") % 50 == 0)
     out = similarity.ivf_topk(emb, queries, n_centroids=16, n_probe=4, k=5)
-    return _ann_contract(out, emb, dim=64, k=5)
+    return _ann_contract(out, emb, dim=64, k=5, recall_floor=0.4)
 
 
 @register(

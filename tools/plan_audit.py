@@ -89,8 +89,10 @@ def main() -> None:
         # crossJoin — size-1-side broadcasts, not data-path cartesians.
         # d07 was REMOVED from this list in round 5: its verifier now
         # rescores emitted pairs via keyed joins, so any cartesian in its
-        # plan is a real regression.
-        expected_cartesian = name.startswith(("s01", "f06", "t11"))
+        # plan is a real regression. s02/s03 joined in round 5: their
+        # recall verifier brute-forces an ABSOLUTE 32-query sample
+        # (broadcast query set, O(32N)) plus a size-1 flag crossJoin.
+        expected_cartesian = name.startswith(("s01", "s02", "s03", "f06", "t11"))
         flag = " (by design: broadcast query set)" if a["cartesian"] and expected_cartesian else (" ⚠" if a["cartesian"] else "")
         print(
             f"| {name} | {a['exchanges']} | {a['bhj']} | {a['smj']} | {a['cartesian']}{flag} "
