@@ -130,3 +130,24 @@ def test_token_vocab_ranks_and_coverage(spark):
     kept = sorted(token_vocab(docs, "doc_id", "text", min_count=2).collect(), key=lambda r: r.rank)
     assert [(r.token, r.rank) for r in kept] == [("a", 1), ("b", 2)]
     assert kept[-1].cum_coverage == round(7 / 9, 6)
+
+
+def test_ann_contract_recall_flag_semantics(spark, sf_small):
+    """recall_floor_met is 1 when the approx output IS the exact top-k
+    (recall 1.0) and 0 when the approx output found none of it — and the
+    sampled brute-force verifier never exceeds its 32-query cap."""
+    from mlops_pipelines_featurestore_gcp_spark.plans.llm_data import _ann_contract
+
+    emb = load_table(spark, "embeddings", sf_small)
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    exact = similarity.brute_force_topk(emb, queries, k=5, dim=64)
+
+    perfect = _ann_contract(exact, emb, dim=64, k=5, recall_floor=0.99)
+    rows = perfect.collect()
+    assert rows and all(r.recall_floor_met == 1 for r in rows)
+
+    # an approximate method that returns a single wrong-ish neighbor set:
+    # keep only rank-1 rows for one query — aggregate recall collapses
+    starved = exact.where((F.col("rnk") == 1) & (F.col("query_id") == 0))
+    bad = _ann_contract(starved, emb, dim=64, k=5, recall_floor=0.9)
+    assert all(r.recall_floor_met == 0 for r in bad.collect())

@@ -230,3 +230,29 @@ def test_palette_index_out_of_range_raises():
             + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
     with pytest.raises(ValueError, match="palette index"):
         png.decode_png(blob)
+
+
+def test_corrupt_idat_raises_valueerror_not_zlib_error():
+    """A valid signature + IHDR with a garbage IDAT must keep the documented
+    ValueError contract (callers catch ValueError to fall back) instead of
+    leaking zlib.error (ADVICE r4)."""
+    import struct
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    blob = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", b"\xde\xad\xbe\xef") + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="IDAT"):
+        png.decode_png(blob)
+
+
+def test_encode_unsupported_channels_raises_valueerror():
+    """channels=2 (gray+alpha) is decodable but not encodable — the writer
+    must say so with the module's ValueError convention, not a KeyError
+    (ADVICE r4)."""
+    with pytest.raises(ValueError, match="channels"):
+        png.encode_png(1, 1, b"\x00\x00", channels=2)
