@@ -28,6 +28,8 @@ from bench import HEADLINE  # noqa: E402  (audit the same set the bench times)
 # Deferred/new queries worth auditing beyond the bench set — same table,
 # separate section so the bench headline set stays stable.
 EXTRA = [
+    "s02_ann_lsh_topk",
+    "s03_ann_ivf_topk",
     "t10_gopher_quality",
     "t11_unigram_lm_score",
     "s06_leakage_safe_split",
