@@ -118,6 +118,71 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def exact_dedup_keep_best(
+    df: DataFrame, id_col: str, text_col: str, quality: Column | None = None
+) -> DataFrame:
+    """Quality-aware exact dedup: one surviving row per duplicate cluster,
+    the HIGHEST-``quality`` copy (ties to the smallest id).
+
+    Real pipelines keep the best copy of a duplicated document, not an
+    arbitrary one — near-identical mirrors differ in truncation, mojibake
+    and boilerplate, and ``exact_dedup``'s min-id canonical throws that
+    signal away. ``quality`` defaults to the composite heuristic score
+    (:func:`..text_analysis.composite_quality`); any row-local Column
+    works (e.g. a model-based score column).
+
+    One shuffle on the md5 fingerprint (fp + quality are map-side
+    projections; the rank is a window over fp — per-cluster row counts
+    are the duplicate multiplicities, so skew is bounded by the most-
+    duplicated document, same profile as the groupBy in
+    :func:`exact_dedup`).
+
+    Returns (id, fp, n_docs, quality) for kept docs only; unique docs
+    pass through with ``n_docs = 1``.
+    """
+    from mlops_pipelines_featurestore_gcp_spark.operators.text_analysis import composite_quality
+
+    if quality is None:
+        quality = composite_quality(F.col(text_col))
+    scored = _spread(df).select(
+        F.col(id_col),
+        F.md5(normalize(F.col(text_col))).alias("fp"),
+        quality.alias("quality"),
+    )
+    wf = Window.partitionBy("fp")
+    ranked = scored.select(
+        id_col,
+        "fp",
+        "quality",
+        F.count("*").over(wf).cast("long").alias("n_docs"),
+        F.row_number()
+        .over(wf.orderBy(F.col("quality").desc(), F.col(id_col).asc()))
+        .alias("__rn"),
+    )
+    return ranked.where(F.col("__rn") == 1).select(id_col, "fp", "n_docs", "quality")
+
+
+def soft_dedup_weights(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """CCNet-style soft dedup: every doc gets weight 1/cluster_size over
+    its exact-duplicate cluster instead of being dropped.
+
+    Down-weighting preserves distributional mass for loss re-weighting or
+    weighted sampling while still neutralizing duplication (a doc repeated
+    1000× contributes one document's worth of expected tokens). One
+    shuffle on the fingerprint; the weight is a 1/int double division —
+    bit-exact across engines.
+
+    Returns (id, cluster_size, weight).
+    """
+    fp = fingerprint(_spread(df), id_col, text_col)
+    n = F.count("*").over(Window.partitionBy("fp")).cast("long")
+    return fp.select(
+        F.col(id_col),
+        n.alias("cluster_size"),
+        (F.lit(1.0) / n).alias("weight"),
+    )
+
+
 def minhash_doc_hashes(
     df: DataFrame, id_col: str, text_col: str, *, k: int = 5, num_hashes: int = 16
 ) -> DataFrame:

@@ -94,6 +94,27 @@ def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def composite_quality(col: Column) -> Column:
+    """The composite heuristic quality score as a single row-local codegen
+    expression (length saturation + stopword presence + lexical diversity
+    + punctuation density), reusable anywhere a per-doc quality ordering
+    is needed (``quality_score``, quality-aware dedup canonical
+    selection). round6-quantized so the ordering replays bit-equal in
+    SQL oracles."""
+    toks = tokens(col)
+    n_tok = F.size(toks)
+    n_char = F.length(col)
+    n_punct = F.size(F.regexp_extract_all(col, F.lit(PUNCT_RE), 0))
+    n_stop = stopword_hits(toks, "en")
+    uniq_ratio = F.size(F.array_distinct(toks)) / F.greatest(n_tok, F.lit(1))
+    stop_ratio = n_stop / F.greatest(n_tok, F.lit(1))
+    punct_ratio = n_punct / F.greatest(n_char, F.lit(1))
+    length_term = F.least(n_tok, F.lit(100)) / F.lit(100.0)
+    return round6(
+        length_term * 0.4 + stop_ratio * 0.2 + uniq_ratio * 0.3 + (1.0 - punct_ratio) * 0.1
+    )
+
+
 def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Heuristic document-quality features + a composite score.
 
@@ -110,10 +131,7 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     uniq_ratio = F.size(F.array_distinct(toks)) / F.greatest(n_tok, F.lit(1))
     stop_ratio = n_stop / F.greatest(n_tok, F.lit(1))
     punct_ratio = n_punct / F.greatest(n_char, F.lit(1))
-    length_term = F.least(n_tok, F.lit(100)) / F.lit(100.0)
-    score = round6(
-        length_term * 0.4 + stop_ratio * 0.2 + uniq_ratio * 0.3 + (1.0 - punct_ratio) * 0.1
-    )
+    score = composite_quality(F.col(text_col))
     return df.select(
         F.col(id_col),
         n_tok.cast("long").alias("n_tokens"),

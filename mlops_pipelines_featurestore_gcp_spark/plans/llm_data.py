@@ -73,6 +73,69 @@ def d01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(docs, "doc_id", "text")
 
 
+# The composite heuristic quality score (operators/text_analysis.py
+# composite_quality) replayed in DuckDB — identical fragments to the t01
+# oracle, round6-quantized so the ORDERING inside a duplicate cluster is
+# bit-equal across engines.
+_QUALITY_SQL = f"""
+    floor((least(len({{t}}), 100) / 100.0 * 0.4
+           + len(list_filter({{t}}, x -> list_contains(['the','a','of','to','and','in','is','it','that','for'], x)))
+             / greatest(len({{t}}), 1) * 0.2
+           + len(list_distinct({{t}})) / greatest(len({{t}}), 1) * 0.3
+           + (1.0 - len(regexp_extract_all(text, '[.,!?;:]')) / greatest(len(text), 1)) * 0.1
+          ) * 1000000.0 + 0.5) / 1000000.0
+"""
+
+
+@register(
+    "d08_keep_best_exact",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, md5({_NORM}) AS fp,
+             {_QUALITY_SQL.format(t=_TOKS.format(col='text'))} AS quality
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, fp, quality,
+             CAST(COUNT(*) OVER (PARTITION BY fp) AS BIGINT) AS n_docs,
+             ROW_NUMBER() OVER (PARTITION BY fp ORDER BY quality DESC, doc_id ASC) AS rn
+      FROM scored
+    )
+    SELECT doc_id, fp, n_docs, quality FROM ranked WHERE rn = 1
+    """,
+    tags=("dedup", "llm", "quality"),
+)
+def d08_keep_best_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware exact dedup (operators/dedup.py exact_dedup_keep_best):
+    each duplicate cluster keeps its HIGHEST-composite-quality copy (ties
+    to smallest id) instead of d01's arbitrary min-id canonical — the
+    keep-best policy real pipelines apply when mirrors differ in
+    truncation or boilerplate. One fingerprint shuffle; quality is a
+    map-side codegen expression."""
+    docs = load_table(spark, "documents", sf_dir)
+    return dedup.exact_dedup_keep_best(docs, "doc_id", "text")
+
+
+@register(
+    "t17_soft_dedup_weights",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(COUNT(*) OVER (PARTITION BY md5({_NORM})) AS BIGINT) AS cluster_size,
+           1.0 / COUNT(*) OVER (PARTITION BY md5({_NORM})) AS weight
+    FROM documents
+    """,
+    tags=("dedup", "llm", "sampling"),
+)
+def t17_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style soft dedup (operators/dedup.py soft_dedup_weights):
+    weight 1/cluster_size per doc over exact-duplicate clusters — keeps
+    every row for loss re-weighting / weighted sampling while a repeated
+    doc contributes one document's expected mass. One fingerprint
+    shuffle; the 1/int division is bit-exact across engines."""
+    docs = load_table(spark, "documents", sf_dir)
+    return dedup.soft_dedup_weights(docs, "doc_id", "text")
+
+
 @register(
     "d02_minhash_lsh_neardup",
     oracle=f"""

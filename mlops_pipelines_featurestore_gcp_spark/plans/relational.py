@@ -1126,6 +1126,7 @@ def q33_binned_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM s0 LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
     """,
     tags=("events", "funnel", "sequence"),
+    defer=True,
 )
 def q34_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed funnel (view → click → purchase within 24 h of the anchor):
@@ -1173,6 +1174,7 @@ def q34_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM sess GROUP BY user_id, session_seq
     """,
     tags=("events", "session", "window"),
+    defer=True,
 )
 def q35_sessionize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch sessionization (30-min inactivity gap) + per-session rollup

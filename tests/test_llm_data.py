@@ -151,3 +151,29 @@ def test_ann_contract_recall_flag_semantics(spark, sf_small):
     starved = exact.where((F.col("rnk") == 1) & (F.col("query_id") == 0))
     bad = _ann_contract(starved, emb, dim=64, k=5, recall_floor=0.9)
     assert all(r.recall_floor_met == 0 for r in bad.collect())
+
+
+def test_keep_best_exact_prefers_quality_over_id(spark):
+    """In a duplicate cluster the kept row is the best-quality one even
+    when it has the LARGER id (min-id would pick the other)."""
+    good = ("the quick brown fox jumps over the lazy dog and runs far away. "
+            "it is a fine day for running in the sun.")
+    bad = "aaa bbb aaa bbb aaa bbb!!!???;;;:::"
+    rows = [(1, bad), (2, bad), (10, good), (20, good), (30, "unique text here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = {r.doc_id: r for r in dedup.exact_dedup_keep_best(df, "doc_id", "text").collect()}
+    assert set(kept) == {1, 10, 30}          # ties -> min id; unique passes
+    assert kept[10].n_docs == 2 and kept[1].n_docs == 2 and kept[30].n_docs == 1
+    assert kept[10].quality > kept[1].quality
+
+
+def test_soft_dedup_weights_sum_to_cluster_mass(spark):
+    rows = [(i, "dup text") for i in range(4)] + [(99, "solo")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.soft_dedup_weights(df, "doc_id", "text").collect()
+    by_id = {r.doc_id: r for r in out}
+    assert len(out) == 5                      # nothing dropped
+    assert all(by_id[i].cluster_size == 4 and abs(by_id[i].weight - 0.25) < 1e-12 for i in range(4))
+    assert by_id[99].cluster_size == 1 and by_id[99].weight == 1.0
+    # total weight == number of distinct documents
+    assert abs(sum(r.weight for r in out) - 2.0) < 1e-12

@@ -28,6 +28,8 @@ from bench import HEADLINE  # noqa: E402  (audit the same set the bench times)
 # Deferred/new queries worth auditing beyond the bench set — same table,
 # separate section so the bench headline set stays stable.
 EXTRA = [
+    "d08_keep_best_exact",
+    "t17_soft_dedup_weights",
     "s02_ann_lsh_topk",
     "s03_ann_ivf_topk",
     "t10_gopher_quality",
