@@ -19,7 +19,7 @@ aggregate.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -73,6 +73,33 @@ def token_budget_sample(
         return profiled
     p = token_budget / float(total)
     return profiled.where(uniform_hash(id_col, salt) < p)
+
+
+def per_group_cap(
+    df: DataFrame, id_col: str, group_col: str, cap: int, *, salt: str = "cap"
+) -> DataFrame:
+    """At most ``cap`` rows per group, chosen deterministically.
+
+    The C4/Dolma "limit pages per domain" step: without an absolute cap a
+    single mega-domain dominates the corpus no matter what fractional
+    rates say. Rows within a group are ranked by the md5-uniform hash of
+    (salt, id) — a pure function, so the SAME rows survive under any
+    partitioning or engine, and the oracle replays the draw exactly (ties
+    broken by id; md5 ties at 8 hex digits are ~2⁻³² and the id breaks
+    them deterministically anyway).
+
+    One shuffle on ``group_col``; the rank window's per-group row count is
+    the group size, so the skew profile is the biggest group — acceptable
+    because WindowExec buffers spill, but for pathological single-domain
+    corpora prefer pre-filtering with :func:`deterministic_sample` to
+    knock the giant down before the exact cap.
+    """
+    w = Window.partitionBy(group_col).orderBy(uniform_hash(id_col, salt), F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= cap)
+        .drop("__rn")
+    )
 
 
 def mix_sources(

@@ -52,6 +52,15 @@ def _md5_long_sql(expr: str, nhex: int = 8) -> str:
     return f"CAST(concat('0x', substr(md5({expr}), 1, {nhex})) AS BIGINT)"
 
 
+# md5-uniform draw replay (operators/sampling.py uniform_hash) — defined
+# here (before the dedup section) because s07's oracle f-string needs it
+# at registration time; s04's _UHASH lower down is the same expression.
+_UHASH_SRC = (
+    "CAST(concat('0x', substr(md5(concat('{salt}|', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT)"
+    " / 4294967296.0"
+)
+
+
 # ---------------------------------------------------------------------------
 # Dedup
 # ---------------------------------------------------------------------------
@@ -114,6 +123,35 @@ def d08_keep_best_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side codegen expression."""
     docs = load_table(spark, "documents", sf_dir)
     return dedup.exact_dedup_keep_best(docs, "doc_id", "text")
+
+
+@register(
+    "s07_per_source_cap",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY {_UHASH_SRC.format(salt='srccap')}, doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT doc_id, source FROM ranked WHERE rn <= 10
+    """,
+    tags=("llm", "sampling", "cap"),
+)
+def s07_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Dolma-style per-domain page cap (operators/sampling.py
+    per_group_cap): at most 10 docs survive per source, ranked by the
+    md5-uniform (salt, id) hash so the SAME rows survive under any
+    partitioning — the absolute-cap complement to the fractional
+    stratified rates in s04. One shuffle on source."""
+    from mlops_pipelines_featurestore_gcp_spark.operators import sampling
+
+    docs = load_table(spark, "documents", sf_dir)
+    return sampling.per_group_cap(docs, "doc_id", "source", 10, salt="srccap").select(
+        "doc_id", "source"
+    )
 
 
 @register(
@@ -1162,10 +1200,9 @@ def c02_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_diff(docs, v2, "doc_id", "text")
 
 
-_U32 = 4294967296.0
-_UHASH = (
-    "CAST(concat('0x', substr(md5(concat('{salt}|', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) / " + str(_U32)
-)
+# same md5-uniform replay as _UHASH_SRC (defined near the top for s07);
+# kept as an alias so the s04/s06 oracles below read unchanged.
+_UHASH = _UHASH_SRC
 
 
 @register(

@@ -118,3 +118,21 @@ def test_importance_sample_weight_extremes_and_determinism(spark):
     assert 60 <= mid <= 140  # ~p=0.5 of 200, generous band
     again = sorted(r.doc_id for r in importance_sample(df, "doc_id", "w", scale=1.0).collect())
     assert ids == again  # reshuffle-proof determinism
+
+
+def test_per_group_cap_exact_and_deterministic(spark):
+    from mlops_pipelines_featurestore_gcp_spark.operators.sampling import per_group_cap
+
+    rows = [(i, f"g{i % 3}") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    capped = per_group_cap(df, "doc_id", "source", 4)
+    out = capped.collect()
+    from collections import Counter
+    sizes = Counter(r.source for r in out)
+    assert all(v == 4 for v in sizes.values()) and len(sizes) == 3
+    # deterministic: same survivors under a different partitioning
+    again = per_group_cap(df.repartition(7), "doc_id", "source", 4).collect()
+    assert {r.doc_id for r in again} == {r.doc_id for r in out}
+    # groups under the cap pass through whole
+    small = per_group_cap(df.where(F.col("doc_id") < 2), "doc_id", "source", 4)
+    assert small.count() == 2
