@@ -114,3 +114,42 @@ def dedup_keep_set(pairs: DataFrame, all_ids: DataFrame, id_col: str, *, src: st
     graph_nodes = comp.select(F.col("node").alias(id_col))
     untouched = all_ids.select(id_col).join(graph_nodes, id_col, "left_anti")
     return untouched.union(keep_in_graph)
+
+
+def dedup_keep_best_set(
+    pairs: DataFrame,
+    quality_df: DataFrame,
+    id_col: str,
+    quality_col: str,
+    *,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Ids to KEEP after cluster dedup, canonical = HIGHEST quality.
+
+    The near-dup counterpart of ``exact_dedup_keep_best``: within each
+    connected component of the (MinHash / SimHash / semantic) pair graph,
+    keep the member with the largest ``quality_col`` value (ties to the
+    smallest id) instead of the arbitrary min-id member. ``quality_df``
+    is any (id, quality) frame — the composite heuristic, a model score,
+    a length prior.
+
+    Plan: label propagation (O(log diameter) rounds), one keyed join of
+    the node table against ``quality_df``, one max_by aggregate per
+    component. Docs outside the pair graph pass through untouched.
+
+    Returns (id,) — same contract as :func:`dedup_keep_set`.
+    """
+    comp = connected_components(pairs, src=src, dst=dst)
+    scored = comp.join(
+        quality_df.select(F.col(id_col).alias("node"), F.col(quality_col).alias("__q")),
+        "node",
+    )
+    # argmax via max_by over a (quality, -id) struct: one partial-combined
+    # aggregate, no per-component window sort
+    best = scored.groupBy("component").agg(
+        F.max_by("node", F.struct(F.col("__q"), -F.col("node"))).alias(id_col)
+    ).select(id_col)
+    graph_nodes = comp.select(F.col("node").alias(id_col))
+    untouched = quality_df.select(id_col).join(graph_nodes, id_col, "left_anti")
+    return untouched.union(best)

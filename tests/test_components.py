@@ -58,3 +58,17 @@ def test_long_chain_converges_via_pointer_doubling(spark):
     got = {r.component for r in comp.collect()}
     assert got == {1}
     assert comp.count() == 300
+
+
+def test_dedup_keep_best_set_picks_quality_canonical(spark):
+    from mlops_pipelines_featurestore_gcp_spark.operators.components import dedup_keep_best_set
+
+    # two clusters: {1,2,3} chained, {10,11}; 20 is untouched
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long")
+    quality = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.5), (10, 0.4), (11, 0.4), (20, 0.1)],
+        "doc_id long, quality double",
+    )
+    keep = {r.doc_id for r in dedup_keep_best_set(pairs, quality, "doc_id", "quality").collect()}
+    # cluster one keeps its best (2); cluster two ties -> smaller id (10)
+    assert keep == {2, 10, 20}
