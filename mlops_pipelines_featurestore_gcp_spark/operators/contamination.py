@@ -27,9 +27,14 @@ for a distributed Bloom filter: fixed ``m``-bit memory regardless of gram
 count, no false negatives, tunable false-positive rate — the standard
 two-tier recipe (bloom prefilter, exact verify of the survivors).
 
-Grams are joined as strings here so the DuckDB oracle is bit-identical; a
-production run would hash grams to int64 first (``functions.text.md5_long``)
-to cut probe-side width — same plan shape, smaller rows.
+Grams are hashed to 60-bit md5 longs before the distinct/join (round 5):
+an 8-byte key instead of a ~40-byte 5-token string shrinks the broadcast
+table, the probe hash table, AND the corpus side's one wide shuffle ~5×.
+A 60-bit collision would need ~2³⁰ distinct grams to reach even-odds
+(birthday bound) and merely nudges one doc's hit count; the DuckDB oracle
+replays the identical md5 fold so differential parity is exact either
+way. ``hash_grams=False`` restores string keys for debugging overlap
+content.
 """
 
 from __future__ import annotations
@@ -38,6 +43,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from mlops_pipelines_featurestore_gcp_spark.functions.canonical import round6
+from mlops_pipelines_featurestore_gcp_spark.functions.text import md5_long
 
 from mlops_pipelines_featurestore_gcp_spark.operators.dedup import gram_rows as _grams
 
@@ -50,6 +56,7 @@ def contamination_check(
     *,
     n: int = 5,
     bench_text_col: str | None = None,
+    hash_grams: bool = True,
 ) -> DataFrame:
     """Flag corpus documents sharing word ``n``-grams with the benchmark.
 
@@ -60,9 +67,10 @@ def contamination_check(
     (rounded to 6 digits). Callers decide the drop threshold — the operator
     reports evidence, it doesn't destroy rows.
     """
+    key = md5_long(F.col("gram"), bits=60) if hash_grams else F.col("gram")
     bench_grams = (
         _grams(benchmark, id_col, bench_text_col or text_col, n)
-        .select("gram")
+        .select(key.alias("__g"))
         .distinct()
         .withColumn("__hit", F.lit(1))
     )
@@ -73,9 +81,9 @@ def contamination_check(
     # combine also shrinks the only wide shuffle.
     per_doc = (
         _grams(corpus, id_col, text_col, n)
-        .select(id_col, "gram")
+        .select(id_col, key.alias("__g"))
         .distinct()
-        .join(F.broadcast(bench_grams), "gram", "left")
+        .join(F.broadcast(bench_grams), "__g", "left")
     )
     return per_doc.groupBy(id_col).agg(
         F.count("*").alias("n_grams"),

@@ -867,21 +867,23 @@ def t05_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, {_TOKS.format(col='nt')} AS t
       FROM (SELECT doc_id, {_NORM} AS nt FROM documents)
     ),
+    -- grams are folded to 60-bit md5 longs BEFORE the distinct, replaying
+    -- the operator's hash_grams path (8-byte keys shrink the broadcast +
+    -- wide shuffle ~5x; the identical fold keeps parity exact)
     grams AS (
-      SELECT doc_id,
-             unnest(list_distinct([array_to_string(t[i : i + 4], ' ')
-                                   FOR i IN range(1, greatest(len(t) - 3, 1))])) AS gram
-      FROM toks
+      SELECT DISTINCT doc_id,
+             {_md5_long_sql("array_to_string(t[i : i + 4], ' ')", 15)} AS g
+      FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 3, 1))) AS i FROM toks)
     ),
-    bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 20 = 0),
-    cand AS (SELECT doc_id, gram FROM grams WHERE doc_id % 20 <> 0)
+    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 0),
+    cand AS (SELECT doc_id, g FROM grams WHERE doc_id % 20 <> 0)
     SELECT c.doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_grams,
-           CAST(COUNT(b.gram) AS BIGINT) AS n_hits,
-           floor(COUNT(b.gram) / COUNT(*) * 1000000.0 + 0.5) / 1000000.0 AS contamination_frac
-    FROM cand c LEFT JOIN bench b ON c.gram = b.gram
+           CAST(COUNT(b.g) AS BIGINT) AS n_hits,
+           floor(COUNT(b.g) / COUNT(*) * 1000000.0 + 0.5) / 1000000.0 AS contamination_frac
+    FROM cand c LEFT JOIN bench b ON c.g = b.g
     GROUP BY c.doc_id
-    HAVING COUNT(b.gram) > 0
+    HAVING COUNT(b.g) > 0
     """,
     tags=("text", "llm", "contamination", "dedup"),
     defer=True,
@@ -1755,7 +1757,12 @@ def t16_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bloom = build_gram_bloom(bench, "doc_id", "bench_text", n=5)
     maybe = bloom_contamination(docs, bloom, "doc_id", "text", n=5)
-    exact = contamination_check(docs, bench, "doc_id", "text", n=5, bench_text_col="bench_text").select(
+    # hash_grams=False: the bloom side counts STRING grams, so the exact
+    # verify must too — a (vanishingly unlikely) 60-bit collision would
+    # otherwise break the denominators_match flag rather than the data.
+    exact = contamination_check(
+        docs, bench, "doc_id", "text", n=5, bench_text_col="bench_text", hash_grams=False
+    ).select(
         "doc_id", F.col("n_grams").alias("__xg"), F.col("n_hits").alias("__xh")
     )
     return maybe.join(exact, "doc_id").select(
