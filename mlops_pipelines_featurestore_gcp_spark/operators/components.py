@@ -24,7 +24,7 @@ data-dependent fixed point).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -118,8 +118,9 @@ def dedup_keep_set(pairs: DataFrame, all_ids: DataFrame, id_col: str, *, src: st
 
 def dedup_keep_best_set(
     pairs: DataFrame,
-    quality_df: DataFrame,
+    all_ids: DataFrame,
     id_col: str,
+    quality_df: DataFrame,
     quality_col: str,
     *,
     src: str = "doc_a",
@@ -132,11 +133,17 @@ def dedup_keep_best_set(
     keep the member with the largest ``quality_col`` value (ties to the
     smallest id) instead of the arbitrary min-id member. ``quality_df``
     is any (id, quality) frame — the composite heuristic, a model score,
-    a length prior.
+    a length prior. ``all_ids`` is the explicit universe, exactly as in
+    :func:`dedup_keep_set` — every id outside the pair graph passes
+    through, and a cluster ALWAYS keeps one member even if some (or all)
+    of its nodes are missing from ``quality_df`` (missing quality sorts
+    last, review r5: an inner join here silently deleted such docs).
 
-    Plan: label propagation (O(log diameter) rounds), one keyed join of
-    the node table against ``quality_df``, one max_by aggregate per
-    component. Docs outside the pair graph pass through untouched.
+    Plan: label propagation (O(log diameter) rounds), one left join of
+    the node table against ``quality_df``, one rank window per component
+    (ordering by (quality desc nulls last, id) works for ANY orderable
+    id type — a max_by struct with a negated id would silently
+    null-cast string ids).
 
     Returns (id,) — same contract as :func:`dedup_keep_set`.
     """
@@ -144,12 +151,16 @@ def dedup_keep_best_set(
     scored = comp.join(
         quality_df.select(F.col(id_col).alias("node"), F.col(quality_col).alias("__q")),
         "node",
+        "left",
     )
-    # argmax via max_by over a (quality, -id) struct: one partial-combined
-    # aggregate, no per-component window sort
-    best = scored.groupBy("component").agg(
-        F.max_by("node", F.struct(F.col("__q"), -F.col("node"))).alias(id_col)
-    ).select(id_col)
+    w = Window.partitionBy("component").orderBy(
+        F.col("__q").desc_nulls_last(), F.col("node").asc()
+    )
+    best = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(F.col("node").alias(id_col))
+    )
     graph_nodes = comp.select(F.col("node").alias(id_col))
-    untouched = quality_df.select(id_col).join(graph_nodes, id_col, "left_anti")
+    untouched = all_ids.select(id_col).join(graph_nodes, id_col, "left_anti")
     return untouched.union(best)

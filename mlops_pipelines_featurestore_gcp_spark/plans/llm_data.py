@@ -433,6 +433,7 @@ def _ann_contract(
     exact_k: bool = False,
     recall_floor: float | None = None,
     n_recall_sample: int = 32,
+    queries: DataFrame | None = None,
 ) -> DataFrame:
     """Per-query contract projection for approximate top-k operators.
 
@@ -478,9 +479,14 @@ def _ann_contract(
         (F.max("rnk") == F.count("*")).cast("int").alias("ranks_contiguous"),
         F.min("mono").alias("scores_monotone"),
     )
-    all_queries = emb.where(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("query_id")
-    )
+    # ONE definition of the query population: the caller's own query frame
+    # (so the contract rows, the vacuity defaults, AND the recall sample
+    # can never drift from what the operator actually ran — review r5);
+    # the % 50 fallback mirrors the registered callers and the oracle's
+    # WHERE clause.
+    if queries is None:
+        queries = emb.where(F.col("vec_id") % 50 == 0)
+    all_queries = queries.select(F.col("vec_id").alias("query_id"))
     one = F.lit(1)
     missing_default = F.lit(0) if exact_k else one
     result = all_queries.join(flags, "query_id", "left").select(
@@ -496,8 +502,7 @@ def _ann_contract(
     from mlops_pipelines_featurestore_gcp_spark.operators.similarity import brute_force_topk
 
     sampled = (
-        emb.where(F.col("vec_id") % 50 == 0)
-        .select("vec_id", "embedding")
+        queries.select("vec_id", "embedding")
         .withColumn(
             "__h",
             md5_long(F.concat(F.lit("recall|"), F.col("vec_id").cast("string")), bits=60),
@@ -548,7 +553,7 @@ def s02_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     queries = emb.where(F.col("vec_id") % 50 == 0)
     out = similarity.lsh_topk(emb, queries, dim=64, planes=6, tables=16, k=5)
-    return _ann_contract(out, emb, dim=64, k=5, recall_floor=0.35)
+    return _ann_contract(out, emb, dim=64, k=5, recall_floor=0.35, queries=queries)
 
 
 @register(
@@ -568,7 +573,7 @@ def s03_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     queries = emb.where(F.col("vec_id") % 50 == 0)
     out = similarity.ivf_topk(emb, queries, n_centroids=16, n_probe=4, k=5)
-    return _ann_contract(out, emb, dim=64, k=5, recall_floor=0.4)
+    return _ann_contract(out, emb, dim=64, k=5, recall_floor=0.4, queries=queries)
 
 
 @register(
@@ -659,7 +664,7 @@ def s05_ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") % 50 == 0)
     cq = similarity.quantize_embeddings(emb, dim=dim)
     out = similarity.quantized_topk(cq, queries, emb, k=5, shortlist=25, dim=dim)
-    return _ann_contract(out, emb, dim=dim, k=5, exact_k=True)
+    return _ann_contract(out, emb, dim=dim, k=5, exact_k=True, queries=queries)
 
 
 # ---------------------------------------------------------------------------

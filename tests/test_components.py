@@ -69,6 +69,44 @@ def test_dedup_keep_best_set_picks_quality_canonical(spark):
         [(1, 0.2), (2, 0.9), (3, 0.5), (10, 0.4), (11, 0.4), (20, 0.1)],
         "doc_id long, quality double",
     )
-    keep = {r.doc_id for r in dedup_keep_best_set(pairs, quality, "doc_id", "quality").collect()}
+    all_ids = quality.select("doc_id")
+    keep = {
+        r.doc_id
+        for r in dedup_keep_best_set(pairs, all_ids, "doc_id", quality, "quality").collect()
+    }
     # cluster one keeps its best (2); cluster two ties -> smaller id (10)
     assert keep == {2, 10, 20}
+
+
+def test_dedup_keep_best_set_survives_missing_quality(spark):
+    """A cluster member absent from quality_df must not vanish — missing
+    quality sorts last, and a cluster whose EVERY member lacks quality
+    still keeps exactly one (review r5: the inner join dropped them)."""
+    from mlops_pipelines_featurestore_gcp_spark.operators.components import dedup_keep_best_set
+
+    pairs = spark.createDataFrame([(1, 2), (10, 11)], "doc_a long, doc_b long")
+    all_ids = spark.createDataFrame([(i,) for i in (1, 2, 10, 11, 20)], "doc_id long")
+    quality = spark.createDataFrame([(1, 0.3), (20, 0.5)], "doc_id long, quality double")
+    keep = {
+        r.doc_id
+        for r in dedup_keep_best_set(pairs, all_ids, "doc_id", quality, "quality").collect()
+    }
+    # {1,2}: only 1 has quality -> 1 wins; {10,11}: none scored -> min id 10
+    assert keep == {1, 10, 20}
+
+
+def test_dedup_keep_best_set_string_ids(spark):
+    """String ids must tie-break to the lexicographically smallest id —
+    the max_by(-id) formulation silently null-cast them (review r5)."""
+    from mlops_pipelines_featurestore_gcp_spark.operators.components import dedup_keep_best_set
+
+    pairs = spark.createDataFrame([("b", "c"), ("c", "a")], "doc_a string, doc_b string")
+    all_ids = spark.createDataFrame([("a",), ("b",), ("c",), ("z",)], "doc_id string")
+    quality = spark.createDataFrame(
+        [("a", 0.5), ("b", 0.5), ("c", 0.5), ("z", 0.1)], "doc_id string, quality double"
+    )
+    keep = {
+        r.doc_id
+        for r in dedup_keep_best_set(pairs, all_ids, "doc_id", quality, "quality").collect()
+    }
+    assert keep == {"a", "z"}

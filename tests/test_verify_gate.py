@@ -96,3 +96,29 @@ def test_rotation_set_defer_survives_trailing_comment(vl, tmp_path, monkeypatch)
     assert "defer=True" in edited
     # defer must precede the trailing comment, attached to the real args
     assert edited.index("defer=True") < edited.index("# trailing comment")
+
+
+def test_rotation_set_defer_survives_inline_comment(tmp_path, monkeypatch):
+    """An INLINE comment on the last argument line must get the comma on
+    the code part, before the comment (review r5: the r4 fix only
+    handled full-line comments)."""
+    rw = _load("rotate_window")
+    src = (
+        "from mlops_pipelines_featurestore_gcp_spark.plans.registry import register\n"
+        "\n"
+        "@register(\n"
+        '    "zz_fake_inline",\n'
+        '    oracle="SELECT 1 AS one",\n'
+        '    tags=("fake",)  # inline note with a "#quoted" hash\n'
+        ")\n"
+        "def zz_fake_inline(spark, sf_dir):\n"
+        "    return None\n"
+    )
+    f = tmp_path / "fake_plans.py"
+    f.write_text(src)
+    monkeypatch.setattr(rw, "PLANS", tmp_path)
+    assert rw.set_defer("zz_fake_inline", True) is True
+    edited = f.read_text()
+    compile(edited, str(f), "exec")
+    assert "defer=True" in edited
+    assert 'tags=("fake",),' in edited  # comma landed on the code, not the comment

@@ -58,6 +58,27 @@ def _find_register_block(src: str, name: str) -> tuple[int, int] | None:
         j += 1
 
 
+def _split_inline_comment(line: str) -> tuple[str, str]:
+    """Split a source line into (code, inline-comment) at the first '#'
+    outside a string literal. Good enough for @register argument lines
+    (no triple-quoted spans start AND end mid-line here)."""
+    quote = None
+    i = 0
+    while i < len(line):
+        c = line[i]
+        if quote:
+            if c == "\\":
+                i += 1
+            elif c == quote:
+                quote = None
+        elif c in "'\"":
+            quote = c
+        elif c == "#":
+            return line[:i].rstrip(), line[i:]
+        i += 1
+    return line, ""
+
+
 def set_defer(name: str, defer: bool) -> bool:
     for f in PLANS.glob("*.py"):
         src = f.read_text()
@@ -72,14 +93,18 @@ def set_defer(name: str, defer: bool) -> bool:
         if defer:
             # Insert after the LAST real argument line, not after whatever
             # precedes ')' — a trailing comment line there would swallow
-            # the comma and orphan defer=True (ADVICE r4).
+            # the comma and orphan defer=True (ADVICE r4). An INLINE
+            # comment on that line gets the comma placed before it, on
+            # the code part (review r5).
             lines = block[:-1].split("\n")
             idx = max(
                 i for i, ln in enumerate(lines)
                 if ln.strip() and not ln.strip().startswith("#")
             )
-            if not lines[idx].rstrip().endswith(","):
-                lines[idx] = lines[idx].rstrip() + ","
+            code, comment = _split_inline_comment(lines[idx])
+            if not code.rstrip().endswith(","):
+                code = code.rstrip() + ","
+            lines[idx] = code + (("  " + comment) if comment else "")
             lines.insert(idx + 1, "    defer=True,")
             nb = "\n".join(lines).rstrip() + "\n)"
         else:
