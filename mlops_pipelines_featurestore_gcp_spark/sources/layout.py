@@ -120,6 +120,59 @@ def save_zordered(
     )
 
 
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    *,
+    target_bytes: int = 128 << 20,
+    cluster_by: str | list[str] | None = None,
+) -> dict:
+    """Bin-pack a directory of small parquet files into ~``target_bytes``
+    files — the standard fix for the small-file problem streaming appends
+    and per-batch sinks accumulate (every file costs a footer read, a
+    task, and a namenode/liststatus entry; 10k×1 MB files scan an order
+    of magnitude slower than 80×128 MB).
+
+    File sizes come from the Hadoop FileSystem API, so any Hadoop-
+    compatible store works (local, HDFS, object stores). The output file
+    count is ceil(total_bytes/target_bytes); if the directory already has
+    that few files the rewrite is SKIPPED (idempotent, safe in a cron
+    loop). ``cluster_by`` re-clusters while compacting
+    (:func:`save_clustered` — compaction is the natural time to restore
+    layout); otherwise a plain ``repartition`` round-robins rows evenly.
+
+    The frame is eagerly ``localCheckpoint``-ed before the dynamic
+    self-overwrite — the same crash-safety barrier as the rollup/upsert
+    stores (a task retry after the overwrite starts must not re-read the
+    half-deleted input). At 100 TB run this per PARTITION DIRECTORY
+    (date=…/), not on the table root: each invocation's checkpoint must
+    fit cluster storage, and partition-scoped runs parallelize trivially.
+
+    Returns {files_before, files_after, bytes, skipped}.
+    """
+    import math
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    it = fs.listFiles(hpath, True)
+    n_files, total = 0, 0
+    while it.hasNext():
+        st = it.next()
+        if st.getPath().getName().endswith(".parquet"):
+            n_files += 1
+            total += st.getLen()
+    n_out = max(1, math.ceil(total / target_bytes))
+    if n_files <= n_out:
+        return {"files_before": n_files, "files_after": n_files, "bytes": total, "skipped": True}
+    df = spark.read.parquet(path).localCheckpoint(eager=True)
+    if cluster_by is not None:
+        save_clustered(df, path, cluster_by=cluster_by, num_files=n_out)
+    else:
+        df.repartition(n_out).write.mode("overwrite").parquet(path)
+    return {"files_before": n_files, "files_after": n_out, "bytes": total, "skipped": False}
+
+
 def read_clustered(spark: SparkSession, path: str) -> DataFrame:
     """Plain parquet read; range predicates on the cluster key are pushed
     to the scan (``PushedFilters``) where footer stats prune row groups."""

@@ -94,3 +94,35 @@ def test_zorder_keeps_both_dimensions_narrow(spark, tmp_path):
     # z-order: BOTH dimensions stay well below the full span per file
     assert mean_width(zpath, "x") < side * 0.6
     assert mean_width(zpath, "y") < side * 0.6
+
+
+def test_compact_table_bin_packs_and_preserves_rows(spark, tmp_path):
+    from mlops_pipelines_featurestore_gcp_spark.sources.layout import compact_table
+
+    path = str(tmp_path / "frag")
+    df = spark.range(0, 10_000).selectExpr("id", "id % 7 AS k")
+    df.repartition(40).write.parquet(path)  # 40 tiny files
+    before = {r.id for r in spark.read.parquet(path).collect()}
+    stats = compact_table(spark, path, target_bytes=1 << 30)  # everything fits one file
+    assert stats["files_before"] == 40 and stats["files_after"] == 1 and not stats["skipped"]
+    after_df = spark.read.parquet(path)
+    assert {r.id for r in after_df.collect()} == before
+    # idempotent: second run is a no-op
+    again = compact_table(spark, path, target_bytes=1 << 30)
+    assert again["skipped"] and again["files_before"] == 1
+
+
+def test_compact_table_can_recluster(spark, tmp_path):
+    from mlops_pipelines_featurestore_gcp_spark.sources.layout import compact_table, layout_stats
+
+    path = str(tmp_path / "frag2")
+    spark.range(0, 20_000).selectExpr("id", "CAST(id AS DOUBLE) AS v").orderBy(
+        F.rand(7)
+    ).repartition(30).write.parquet(path)
+    stats = compact_table(spark, path, target_bytes=60_000, cluster_by="id")
+    assert not stats["skipped"] and stats["files_after"] < 30
+    # compaction restored a clustered layout: per-file id ranges near-disjoint
+    st = layout_stats(spark, path, "id").collect()
+    spans = sorted((r.c_min, r.c_max) for r in st)
+    for (a_min, a_max), (b_min, b_max) in zip(spans, spans[1:]):
+        assert a_max <= b_min  # disjoint intervals
