@@ -122,3 +122,28 @@ def test_rotation_set_defer_survives_inline_comment(tmp_path, monkeypatch):
     compile(edited, str(f), "exec")
     assert "defer=True" in edited
     assert 'tags=("fake",),' in edited  # comma landed on the code, not the comment
+
+
+def test_quality_sql_fragments_stay_in_sync():
+    """The composite quality score is replayed in three oracle fragments
+    (_QUALITY_SQL for d08, and inline copies in t01 / s04+c01). If an
+    edit ever drifts one, per-doc quality values diverge — compare them
+    directly in DuckDB on the small fixture."""
+    import sys
+    sys.path.insert(0, str(REPO))
+    from mlops_pipelines_featurestore_gcp_spark import plans
+
+    con = duckdb.connect()
+    for t in ("documents",):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '/root/testdata/sf0.001/{t}.parquet'"
+        )
+    d08 = con.execute(plans.QUERIES["d08_keep_best_exact"].oracle).df()
+    t01 = con.execute(plans.QUERIES["t01_text_profile"].oracle).df()
+    s04 = con.execute(plans.QUERIES["s04_training_mix"].oracle).df()
+    merged = d08.merge(t01[["doc_id", "quality"]], on="doc_id", suffixes=("_d08", "_t01"))
+    assert len(merged) > 0
+    assert (merged["quality_d08"] == merged["quality_t01"]).all()
+    m2 = s04.merge(t01[["doc_id", "quality"]], on="doc_id", suffixes=("_s04", "_t01"))
+    assert len(m2) > 0
+    assert (m2["quality_s04"] == m2["quality_t01"]).all()
