@@ -83,7 +83,11 @@ def main() -> int:
 
     con = duckdb.connect()
     for t in TABLE_NAMES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # single-file fixtures and Spark-written directories both work
+        # (the scale sweep's synthetic sf1 is a directory per table)
+        p = f"{sf_dir}/{t}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
     spark = get_spark("verify-local")
     failures, passed, rows_only = [], [], []
