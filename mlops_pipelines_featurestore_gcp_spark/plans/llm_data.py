@@ -126,6 +126,41 @@ def d08_keep_best_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "t18_heavy_hitters_cms",
+    # The exact top-20 tokens hash-verify fully; the count-min estimates
+    # themselves are engine-specific (DuckDB has no CMS) so they surface
+    # as the sketch's published guarantees: estimate never BELOW truth
+    # (deterministic CMS property) and within the eps*N overcount band.
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({_TOKS.format(col='nt')}) AS item
+      FROM (SELECT {_NORM} AS nt FROM documents)
+    )
+    SELECT item,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(1 AS INT) AS no_undercount,
+           CAST(1 AS INT) AS within_eps_band
+    FROM tok GROUP BY item
+    ORDER BY n_exact DESC, item ASC LIMIT 20
+    """,
+    tags=("sketch", "llm", "text", "approx"),
+)
+def t18_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter tokens via count-min sketch (operators/sketches.py):
+    the third sketch family beside q32's HLL and GK — exact top-20 token
+    frequencies cross-checked against the distributed CMS grid's
+    one-sided guarantee (never undercounts; overcount ≤ eps*N). The
+    sketch build is a treeAggregate merge; only the KB grid reaches the
+    driver."""
+    from mlops_pipelines_featurestore_gcp_spark.functions.text import normalize, tokens
+    from mlops_pipelines_featurestore_gcp_spark.operators.sketches import heavy_hitters_cms
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(F.explode(tokens(normalize(F.col("text")))).alias("token"))
+    return heavy_hitters_cms(toks, "token", k=20, eps=0.001, confidence=0.99, seed=42)
+
+
+@register(
     "s07_per_source_cap",
     oracle=f"""
     WITH ranked AS (
@@ -1015,6 +1050,7 @@ def mm03_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM emb e JOIN cnt c USING (doc_id)
     """,
     tags=("llm", "text", "embedding", "similarity"),
+    defer=True,
 )
 def t07_hashed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-hashed document embeddings (operators/embeddings.py): the

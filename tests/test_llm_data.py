@@ -177,3 +177,18 @@ def test_soft_dedup_weights_sum_to_cluster_mass(spark):
     assert by_id[99].cluster_size == 1 and by_id[99].weight == 1.0
     # total weight == number of distinct documents
     assert abs(sum(r.weight for r in out) - 2.0) < 1e-12
+
+
+def test_heavy_hitters_cms_contract(spark, sf_small):
+    from mlops_pipelines_featurestore_gcp_spark.operators.sketches import heavy_hitters_cms
+
+    docs = load_table(spark, "documents", sf_small)
+    from mlops_pipelines_featurestore_gcp_spark.functions.text import normalize, tokens
+
+    toks = docs.select(F.explode(tokens(normalize(F.col("text")))).alias("token"))
+    out = heavy_hitters_cms(toks, "token", k=10).collect()
+    assert len(out) == 10
+    assert all(r.no_undercount == 1 and r.within_eps_band == 1 for r in out)
+    # deterministic: same report on re-run
+    again = heavy_hitters_cms(toks, "token", k=10).collect()
+    assert [(r.item, r.n_exact) for r in out] == [(r.item, r.n_exact) for r in again]
