@@ -48,7 +48,11 @@ def heavy_hitters_cms(
     skip the exact pass, or keep both while the exact side still fits).
     """
     c = F.col(col) if isinstance(col, str) else col
-    items = df.select(c.alias("item")).where(F.col("item").isNotNull())
+    # items are string-cast up front: the sketch hashes whatever type it
+    # aggregates, and a driver-side estimateCount(py4j-boxed int) would
+    # hash DIFFERENTLY than the JVM long the aggregate saw — casting once
+    # makes build and probe hash identically for any input column type.
+    items = df.select(c.cast("string").alias("item")).where(F.col("item").isNotNull())
     exact = (
         items.groupBy("item")
         .agg(F.count("*").alias("n_exact"))

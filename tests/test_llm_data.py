@@ -192,3 +192,14 @@ def test_heavy_hitters_cms_contract(spark, sf_small):
     # deterministic: same report on re-run
     again = heavy_hitters_cms(toks, "token", k=10).collect()
     assert [(r.item, r.n_exact) for r in out] == [(r.item, r.n_exact) for r in again]
+
+
+def test_heavy_hitters_cms_numeric_column(spark):
+    """Non-string item columns work: the operator string-casts before both
+    the sketch build and the probe so hashing is consistent."""
+    from mlops_pipelines_featurestore_gcp_spark.operators.sketches import heavy_hitters_cms
+
+    df = spark.createDataFrame([(i % 3,) for i in range(300)], "k long")
+    out = heavy_hitters_cms(df, "k", k=3).collect()
+    assert {r.item for r in out} == {"0", "1", "2"}
+    assert all(r.n_exact == 100 and r.no_undercount == 1 and r.within_eps_band == 1 for r in out)

@@ -30,6 +30,8 @@ from bench import HEADLINE  # noqa: E402  (audit the same set the bench times)
 EXTRA = [
     "d08_keep_best_exact",
     "t17_soft_dedup_weights",
+    "t18_heavy_hitters_cms",
+    "s07_per_source_cap",
     "s02_ann_lsh_topk",
     "s03_ann_ivf_topk",
     "t10_gopher_quality",
