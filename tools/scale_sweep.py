@@ -37,10 +37,27 @@ def build_sf1(spark) -> None:
     os.makedirs(DST, exist_ok=True)
     for t in TABLE_NAMES:
         link = os.path.join(DST, f"{t}.parquet")
-        if t in ("documents", "embeddings"):
+        if t in ("documents", "embeddings", "events"):
             continue
         if not os.path.exists(link):
             os.symlink(os.path.join(SRC, f"{t}.parquet"), link)
+    ev_out = os.path.join(DST, "events.parquet")
+    if not os.path.exists(ev_out):
+        # events replicate by USER-SPACE offset: 10× users with the same
+        # per-user temporal pattern, so sessions/windows/funnels/rollups
+        # get 10× keyed state (the dimension that scales them) while
+        # event-time density per key stays realistic.
+        ev = spark.read.parquet(os.path.join(SRC, "events.parquet"))
+        n_u = ev.agg(F.max("user_id")).first()[0] + 1
+        n_e = ev.agg(F.max("event_id")).first()[0] + 1
+        copies = spark.range(COPIES).select(F.col("id").alias("__copy"))
+        big = ev.crossJoin(F.broadcast(copies)).select(
+            (F.col("event_id") + F.col("__copy") * n_e).alias("event_id"),
+            "ts",
+            (F.col("user_id") + F.col("__copy") * n_u).alias("user_id"),
+            *[c for c in ev.columns if c not in ("event_id", "ts", "user_id")],
+        )
+        big.repartition(32).write.mode("overwrite").parquet(ev_out)
     docs_out = os.path.join(DST, "documents.parquet")
     if not os.path.exists(docs_out):
         docs = spark.read.parquet(os.path.join(SRC, "documents.parquet"))
