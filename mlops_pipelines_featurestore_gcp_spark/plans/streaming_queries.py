@@ -108,7 +108,8 @@ def st02_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
            min(ts) AS w_start,
            max(ts) + INTERVAL 30 MINUTE AS w_end,
            CAST(count(*) AS BIGINT) AS n_events,
-           CAST(sum(value) AS DOUBLE) AS total_value
+           -- DECIMAL accumulation: order-proof at any session size
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
     FROM sess
     GROUP BY user_id, sess_id
     """,
@@ -121,7 +122,7 @@ def st03_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev,
         "30 minutes",
         F.count("*").alias("n_events"),
-        F.sum("value").alias("total_value"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
         group_cols=("user_id",),
     )
     return out.select("user_id", "w_start", "w_end", "n_events", "total_value")
@@ -135,7 +136,9 @@ def st03_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT CAST(count(*) AS BIGINT) AS n_unique,
-           round(CAST(sum(value) AS DOUBLE), 3) AS total_value
+           -- DECIMAL accumulation: the rounded double sum only held while
+           -- no ulp drift straddled a rounding boundary
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
     FROM ranked WHERE rn = 1
     """,
     tags=("streaming", "dedup"),
@@ -150,7 +153,7 @@ def st04_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .agg(
             F.count("*").cast("long").alias("n_unique"),
-            F.round(F.sum("value"), 3).alias("total_value"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
         )
     )
 
