@@ -29,7 +29,12 @@ from mlops_pipelines_featurestore_gcp_spark.sources.catalog import TABLE_NAMES
 SRC = "/root/testdata/sf0.1"
 DST = "/tmp/spark_graft_sf1"
 DEFAULT = ["d02_minhash_lsh_neardup", "d03_ngram_jaccard_neardup", "d04_simhash_neardup",
-           "d06_exact_substring_spans", "s03_ann_ivf_topk", "d07_semantic_dedup"]
+           "d06_exact_substring_spans", "s03_ann_ivf_topk", "d07_semantic_dedup",
+           # round 5 additions: keep-best/soft-dedup/cap/contamination +
+           # the events-replicated streaming family (its 10x gate run
+           # caught the raw-double-sum and HLL-exact-flag scale bugs)
+           "d08_keep_best_exact", "t17_soft_dedup_weights", "s07_per_source_cap",
+           "t06_contamination_check", "st03_session_window", "st06_continuous_rollup"]
 COPIES = 10
 
 
