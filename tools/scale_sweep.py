@@ -38,14 +38,57 @@ DEFAULT = ["d02_minhash_lsh_neardup", "d03_ngram_jaccard_neardup", "d04_simhash_
 COPIES = 10
 
 
+def _replicate_keyed(spark, table: str, key_offsets: dict[str, str]) -> None:
+    """Write a 10× copy of ``table`` with the listed key columns offset
+    per copy by (copy × max-of-offset-source): referential integrity is
+    preserved when referencing tables offset the SAME source key (e.g.
+    l_orderkey and o_orderkey both offset by max o_orderkey + 1)."""
+    out = os.path.join(DST, f"{table}.parquet")
+    if os.path.exists(out):
+        return
+    df = spark.read.parquet(os.path.join(SRC, f"{table}.parquet"))
+    maxes = {
+        src: spark.read.parquet(os.path.join(SRC, f"{src.split('.')[0]}.parquet"))
+        .agg(F.max(src.split(".")[1]))
+        .first()[0]
+        + 1
+        for src in set(key_offsets.values())
+    }
+    copies = spark.range(COPIES).select(F.col("id").alias("__copy"))
+    cols = [
+        (F.col(c) + F.col("__copy") * maxes[key_offsets[c]]).alias(c)
+        if c in key_offsets
+        else F.col(c)
+        for c in df.columns
+    ]
+    df.crossJoin(F.broadcast(copies)).select(*cols).repartition(32).write.mode(
+        "overwrite"
+    ).parquet(out)
+
+
 def build_sf1(spark) -> None:
     os.makedirs(DST, exist_ok=True)
+    replicated = ("documents", "embeddings", "events", "orders", "lineitem", "customer")
     for t in TABLE_NAMES:
         link = os.path.join(DST, f"{t}.parquet")
-        if t in ("documents", "embeddings", "events"):
+        if t in replicated:
             continue
         if not os.path.exists(link):
             os.symlink(os.path.join(SRC, f"{t}.parquet"), link)
+    # TPC-H fact side replicates 10× with consistent key offsets (same
+    # parts/suppliers/nations — 10× orders is the realistic growth axis);
+    # q-family + feature-store queries then gate at 10× like the rest.
+    _replicate_keyed(
+        spark, "customer", {"c_custkey": "customer.c_custkey"}
+    )
+    _replicate_keyed(
+        spark,
+        "orders",
+        {"o_orderkey": "orders.o_orderkey", "o_custkey": "customer.c_custkey"},
+    )
+    _replicate_keyed(
+        spark, "lineitem", {"l_orderkey": "orders.o_orderkey"}
+    )
     ev_out = os.path.join(DST, "events.parquet")
     if not os.path.exists(ev_out):
         # events replicate by USER-SPACE offset: 10× users with the same
