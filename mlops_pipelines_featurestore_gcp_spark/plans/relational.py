@@ -40,12 +40,12 @@ def _dec_sum(col, scale: int = 2, prec: int = 18):
     "q01_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
-           CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS sum_qty,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS sum_base_price,
+           CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS sum_disc_price,
+           CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS STRING) AS DOUBLE) AS sum_charge,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS STRING) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS STRING) AS DOUBLE) / COUNT(*) AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2001-09-02'
@@ -111,7 +111,7 @@ def q02_filter_project_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q06_forecast_revenue",
     oracle="""
-    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS revenue,
            COUNT(*) AS n_rows
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -145,7 +145,7 @@ def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q03_shipping_priority",
     oracle="""
     SELECT l.l_orderkey,
-           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           CAST(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS revenue,
            o.o_orderdate
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -219,7 +219,7 @@ def q04_order_priority_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q05_nation_volume",
     oracle="""
     SELECT n.n_name,
-           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           CAST(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS revenue,
            COUNT(*) AS n_items
     FROM region r
     JOIN nation n ON n.n_regionkey = r.r_regionkey
@@ -266,7 +266,7 @@ def q05_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q07_customers_no_orders",
     oracle="""
     SELECT c.c_mktsegment, COUNT(*) AS n_customers,
-           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+           CAST(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS total_acctbal
     FROM customer c
     WHERE NOT EXISTS (
       SELECT 1 FROM orders o
@@ -346,7 +346,7 @@ def q19_cross_join_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o.o_orderpriority,
            COUNT(*) AS n_late_items,
-           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS late_qty
+           CAST(CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS late_qty
     FROM orders o
     JOIN lineitem l
       ON l.l_orderkey = o.o_orderkey
@@ -434,9 +434,9 @@ def q21_in_and_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
                   CAST(LAG(o_orderdate) OVER wdate AS DATE),
                   CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_prev,
              LEAD(o_orderkey) OVER wdate AS next_key,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
                   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS STRING) AS DOUBLE) AS running_spend,
              FIRST_VALUE(o_orderkey) OVER wfull AS first_order,
              LAST_VALUE(o_orderkey)  OVER wfull AS latest_order,
              COUNT(*) OVER wfull AS n_orders
@@ -529,13 +529,13 @@ def q23_rank_flavors(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT 'rollup' AS op, l_returnflag AS dim1, l_linestatus AS dim2,
            COUNT(*) AS n_rows,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS total
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     UNION ALL
     SELECT 'cube' AS op, o_orderstatus AS dim1, o_orderpriority AS dim2,
            COUNT(*) AS n_rows,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS total
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
@@ -675,8 +675,8 @@ def q16_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
            COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
            COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p,
-           CAST(SUM(CAST(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
-                        THEN o_totalprice ELSE 0 END AS DECIMAL(18,2))) AS DOUBLE) AS urgent_value,
+           CAST(CAST(SUM(CAST(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                        THEN o_totalprice ELSE 0 END AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS urgent_value,
            COUNT(DISTINCT o_custkey) AS n_distinct_customers
     FROM orders
     GROUP BY 1, 2
@@ -751,7 +751,7 @@ def q25_json_and_case(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n_name, r_name,
            GROUPING(n_name) AS g_nation, GROUPING(r_name) AS g_region,
            CAST(COUNT(*) AS BIGINT) AS n_cust,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+           CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS total_bal
     FROM customer
     JOIN nation ON n_nationkey = c_nationkey
     JOIN region ON r_regionkey = n_regionkey
@@ -770,7 +770,7 @@ def q27_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT n_name, r_name,
                GROUPING(n_name) AS g_nation, GROUPING(r_name) AS g_region,
                CAST(COUNT(*) AS BIGINT) AS n_cust,
-               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+               CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS total_bal
         FROM customer
         JOIN nation ON n_nationkey = c_nationkey
         JOIN region ON r_regionkey = n_regionkey
@@ -790,13 +790,13 @@ def q27_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q28_range_frame",
     oracle="""
     SELECT o_orderkey, o_custkey,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
              PARTITION BY o_custkey ORDER BY o_totalprice
              RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW
-           ) AS DOUBLE) AS near_total,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER wc AS DOUBLE)
+           ) AS STRING) AS DOUBLE) AS near_total,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER wc AS STRING) AS DOUBLE)
              / COUNT(*) OVER wc AS cavg,
-           o_totalprice > (CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER wc AS DOUBLE)
+           o_totalprice > (CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER wc AS STRING) AS DOUBLE)
                            / COUNT(*) OVER wc) AS above_avg
     FROM orders
     WHERE o_custkey < 200
@@ -824,10 +824,10 @@ def q28_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         F.expr(
             """
-            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+            CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
               PARTITION BY o_custkey ORDER BY o_totalprice
               RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW
-            ) AS DOUBLE)
+            ) AS STRING) AS DOUBLE)
             """
         ).alias("near_total"),
         cavg.alias("cavg"),
@@ -848,7 +848,7 @@ def q28_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(COUNT(bal) AS BIGINT) AS n_bal,
            CAST(COUNT(*) - COUNT(bal) AS BIGINT) AS n_null_bal,
-           round(CAST(SUM(CAST(coalesce(bal, 0) AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_bal
+           round(CAST(CAST(SUM(CAST(coalesce(bal, 0) AS DECIMAL(18,2))) AS STRING) AS DOUBLE), 2) AS total_bal
     FROM t GROUP BY 1
     """,
     tags=("nulls", "agg"),
@@ -910,7 +910,7 @@ def q30_ordered_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o.o_orderkey, o.o_custkey,
            COUNT(*) AS n_lines,
-           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+           CAST(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS revenue
     FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     WHERE o.o_orderkey < 2000
     GROUP BY 1, 2
@@ -1042,7 +1042,7 @@ def q32_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o.o_orderpriority,
            COUNT(*) AS n_in_window,
            COUNT(DISTINCT l.l_orderkey) AS n_point_orders,
-           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_in_window
+           CAST(CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS qty_in_window
     FROM (SELECT * FROM orders WHERE o_orderkey % 50 = 0) o
     JOIN lineitem l
       ON l.l_shipdate >= o.o_orderdate

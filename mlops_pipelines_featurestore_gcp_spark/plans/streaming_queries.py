@@ -32,7 +32,7 @@ from mlops_pipelines_featurestore_gcp_spark.streaming.windows import (
            -- DECIMAL accumulation: a raw double SUM is reduction-order-
            -- sensitive; it agreed at sf<=0.1 but diverged in the last ulp
            -- on the 10x corpus (round-5 sf1 gate finding)
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS STRING) AS DOUBLE) AS total_value
     FROM events
     GROUP BY 1, 2, 3
     """,
@@ -67,7 +67,7 @@ def st01_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n_events,
            -- exact DECIMAL sum / exact count: the raw AVG diverged in the
            -- last ulp on the 10x corpus (round-5 sf1 gate finding)
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS STRING) AS DOUBLE) / count(*) AS avg_value
     FROM cand
     WHERE ts >= w_start AND ts < w_start + INTERVAL 1 HOUR
     GROUP BY 1, 2
@@ -109,7 +109,7 @@ def st02_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
            max(ts) + INTERVAL 30 MINUTE AS w_end,
            CAST(count(*) AS BIGINT) AS n_events,
            -- DECIMAL accumulation: order-proof at any session size
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS STRING) AS DOUBLE) AS total_value
     FROM sess
     GROUP BY user_id, sess_id
     """,
@@ -138,7 +138,7 @@ def st03_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(count(*) AS BIGINT) AS n_unique,
            -- DECIMAL accumulation: the rounded double sum only held while
            -- no ulp drift straddled a rounding boundary
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS STRING) AS DOUBLE) AS total_value
     FROM ranked WHERE rn = 1
     """,
     tags=("streaming", "dedup"),
@@ -191,10 +191,10 @@ def st05_late_data_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS bucket,
            event_type,
            COUNT(value) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS STRING) AS DOUBLE) AS total,
            MIN(value) AS vmin,
            MAX(value) AS vmax,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value) AS vavg
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS STRING) AS DOUBLE) / COUNT(value) AS vavg
     FROM events
     GROUP BY bucket, event_type
     """,
