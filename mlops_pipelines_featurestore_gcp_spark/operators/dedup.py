@@ -348,18 +348,31 @@ def ngram_jaccard_pairs(
     documented trade: a pair whose shared grams are ALL hot is missed —
     precisely the boilerplate-only overlap a near-dup pass should ignore.
     ``max_df=None`` (default) keeps the fully exact one-join plan.
+
+    BOTH paths index on ``md5_long(gram, 60)`` rather than the gram string:
+    the inverted-index self-join and the distinct shuffle carry 8-byte long
+    keys instead of ~40-byte 3-word strings — the same ~5× key-width win as
+    t06's contamination grams (round 5). Set semantics apply AFTER hashing
+    (two grams colliding into one 60-bit value count once), and the SQL
+    oracle replays the identical fold, so both engines see the same sets
+    bit-for-bit; at 2⁶⁰ the per-corpus collision odds are ~n²/2⁶¹
+    (≈10⁻⁷ even at 10⁸ grams per doc-pair universe).
     """
-    grams = gram_rows(df, id_col, text_col, n).withColumnRenamed("gram", "sh").distinct()
+    hashed = (
+        gram_rows(df, id_col, text_col, n)
+        .select(F.col(id_col), md5_long(F.col("gram"), bits=60).alias("h"))
+        .distinct()
+    )
     if max_df is None:
-        a = grams.withColumnRenamed(id_col, "doc_a").withColumnRenamed("sh", "s")
-        b = grams.withColumnRenamed(id_col, "doc_b").withColumnRenamed("sh", "s")
+        a = hashed.select(F.col(id_col).alias("doc_a"), "h")
+        b = hashed.select(F.col(id_col).alias("doc_b"), "h")
         cand = (
-            a.join(b, "s")
+            a.join(b, "h")
             .where(F.col("doc_a") < F.col("doc_b"))
             .groupBy("doc_a", "doc_b")
             .agg(F.count("*").alias("ni"))
         )
-        sizes = grams.groupBy(id_col).agg(F.count("*").alias("n"))
+        sizes = hashed.groupBy(id_col).agg(F.count("*").alias("n"))
         na = sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed("n", "na")
         nb = sizes.withColumnRenamed(id_col, "doc_b").withColumnRenamed("n", "nb")
         return (
@@ -371,7 +384,6 @@ def ngram_jaccard_pairs(
         )
     # capped path: per-doc distinct gram-hash sets once (one partial-combined
     # shuffle, the minhash_lsh_pairs shape), candidates only from cool grams
-    hashed = grams.select(F.col(id_col), md5_long(F.col("sh"), bits=60).alias("h"))
     doc_sets = hashed.groupBy(id_col).agg(F.collect_set("h").alias("__hs")).localCheckpoint(eager=False)
     cool = hashed.groupBy("h").agg(F.countDistinct(id_col).alias("__df")).where(F.col("__df") <= max_df)
     index = hashed.join(cool.select("h"), "h")

@@ -471,6 +471,7 @@ def lsh_topk(
     tables: int = 4,
     k: int = 5,
     round_digits: int = 6,
+    probe_hamming: int = 0,
 ) -> DataFrame:
     """Approximate top-k: multi-table hyperplane LSH + exact rescoring.
 
@@ -480,7 +481,21 @@ def lsh_topk(
     Scoring cost drops from n·N to Σ_q Σ_t |bucket_t(q)|, and the bucketing
     is deterministic (md5-derived hyperplanes), so results are reproducible
     run to run and machine to machine.
+
+    ``probe_hamming`` enables multi-probe LSH (Lv et al., VLDB 2007): each
+    QUERY also probes every bucket whose signature differs from its own in
+    ≤ ``probe_hamming`` bits — a near-miss on one hyperplane no longer
+    costs the whole table. Recall per table rises from p^planes to
+    Σ_{{i≤h}} C(planes,i)·p^(planes-i)·(1-p)^i at the price of
+    Σ C(planes,i) probe keys per (query, table). The expansion happens on
+    the broadcast QUERY side only — the corpus still computes and shuffles
+    exactly ``tables`` signatures per vector, so corpus-side cost (the side
+    that is 100 TB) is unchanged; only the rescore set grows, and that
+    stays bounded by probes × expected bucket size. With the same
+    md5-derived hyperplanes the probe set is deterministic too.
     """
+    from itertools import combinations
+
     c = _maybe_spread(corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")))
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     csig = hyperplane_signatures(c, vec_col="cv", tables=tables, planes=planes, dim=dim)
@@ -492,9 +507,24 @@ def lsh_topk(
         keep = [c for c in df.columns if c != "sigs"]
         return df.select(*keep, F.posexplode("sigs").alias("t", "sig"))
 
+    probed = bucketized(qsig)
+    if probe_hamming > 0:
+        masks = [0] + [
+            sum(1 << b for b in bits)
+            for r in range(1, probe_hamming + 1)
+            for bits in combinations(range(planes), r)
+        ]
+        keep = [col for col in probed.columns if col != "sig"]
+        probed = probed.select(
+            *keep,
+            F.explode(
+                F.array(*[F.col("sig").bitwiseXOR(F.lit(m)) for m in masks])
+            ).alias("sig"),
+        )
+
     cand = (
         bucketized(csig)
-        .join(F.broadcast(bucketized(qsig)), ["t", "sig"])
+        .join(F.broadcast(probed), ["t", "sig"])
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", "qv", "cv")
         .dropDuplicates(["query_id", "neighbor_id"])

@@ -37,11 +37,14 @@ def heavy_hitters_cms(
     """Top-``k`` exact frequencies cross-checked against a count-min sketch.
 
     Returns one row per top-k item (exact count desc, item asc — a total
-    deterministic order): ``(item, n_exact, n_cms, no_undercount,
-    within_eps_band)`` where ``no_undercount = (n_cms >= n_exact)``
+    deterministic order): ``(item, n_exact, no_undercount,
+    within_eps_band)`` where ``no_undercount = (cms_estimate >= n_exact)``
     (CMS's deterministic guarantee) and ``within_eps_band =
-    (n_cms <= n_exact + eps * N)`` (the 1−δ bound, ~50× headroom at the
-    default ε for any realistically-skewed distribution).
+    (cms_estimate <= n_exact + eps * N)`` (the 1−δ bound, ~50× headroom
+    at the default ε for any realistically-skewed distribution). The raw
+    CMS estimate feeds the two flags but is NOT emitted: its exact value
+    depends on the JVM sketch's internal hashing, which no SQL oracle can
+    replay — the flags are the portable contract (ADVICE r5).
 
     The exact top-k is ONE hash aggregate + top-k (the operator exists to
     VERIFY the sketch; a production pipeline would publish the sketch and
@@ -52,22 +55,30 @@ def heavy_hitters_cms(
     # aggregates, and a driver-side estimateCount(py4j-boxed int) would
     # hash DIFFERENTLY than the JVM long the aggregate saw — casting once
     # makes build and probe hash identically for any input column type.
-    items = df.select(c.cast("string").alias("item")).where(F.col("item").isNotNull())
+    # Lazy checkpoint: the exact top-k and the sketch aggregate both read
+    # the materialized token rows — one corpus tokenize instead of two
+    # (ADVICE r5; was three before N folded into the sketch pass below).
+    items = (
+        df.select(c.cast("string").alias("item"))
+        .where(F.col("item").isNotNull())
+        .localCheckpoint(eager=False)
+    )
     exact = (
         items.groupBy("item")
         .agg(F.count("*").alias("n_exact"))
         .orderBy(F.col("n_exact").desc(), F.col("item").asc())
         .limit(k)
     )
-    n_total = items.count()
     # Spark 4 exposes CMS as the SQL aggregate (the grid partials merge
     # map-side); the serialized grid comes back as binary and deserializes
-    # through the JVM sketch class for driver-side point lookups.
-    blob = items.agg(
+    # through the JVM sketch class for driver-side point lookups. N rides
+    # in the SAME aggregate — one pass, not a separate count() job.
+    blob, n_total = items.agg(
         F.count_min_sketch(
             "item", F.lit(float(eps)), F.lit(float(confidence)), F.lit(seed)
-        ).alias("s")
-    ).head()[0]
+        ).alias("s"),
+        F.count("*").alias("n"),
+    ).head()
     spark = df.sparkSession
     bais = spark._jvm.java.io.ByteArrayInputStream(bytes(blob))
     sketch = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bais)

@@ -269,16 +269,17 @@ def d02_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (SELECT doc_id, {_NORM} AS nt FROM documents)
     ),
     grams AS (
-      SELECT doc_id,
-             unnest(list_distinct(
-               [concat(t[i], ' ', t[i+1], ' ', t[i+2]) FOR i IN range(1, greatest(len(t) - 1, 1))]
-             )) AS s
-      FROM toks
+      SELECT DISTINCT doc_id, {_md5_long_sql('s', 15)} AS h
+      FROM (
+        SELECT doc_id,
+               unnest([concat(t[i], ' ', t[i+1], ' ', t[i+2]) FOR i IN range(1, greatest(len(t) - 1, 1))]) AS s
+        FROM toks
+      )
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
     cand AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ni
-      FROM grams a JOIN grams b ON a.s = b.s AND a.doc_id < b.doc_id
+      FROM grams a JOIN grams b ON a.h = b.h AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
     SELECT c.doc_a, c.doc_b, c.ni / (sa.n + sb.n - c.ni) AS jaccard
@@ -492,6 +493,13 @@ def _ann_contract(
     empty."""
     from mlops_pipelines_featurestore_gcp_spark.functions.vectors import cosine
 
+    # The operator output feeds THREE verifier consumers (the flag join's
+    # two sides and the recall hit-join); a lazy checkpoint runs the ANN
+    # plan once and hands the verifiers its materialized rows instead of
+    # replaying the bucket/probe lineage per consumer — the r5 audit's
+    # 27/25-exchange rows were mostly this replay (VERDICT r5 #5). The
+    # operator-only plan is audited separately in PLANS.md.
+    out = out.localCheckpoint(eager=False)
     qv = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qv"))
     cv = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("__cv"))
     exact = F.round(cosine(F.col("__qv"), F.col("__cv"), dim), 6)
@@ -571,12 +579,15 @@ def _ann_contract(
     # WHICH neighbors LSH admits is bucket-layout-specific; the contract
     # (_ann_contract) is what the driver hash-checks, now including the
     # aggregate recall@5 floor over the deterministic 32-query sample
-    # (VERDICT r4 #7). Measured recall at planes=6/tables=16: 0.58 at
-    # sf0.01, 0.54 at sf0.1 — floor 0.35 leaves honest margin. (The r4
-    # registration's planes=8/tables=4 measured 0.08/0.04 against the
-    # clustered embeddings fixture — contract-green but practically
-    # useless; the AND-of-6-bits / OR-of-16-tables setting trades ~N/4
-    # candidates per query for recall that actually clears a floor.)
+    # (VERDICT r4 #7). Round 6: multi-probe (Hamming-1 on the query side,
+    # VERDICT r5 #2) lifts measured recall@5 to 0.90 at sf0.01, 0.835 at
+    # sf0.1, 0.988 at the 10× corpus (was 0.58/0.54/0.84 single-probe) —
+    # floor 0.7 with honest margin at every gate scale. RE-TUNING TRIGGER
+    # (ADVICE r5): expected bucket size is N/2^planes, so rescore cost per
+    # query grows linearly in N at fixed planes — when avg bucket exceeds
+    # ~1k (N ≳ 256k here), raise planes (+1 per doubling) and hold recall
+    # by raising tables or probe radius; re-measure the floor at each new
+    # gate scale before rotating the query back into the driver window.
     oracle=_ANN_CONTRACT_RECALL_ORACLE,
     tags=("similarity", "llm", "lsh"),
     defer=True,
@@ -585,18 +596,33 @@ def s02_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH approximate top-5 — the n≫memory scale path. Emits
     the per-query contract flags (≤k results, contiguous ranks, exact
     rescore parity, monotone scores) plus the sampled recall floor."""
+    emb, queries, out = s02_operator_parts(spark, sf_dir)
+    return _ann_contract(out, emb, dim=64, k=5, recall_floor=0.7, queries=queries)
+
+
+def s02_operator_parts(spark: SparkSession, sf_dir: str):
+    """(emb, queries, operator output) for s02 — the operator-only frame is
+    what ``tools/plan_audit.py`` audits (the registered query adds the
+    contract verifier, whose cost is bounded but not the operator's)."""
     emb = load_table(spark, "embeddings", sf_dir)
     queries = emb.where(F.col("vec_id") % 50 == 0)
-    out = similarity.lsh_topk(emb, queries, dim=64, planes=6, tables=16, k=5)
-    return _ann_contract(out, emb, dim=64, k=5, recall_floor=0.35, queries=queries)
+    out = similarity.lsh_topk(
+        emb, queries, dim=64, planes=8, tables=16, k=5, probe_hamming=1
+    )
+    return emb, queries, out
 
 
 @register(
     "s03_ann_ivf_topk",
     # KMeans cell assignment is engine-specific; the per-query contract
     # flags are the driver-checked surface, now including the aggregate
-    # recall@5 floor (VERDICT r4 #7). Measured: 0.86 at sf0.01, 0.575 at
-    # sf0.1 (16 fixed cells coarsen as N grows) — floor 0.4.
+    # recall@5 floor (VERDICT r4 #7). Round 6 (ADVICE r5): the 16 fixed
+    # cells that coarsened as N grew (recall 0.86 → 0.575) are replaced by
+    # the scale rule n_centroids=√N, n_probe=⌈cells/3⌉ — the probed
+    # FRACTION of the corpus stays constant (~⅓) instead of decaying, so
+    # recall is scale-stable by construction: measured 0.86 at sf0.01,
+    # 0.885 at sf0.1, ≥0.946 at the 10× corpus — floor 0.7. Callers
+    # wanting a cheaper scan lower n_probe and trade recall explicitly.
     oracle=_ANN_CONTRACT_RECALL_ORACLE,
     tags=("similarity", "llm", "ivf"),
     defer=True,
@@ -605,10 +631,19 @@ def s03_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-5: k-means coarse cells, n_probe nearest probed;
     emits the per-query contract flags (≤k, contiguous ranks, exact
     rescore parity, monotone scores) plus the sampled recall floor."""
+    emb, queries, out = s03_operator_parts(spark, sf_dir)
+    return _ann_contract(out, emb, dim=64, k=5, recall_floor=0.7, queries=queries)
+
+
+def s03_operator_parts(spark: SparkSession, sf_dir: str):
+    """(emb, queries, operator output) for s03 — see s02_operator_parts."""
     emb = load_table(spark, "embeddings", sf_dir)
     queries = emb.where(F.col("vec_id") % 50 == 0)
-    out = similarity.ivf_topk(emb, queries, n_centroids=16, n_probe=4, k=5)
-    return _ann_contract(out, emb, dim=64, k=5, recall_floor=0.4, queries=queries)
+    cells = similarity._auto_centroids(emb.count())
+    out = similarity.ivf_topk(
+        emb, queries, n_centroids=cells, n_probe=max(4, -(-cells // 3)), k=5
+    )
+    return emb, queries, out
 
 
 @register(

@@ -247,7 +247,7 @@ def st06_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS bucket,
            event_type,
            COUNT(user_id) AS n_rows,
-           CAST(1 AS INT) AS incremental_equals_full,
+           CAST(1 AS INT) AS incremental_matches_full_eps,
            CAST(1 AS INT) AS estimate_within_band
     FROM events
     GROUP BY bucket, event_type
@@ -303,7 +303,7 @@ def st07_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 F.abs(F.col("approx_distinct") - F.col("__full"))
                 <= F.greatest(F.col("__full") * 0.02, F.lit(2.0))
-            ).cast("int").alias("incremental_equals_full"),
+            ).cast("int").alias("incremental_matches_full_eps"),
             (
                 F.abs(F.col("approx_distinct") - F.col("__true"))
                 <= F.greatest(F.col("__true") * 0.05, F.lit(2.0))

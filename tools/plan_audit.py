@@ -72,6 +72,19 @@ def audit(df) -> dict[str, object]:
     }
 
 
+def _operator_only_frames(spark, sf_dir):
+    """ANN operator-only plans (VERDICT r5 #5): the registered s02/s03
+    queries carry the 32-query recall verifier and the contract flag
+    machinery, so their audited rows reflect VERIFIER cost, not the
+    operator a user calls. These rows audit the bare operator."""
+    from mlops_pipelines_featurestore_gcp_spark.plans import llm_data
+
+    return {
+        "s02_ann_lsh_topk (operator only)": lambda: llm_data.s02_operator_parts(spark, sf_dir)[2],
+        "s03_ann_ivf_topk (operator only)": lambda: llm_data.s03_operator_parts(spark, sf_dir)[2],
+    }
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark("plan-audit")
@@ -81,11 +94,15 @@ def main() -> None:
     print("| query | exchanges | broadcast joins | sort-merge joins | cartesian | filters pushed | codegen spans |")
     print("|---|---|---|---|---|---|---|")
     details: list[tuple[str, str]] = []
-    for name in HEADLINE + EXTRA:
-        spec = plans.QUERIES.get(name)
-        if spec is None:
-            continue
-        df = spec.fn(spark, sf_dir)
+    operator_only = _operator_only_frames(spark, sf_dir)
+    for name in HEADLINE + EXTRA + list(operator_only):
+        if name in operator_only:
+            df = operator_only[name]()
+        else:
+            spec = plans.QUERIES.get(name)
+            if spec is None:
+                continue
+            df = spec.fn(spark, sf_dir)
         a = audit(df)
         # s01's BroadcastNestedLoopJoin is the operator's DESIGN: the tiny
         # query set is broadcast against the corpus for exact scoring (the
