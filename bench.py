@@ -65,6 +65,25 @@ HEADLINE = [
     "f03_asof_spine_join",
 ]
 
+# Second headline set (VERDICT r5 #6): the post-r4 operator families, so
+# their perf is tracked round-over-round without disturbing the stable
+# 24-query set's cross-round comparability. Same timing protocol; totals
+# are reported side by side in the ONE output JSON line.
+HEADLINE2 = [
+    "d08_keep_best_exact",
+    "t17_soft_dedup_weights",
+    "s07_per_source_cap",
+    "t18_heavy_hitters_cms",
+    "q33_binned_range_join",
+    "q34_window_funnel",
+    "q35_sessionize_stats",
+    "q36_retention_cohorts",
+    "f06_feature_drift",
+    "st06_continuous_rollup",
+    "st07_distinct_rollup",
+    "mm05_audio_neardup",
+]
+
 
 def _mirror_multi_rowgroup(sf_dir: str, *, splits: int = 32) -> str:
     """One-time re-layout of the fixture dir into multi-row-group parquet.
@@ -117,7 +136,7 @@ def main() -> None:
         )
         spark.conf.set("spark.sql.files.openCostInBytes", str(64 * 1024))
 
-    names = [n for n in HEADLINE if n in plans.QUERIES]
+    names = [n for n in HEADLINE + HEADLINE2 if n in plans.QUERIES]
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
     timings: dict[str, float] = {}
     for name in names:
@@ -145,15 +164,21 @@ def main() -> None:
         timings[name] = round(best, 4)
         print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
 
-    total = round(sum(timings.values()), 4)
+    # "value" stays the STABLE 24-query total (cross-round comparability);
+    # the post-r4 set reports its own total + per-query times in the same
+    # JSON line under *_new_ops keys.
+    stable = {n: t for n, t in timings.items() if n in HEADLINE}
+    new_ops = {n: t for n, t in timings.items() if n in HEADLINE2}
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
-                "value": total,
+                "value": round(sum(stable.values()), 4),
                 "unit": "sec",
-                "queries": timings,
+                "queries": stable,
                 "sf": sf,
+                "value_new_ops": round(sum(new_ops.values()), 4),
+                "queries_new_ops": new_ops,
             }
         )
     )

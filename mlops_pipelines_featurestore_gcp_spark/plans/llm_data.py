@@ -74,7 +74,6 @@ _UHASH_SRC = (
     GROUP BY 1
     """,
     tags=("dedup", "llm"),
-    defer=True,
 )
 def d01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: md5 fingerprint of normalized text, hash-groupBy."""
@@ -253,7 +252,6 @@ def t17_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE i.ni / (sa.n + sb.n - i.ni) >= 0.5
     """,
     tags=("dedup", "llm", "minhash"),
-    defer=True,
 )
 def d02_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16) + 4-band LSH candidates + exact-Jaccard verify ≥ 0.5."""
@@ -335,6 +333,7 @@ _SIMHASH_SIG_SQL = f"""
     FROM pairs WHERE hamming <= 8
     """,
     tags=("dedup", "llm", "simhash"),
+    defer=True,
 )
 def d04_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash, 4×15-bit chunk blocking, hamming ≤ 8 verify."""
@@ -383,6 +382,7 @@ def _d05_sig_sql(t: int) -> str:
     SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.45
     """,
     tags=("dedup", "llm", "embedding", "lsh"),
+    defer=True,
 )
 def d05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs via coordinate-sign LSH blocking + exact
@@ -426,7 +426,6 @@ def d05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     QUALIFY rnk <= 5
     """,
     tags=("similarity", "llm"),
-    defer=True,
 )
 def s01_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 neighbors for every 50th vector (broadcast scoring)."""
@@ -590,7 +589,6 @@ def _ann_contract(
     # gate scale before rotating the query back into the driver window.
     oracle=_ANN_CONTRACT_RECALL_ORACLE,
     tags=("similarity", "llm", "lsh"),
-    defer=True,
 )
 def s02_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH approximate top-5 — the n≫memory scale path. Emits
@@ -625,7 +623,6 @@ def s02_operator_parts(spark: SparkSession, sf_dir: str):
     # wanting a cheaper scan lower n_probe and trade recall explicitly.
     oracle=_ANN_CONTRACT_RECALL_ORACLE,
     tags=("similarity", "llm", "ivf"),
-    defer=True,
 )
 def s03_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-5: k-means coarse cells, n_probe nearest probed;
@@ -801,7 +798,6 @@ _PII_REDACT_SQL = (
     FROM feats
     """,
     tags=("text", "llm", "pii", "repetition"),
-    defer=True,
 )
 def t01_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token statistics (whitespace + BPE-ish counts, distinct tokens, avg
@@ -860,6 +856,7 @@ _SCORES_SQL = ",\n".join(
     FROM pred GROUP BY lang, lang_pred
     """,
     tags=("text", "llm", "langid"),
+    defer=True,
 )
 def t03_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-based language ID, summarized as metadata-lang × predicted."""
@@ -894,6 +891,7 @@ def t03_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM base b LEFT JOIN sk USING (doc_id)
     """,
     tags=("text", "llm", "fingerprint"),
+    defer=True,
 )
 def t04_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash document fingerprint: bottom-4 sketch of 8-gram hashes.
@@ -924,7 +922,6 @@ def t04_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM s
     """,
     tags=("text", "llm", "chunking"),
-    defer=True,
 )
 def t05_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping token-window chunking (64-token chunks, 16-token overlap):
@@ -961,7 +958,6 @@ def t05_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     HAVING COUNT(b.g) > 0
     """,
     tags=("text", "llm", "contamination", "dedup"),
-    defer=True,
 )
 def t06_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-set decontamination: flag corpus docs sharing 5-token grams
@@ -989,6 +985,7 @@ def t06_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents
     """,
     tags=("multimodal", "llm", "pandas-udf"),
+    defer=True,
 )
 def mm01_payload_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Opaque binary payload + typed JVM-side metadata (mime, size,
@@ -1025,7 +1022,6 @@ def mm01_payload_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM f
     """,
     tags=("multimodal", "llm", "video"),
-    defer=True,
     # Deferred from the driver window: the multimodal mapInPandas path is
     # checked via mm01, and the per-frame contents have an exact pytest
     # (test_multimodal.py); the local differential gate still runs this.
@@ -1085,7 +1081,6 @@ def mm03_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM emb e JOIN cnt c USING (doc_id)
     """,
     tags=("llm", "text", "embedding", "similarity"),
-    defer=True,
 )
 def t07_hashed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-hashed document embeddings (operators/embeddings.py): the
@@ -1179,6 +1174,7 @@ def t07_hashed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE d.doc_id IS NULL
     """,
     tags=("llm", "pipeline", "dedup", "text"),
+    defer=True,
 )
 def c01_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus preparation (operators/corpus.py): quality gate →
@@ -1213,7 +1209,6 @@ def c01_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM counts
     """,
     tags=("text", "llm", "vocab"),
-    defer=True,
 )
 def t09_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequency-ranked token vocabulary + cumulative coverage curve
@@ -1249,7 +1244,6 @@ def t09_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.old_fp <> n.new_fp
     """,
     tags=("llm", "pipeline", "diff"),
-    defer=True,
 )
 def c02_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus snapshot diff (operators/corpus.py corpus_diff): classify every
@@ -1314,7 +1308,6 @@ _UHASH = _UHASH_SRC
        OR {_UHASH.format(salt='budget').replace('doc_id', 's.doc_id')} < 20000.0 / tot.total
     """,
     tags=("llm", "sampling", "mix"),
-    defer=True,
 )
 def s04_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-mix construction (operators/sampling.py):
@@ -1365,6 +1358,7 @@ def s04_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM isl GROUP BY doc_id, grp
     """,
     tags=("llm", "dedup", "text"),
+    defer=True,
 )
 def d06_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring span dedup (operators/dedup.py exact_substring_spans):
@@ -1481,7 +1475,6 @@ _GOPHER_REQ_SQL = " + ".join(
     FROM feats
     """,
     tags=("text", "llm", "quality", "gopher"),
-    defer=True,
 )
 def t10_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher quality-rule evaluation (operators/quality.py) over the corpus
@@ -1630,7 +1623,6 @@ def t12_bpe_subwords(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY 1, 2
     """,
     tags=("multimodal", "dedup", "phash"),
-    defer=True,
 )
 def mm04_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-dup over the multimodal payload column: perceptual aHash
@@ -1645,6 +1637,40 @@ def mm04_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     payloads = multimodal.attach_payload(bucketed, "text")
     pairs = multimodal.image_neardup_pairs(payloads, "doc_id", max_hamming=0)
+    return pairs.orderBy("id_a", "id_b")
+
+
+@register(
+    "mm05_audio_neardup",
+    # Same contract shape as mm04: the chromaprint-style fingerprint VALUES
+    # have no SQL twin (chained sha256 chroma stub), but at max_hamming=0
+    # the OUTPUT is fully determined by payload equality — identical
+    # payloads → identical fingerprints → hamming 0, and distinct payloads
+    # never collide on this fixture (asserted in test_multimodal.py, the
+    # mm04/test_phash.py precondition) — so the oracle states the exact
+    # pair set from the doc_id % 89 bucketing alone and the driver
+    # hash-checks the whole dedup output.
+    oracle="""
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS INT) AS hamming
+    FROM documents a JOIN documents b
+      ON a.doc_id % 89 = b.doc_id % 89 AND a.doc_id < b.doc_id
+    ORDER BY 1, 2
+    """,
+    tags=("multimodal", "dedup", "audio"),
+)
+def mm05_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup over the multimodal payload column: chromaprint-style
+    60-bit delta fingerprint (mapInPandas, stub chroma decode) + hamming
+    chunk blocking — the audio twin of mm04's image aHash, reusing
+    ``dedup.hamming_blocked_pairs`` verbatim (VERDICT r5 #8). Duplicate
+    payloads are synthesized by bucketing doc text so the fixture corpus
+    actually contains clip-level dups to find."""
+    docs = load_table(spark, "documents", sf_dir)
+    bucketed = docs.select(
+        "doc_id", F.concat(F.lit("aud-"), (F.col("doc_id") % 89).cast("string")).alias("text")
+    )
+    payloads = multimodal.attach_payload(bucketed, "text")
+    pairs = multimodal.audio_neardup_pairs(payloads, "doc_id", max_hamming=0)
     return pairs.orderBy("id_a", "id_b")
 
 
@@ -1685,7 +1711,6 @@ def mm04_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM dl l LEFT JOIN scored s USING (doc_id)
     """,
     tags=("text", "llm", "relevance", "bm25"),
-    defer=True,
 )
 def t13_bm25_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 ranking of every document against a seed query
@@ -1723,7 +1748,6 @@ def t13_bm25_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM tf t JOIN dfreq d USING (term) CROSS JOIN n
     """,
     tags=("text", "llm", "relevance", "tfidf"),
-    defer=True,
 )
 def t14_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(doc, term) TF-IDF with smooth idf (scikit-learn convention) —
@@ -1775,7 +1799,6 @@ def t14_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
           < least(1.0, score_micro / 1000000.0 * 0.3)
     """,
     tags=("llm", "sampling", "relevance", "importance"),
-    defer=True,
 )
 def t15_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-shaped in-domain selection: BM25-score the corpus against a
@@ -1811,7 +1834,6 @@ def t15_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE len({_TOKS.format(col='nt')}) >= 5
     """,
     tags=("llm", "contamination", "bloom"),
-    defer=True,
 )
 def t16_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter contamination pass (operators/contamination.py

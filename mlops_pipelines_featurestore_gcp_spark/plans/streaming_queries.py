@@ -37,7 +37,6 @@ from mlops_pipelines_featurestore_gcp_spark.streaming.windows import (
     GROUP BY 1, 2, 3
     """,
     tags=("streaming", "window"),
-    defer=True,
 )
 def st01_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-hour tumbling count+sum per event type. The sum accumulates in
@@ -73,6 +72,7 @@ def st01_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1, 2
     """,
     tags=("streaming", "window"),
+    defer=True,
 )
 def st02_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-hour windows sliding every 30 min — each event in exactly 2
@@ -114,6 +114,7 @@ def st02_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY user_id, sess_id
     """,
     tags=("streaming", "window", "session"),
+    defer=True,
 )
 def st03_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """30-min-gap session windows per user (gaps-and-islands as the oracle)."""
@@ -142,6 +143,7 @@ def st03_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ranked WHERE rn = 1
     """,
     tags=("streaming", "dedup"),
+    defer=True,
 )
 def st04_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """At-least-once → exactly-once: first-wins dedup on the message key
@@ -169,6 +171,7 @@ def st04_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1
     """,
     tags=("streaming", "watermark"),
+    defer=True,
 )
 def st05_late_data_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark semantics in batch form: drop events older than
@@ -199,6 +202,7 @@ def st05_late_data_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY bucket, event_type
     """,
     tags=("streaming", "rollup", "hypertable", "incremental"),
+    defer=True,
 )
 def st06_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style continuous aggregate (streaming/rollup.py): the
