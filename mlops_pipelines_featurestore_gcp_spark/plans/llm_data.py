@@ -734,6 +734,39 @@ def s05_ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_contract(out, emb, dim=dim, k=5, exact_k=True, queries=queries)
 
 
+@register(
+    "s08_ann_pq_topk",
+    # Product-quantization ADC (Jégou et al. 2011) — the 32× memory tier
+    # of the ANN family (64 float dims → 8 one-byte codes). Codebook
+    # training is driver-side seeded k-means on a deterministic
+    # md5-ordered ≤2048-vector sample; code assignment is engine-specific
+    # numeric state, so like s03 the driver-checked surface is the ANN
+    # contract: exact_k (the ADC stage scans every code, shortlist ≥ k),
+    # exact-rescore parity, contiguous ranks, monotone scores, and the
+    # sampled recall@5 floor. Measured recall at m=8/shortlist=32:
+    # 0.92 (sf0.01) / 0.88 (sf0.1) / 0.925 (10×) — floor 0.7.
+    oracle=_ANN_CONTRACT_RECALL_ORACLE,
+    tags=("similarity", "llm", "quantization", "pq"),
+)
+def s08_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage PQ top-5: asymmetric-distance shortlist over 8-byte PQ
+    codes (map-side-pruned Arrow kernel), exact float rescore of
+    survivors; emits the shared per-query ANN contract flags plus the
+    sampled recall floor."""
+    emb, queries, out = s08_operator_parts(spark, sf_dir)
+    return _ann_contract(
+        out, emb, dim=64, k=5, exact_k=True, recall_floor=0.7, queries=queries
+    )
+
+
+def s08_operator_parts(spark: SparkSession, sf_dir: str):
+    """(emb, queries, operator output) for s08 — see s02_operator_parts."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    out = similarity.pq_topk(emb, queries, dim=64, m=8, k=5, shortlist=32)
+    return emb, queries, out
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
@@ -1583,6 +1616,7 @@ def t11_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM range(8)
     """,
     tags=("text", "llm", "tokenizer", "bpe"),
+    defer=True,
 )
 def t12_bpe_subwords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE (operators/bpe.py): learn 8 merges from the corpus

@@ -1,0 +1,85 @@
+"""Product-quantization ANN (operators/similarity.py pq_* — Jégou et al.
+2011, the 32× memory tier of the similarity family)."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from mlops_pipelines_featurestore_gcp_spark.operators import similarity
+
+DIM, M = 16, 4
+
+
+def _emb(spark, n=80, seed=3):
+    rng = np.random.RandomState(seed)
+    base = rng.randn(8, DIM)
+    rows = []
+    for i in range(n):
+        v = base[i % 8] + rng.randn(DIM) * 0.15  # 8 loose clusters
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_pq_train_is_deterministic_and_shaped(spark):
+    emb = _emb(spark)
+    b1 = similarity.pq_train(emb, dim=DIM, m=M, sample=64, seed=7)
+    b2 = similarity.pq_train(emb, dim=DIM, m=M, sample=64, seed=7)
+    assert b1.shape[0] == M and b1.shape[2] == DIM // M
+    assert np.array_equal(b1, b2)  # seeded driver-side fit, no engine RNG
+
+
+def test_pq_encode_codes_are_nearest_and_rnorm_consistent(spark):
+    emb = _emb(spark, n=40)
+    books = similarity.pq_train(emb, dim=DIM, m=M, sample=40, seed=7)
+    enc = {r.neighbor_id: (list(r.codes), r.rnorm) for r in similarity.pq_encode(emb, books).collect()}
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in emb.collect()}
+    dsub = DIM // M
+    for vid, (codes, rnorm) in enc.items():
+        v = vecs[vid]
+        expect_rn = 0.0
+        for s, c in enumerate(codes):
+            sub = v[s * dsub : (s + 1) * dsub]
+            d2 = ((books[s] - sub) ** 2).sum(axis=1)
+            assert d2[c] <= d2.min() + 1e-9  # assigned code IS the argmin
+            expect_rn += (books[s][c] ** 2).sum()
+        assert abs(rnorm - expect_rn) < 1e-6
+
+
+def test_pq_topk_exact_k_and_rescore_parity(spark):
+    emb = _emb(spark)
+    out = similarity.pq_topk(emb, emb.where(F.col("vec_id") % 10 == 0), dim=DIM, m=M, k=5, shortlist=12, sample=80)
+    rows = out.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r)
+    assert set(per_q) == {0, 10, 20, 30, 40, 50, 60, 70}
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in emb.collect()}
+    for q, rs in per_q.items():
+        assert len(rs) == 5  # exact k — ADC scans everything
+        assert sorted(r.rnk for r in rs) == [1, 2, 3, 4, 5]
+        sims = [r.cos_sim for r in sorted(rs, key=lambda r: r.rnk)]
+        assert all(a >= b for a, b in zip(sims, sims[1:]))  # monotone
+        for r in rs:  # reported score is the EXACT rounded cosine
+            a, b = vecs[q], vecs[r.neighbor_id]
+            exact = round(float(a @ b / np.sqrt((a @ a) * (b @ b))), 6)
+            assert abs(r.cos_sim - exact) < 1e-9
+
+
+def test_pq_topk_recall_beats_floor_on_clustered_fixture(spark):
+    emb = _emb(spark, n=120)
+    queries = emb.where(F.col("vec_id") % 10 == 0)
+    truth = similarity.brute_force_topk(emb, queries, k=5, dim=DIM).select("query_id", "neighbor_id")
+    out = similarity.pq_topk(emb, queries, dim=DIM, m=M, k=5, shortlist=24, sample=120)
+    hit = truth.join(out.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]).count()
+    assert hit / truth.count() >= 0.7
+
+
+def test_pq_topk_accepts_prebuilt_index(spark):
+    emb = _emb(spark, n=40)
+    queries = emb.where(F.col("vec_id") % 10 == 0)
+    books = similarity.pq_train(emb, dim=DIM, m=M, sample=40, seed=42)
+    codes = similarity.pq_encode(emb, books)
+    a = similarity.pq_topk(emb, queries, dim=DIM, m=M, k=3, shortlist=10, codebooks=books, corpus_codes=codes)
+    b = similarity.pq_topk(emb, queries, dim=DIM, m=M, k=3, shortlist=10, sample=40)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

@@ -34,6 +34,7 @@ EXTRA = [
     "s07_per_source_cap",
     "s02_ann_lsh_topk",
     "s03_ann_ivf_topk",
+    "s08_ann_pq_topk",
     "t10_gopher_quality",
     "t11_unigram_lm_score",
     "s06_leakage_safe_split",
@@ -82,6 +83,7 @@ def _operator_only_frames(spark, sf_dir):
     return {
         "s02_ann_lsh_topk (operator only)": lambda: llm_data.s02_operator_parts(spark, sf_dir)[2],
         "s03_ann_ivf_topk (operator only)": lambda: llm_data.s03_operator_parts(spark, sf_dir)[2],
+        "s08_ann_pq_topk (operator only)": lambda: llm_data.s08_operator_parts(spark, sf_dir)[2],
     }
 
 
@@ -115,7 +117,9 @@ def main() -> None:
         # plan is a real regression. s02/s03 joined in round 5: their
         # recall verifier brute-forces an ABSOLUTE 32-query sample
         # (broadcast query set, O(32N)) plus a size-1 flag crossJoin.
-        expected_cartesian = name.startswith(("s01", "s02", "s03", "f06", "t11"))
+        # s08's registered form carries the same 32-query recall verifier
+        # (broadcast-query brute force) — by design, like s02/s03.
+        expected_cartesian = name.startswith(("s01", "s02", "s03", "s08", "f06", "t11"))
         flag = " (by design: broadcast query set)" if a["cartesian"] and expected_cartesian else (" ⚠" if a["cartesian"] else "")
         print(
             f"| {name} | {a['exchanges']} | {a['bhj']} | {a['smj']} | {a['cartesian']}{flag} "
