@@ -939,6 +939,84 @@ def pq_topk(
     return rescored.withColumn("rnk", F.row_number().over(w2)).where(F.col("rnk") <= k)
 
 
+def build_pq_index(
+    corpus: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    m: int = 8,
+    sample: int = 2048,
+    seed: int = 42,
+) -> None:
+    """Persist a PQ index: codebooks + 8-byte codes, built once.
+
+    ``{path}/codebooks`` holds the m×ksub codeword table (KBs);
+    ``{path}/codes`` holds one (id, codes, rnorm) row per corpus vector —
+    the 32×-compressed scan set every subsequent ``pq_search`` reads
+    instead of the float corpus. Like ``build_ivf_index``, the train +
+    encode passes amortize across every query batch; rebuild when the
+    corpus distribution drifts (the published PQ maintenance trade).
+    """
+    books = pq_train(
+        corpus, id_col=id_col, vec_col=vec_col, dim=dim, m=m, sample=sample, seed=seed
+    )
+    spark = corpus.sparkSession
+    mm, ksub, dsub = books.shape
+    rows = [
+        (s, j, [float(x) for x in books[s, j]]) for s in range(mm) for j in range(ksub)
+    ]
+    spark.createDataFrame(rows, "s int, j int, centroid array<double>").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/codebooks")
+    pq_encode(corpus, books, id_col=id_col, vec_col=vec_col).write.mode("overwrite").parquet(
+        f"{path}/codes"
+    )
+
+
+def pq_search(
+    spark,
+    path: str,
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    k: int = 5,
+    shortlist: int = 32,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Approximate top-k against a persisted PQ index (``build_pq_index``).
+
+    The ADC stage scans ONLY ``{path}/codes``; ``corpus`` (the float
+    table) is touched just for the shortlist×|queries| rescore rows the
+    join prunes to — the scan-side I/O saving is the whole point of PQ.
+    """
+    cb_rows = spark.read.parquet(f"{path}/codebooks").collect()
+    mm = max(r["s"] for r in cb_rows) + 1
+    ksub = max(r["j"] for r in cb_rows) + 1
+    dsub = len(cb_rows[0]["centroid"])
+    books = np.empty((mm, ksub, dsub), dtype=np.float64)
+    for r in cb_rows:
+        books[r["s"], r["j"]] = r["centroid"]
+    codes = spark.read.parquet(f"{path}/codes")
+    return pq_topk(
+        corpus,
+        queries,
+        id_col=id_col,
+        vec_col=vec_col,
+        dim=dim,
+        m=mm,
+        k=k,
+        shortlist=shortlist,
+        round_digits=round_digits,
+        codebooks=books,
+        corpus_codes=codes,
+    )
+
+
 def semantic_dedup_pairs(
     corpus: DataFrame,
     *,

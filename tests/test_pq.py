@@ -83,3 +83,13 @@ def test_pq_topk_accepts_prebuilt_index(spark):
     a = similarity.pq_topk(emb, queries, dim=DIM, m=M, k=3, shortlist=10, codebooks=books, corpus_codes=codes)
     b = similarity.pq_topk(emb, queries, dim=DIM, m=M, k=3, shortlist=10, sample=40)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_persisted_pq_index_roundtrip(spark, tmp_path):
+    emb = _emb(spark, n=60)
+    queries = emb.where(F.col("vec_id") % 10 == 0)
+    path = str(tmp_path / "pqidx")
+    similarity.build_pq_index(emb, path, dim=DIM, m=M, sample=60)
+    a = similarity.pq_search(spark, path, emb, queries, dim=DIM, k=3, shortlist=10)
+    b = similarity.pq_topk(emb, queries, dim=DIM, m=M, k=3, shortlist=10, sample=60)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

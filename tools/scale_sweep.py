@@ -34,7 +34,10 @@ DEFAULT = ["d02_minhash_lsh_neardup", "d03_ngram_jaccard_neardup", "d04_simhash_
            # the events-replicated streaming family (its 10x gate run
            # caught the raw-double-sum and HLL-exact-flag scale bugs)
            "d08_keep_best_exact", "t17_soft_dedup_weights", "s07_per_source_cap",
-           "t06_contamination_check", "st03_session_window", "st06_continuous_rollup"]
+           "t06_contamination_check", "st03_session_window", "st06_continuous_rollup",
+           # round 6: the PQ ADC tier (operator-only, like d07 — the
+           # registered form carries the 32-query recall verifier)
+           "s08_ann_pq_topk"]
 COPIES = 10
 
 
@@ -211,6 +214,10 @@ def _swept_df(name: str, spark, sf_dir: str):
 
         emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
         return similarity.semantic_dedup_pairs(emb, threshold=0.45, dim=64)
+    if name == "s08_ann_pq_topk":
+        from mlops_pipelines_featurestore_gcp_spark.plans import llm_data
+
+        return llm_data.s08_operator_parts(spark, sf_dir)[2]
     return plans.QUERIES[name].fn(spark, sf_dir)
 
 
