@@ -767,6 +767,37 @@ def s08_operator_parts(spark: SparkSession, sf_dir: str):
     return emb, queries, out
 
 
+@register(
+    "s09_ann_ivfpq_topk",
+    # The FAISS IVFADC composition (Jégou et al. 2011 §IV): coarse cells
+    # prune WHICH vectors are scored (~⅓ of the corpus at the s03 probe
+    # fraction), residual PQ compresses WHAT is scored (32×). Like
+    # s02/s03/s08, the quantizer state is engine-side numeric fitting, so
+    # the driver-checked surface is the ANN contract incl. the sampled
+    # recall@5 floor. at_most_k (not exact_k): probed cells can hold
+    # fewer than k foreign vectors. Measured recall at m=8/shortlist=48:
+    # 0.78 (sf0.01) / 0.81 (sf0.1) / 0.917 (10×) — floor 0.65, the same
+    # ~20% relative margin policy as s02's 0.835→0.7. The recall gap to
+    # full-scan PQ (s08: 0.88+) is the documented IVF pruning trade.
+    oracle=_ANN_CONTRACT_RECALL_ORACLE,
+    tags=("similarity", "llm", "ivf", "pq"),
+)
+def s09_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-5: √N coarse cells probed at the ⅓ fraction, ADC over
+    residual PQ codes inside probed cells only, exact float rescore;
+    emits the shared ANN contract flags plus the sampled recall floor."""
+    emb, queries, out = s09_operator_parts(spark, sf_dir)
+    return _ann_contract(out, emb, dim=64, k=5, recall_floor=0.65, queries=queries)
+
+
+def s09_operator_parts(spark: SparkSession, sf_dir: str):
+    """(emb, queries, operator output) for s09 — see s02_operator_parts."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    out = similarity.ivf_pq_topk(emb, queries, dim=64, m=8, k=5, shortlist=48)
+    return emb, queries, out
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

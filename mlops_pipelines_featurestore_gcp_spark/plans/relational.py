@@ -998,6 +998,7 @@ def q31_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY event_type
     """,
     tags=("agg", "approx", "sketch"),
+    defer=True,
 )
 def q32_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates per event_type: approx_count_distinct (HLL++) and

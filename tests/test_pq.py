@@ -93,3 +93,32 @@ def test_persisted_pq_index_roundtrip(spark, tmp_path):
     a = similarity.pq_search(spark, path, emb, queries, dim=DIM, k=3, shortlist=10)
     b = similarity.pq_topk(emb, queries, dim=DIM, m=M, k=3, shortlist=10, sample=60)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_ivf_pq_topk_contract_and_recall(spark):
+    emb = _emb(spark, n=120)
+    queries = emb.where(F.col("vec_id") % 10 == 0)
+    out = similarity.ivf_pq_topk(emb, queries, dim=DIM, m=M, k=5, shortlist=24, sample=120)
+    rows = out.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r)
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in emb.collect()}
+    for q, rs in per_q.items():
+        assert len(rs) <= 5
+        assert sorted(r.rnk for r in rs) == list(range(1, len(rs) + 1))
+        for r in rs:  # exact rescore parity
+            a, b = vecs[q], vecs[r.neighbor_id]
+            exact = round(float(a @ b / np.sqrt((a @ a) * (b @ b))), 6)
+            assert abs(r.cos_sim - exact) < 1e-9
+    truth = similarity.brute_force_topk(emb, queries, k=5, dim=DIM).select("query_id", "neighbor_id")
+    hit = truth.join(out.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]).count()
+    assert hit / truth.count() >= 0.6  # clustered fixture, cells prune
+
+
+def test_ivf_pq_topk_is_deterministic(spark):
+    emb = _emb(spark, n=80)
+    queries = emb.where(F.col("vec_id") % 20 == 0)
+    a = similarity.ivf_pq_topk(emb, queries, dim=DIM, m=M, k=3, shortlist=12, sample=80)
+    b = similarity.ivf_pq_topk(emb, queries, dim=DIM, m=M, k=3, shortlist=12, sample=80)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

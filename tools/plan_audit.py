@@ -35,6 +35,7 @@ EXTRA = [
     "s02_ann_lsh_topk",
     "s03_ann_ivf_topk",
     "s08_ann_pq_topk",
+    "s09_ann_ivfpq_topk",
     "t10_gopher_quality",
     "t11_unigram_lm_score",
     "s06_leakage_safe_split",
@@ -84,6 +85,7 @@ def _operator_only_frames(spark, sf_dir):
         "s02_ann_lsh_topk (operator only)": lambda: llm_data.s02_operator_parts(spark, sf_dir)[2],
         "s03_ann_ivf_topk (operator only)": lambda: llm_data.s03_operator_parts(spark, sf_dir)[2],
         "s08_ann_pq_topk (operator only)": lambda: llm_data.s08_operator_parts(spark, sf_dir)[2],
+        "s09_ann_ivfpq_topk (operator only)": lambda: llm_data.s09_operator_parts(spark, sf_dir)[2],
     }
 
 
@@ -119,7 +121,7 @@ def main() -> None:
         # (broadcast query set, O(32N)) plus a size-1 flag crossJoin.
         # s08's registered form carries the same 32-query recall verifier
         # (broadcast-query brute force) — by design, like s02/s03.
-        expected_cartesian = name.startswith(("s01", "s02", "s03", "s08", "f06", "t11"))
+        expected_cartesian = name.startswith(("s01", "s02", "s03", "s08", "s09", "f06", "t11"))
         flag = " (by design: broadcast query set)" if a["cartesian"] and expected_cartesian else (" ⚠" if a["cartesian"] else "")
         print(
             f"| {name} | {a['exchanges']} | {a['bhj']} | {a['smj']} | {a['cartesian']}{flag} "
