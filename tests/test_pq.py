@@ -122,3 +122,30 @@ def test_ivf_pq_topk_is_deterministic(spark):
     a = similarity.ivf_pq_topk(emb, queries, dim=DIM, m=M, k=3, shortlist=12, sample=80)
     b = similarity.ivf_pq_topk(emb, queries, dim=DIM, m=M, k=3, shortlist=12, sample=80)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def _as_pairs(df):
+    return sorted((r.query_id, r.neighbor_id, r.cos_sim, r.rnk) for r in df.collect())
+
+
+def test_pq_with_exhaustive_shortlist_equals_brute_force(spark):
+    """The exact-rescore stage makes both PQ tiers EQUAL brute force when
+    the shortlist covers the corpus — quantization can then only reorder
+    the shortlist, never drop a true neighbor. Pins that approximation
+    error lives ONLY in shortlist pruning, never in reported scores."""
+    emb = _emb(spark, n=50, seed=11)
+    queries = emb.where(F.col("vec_id") % 10 == 0)
+    truth = similarity.brute_force_topk(emb, queries, k=4, dim=DIM)
+    got = similarity.pq_topk(emb, queries, dim=DIM, m=M, k=4, shortlist=50, sample=50)
+    assert _as_pairs(got) == _as_pairs(truth)
+
+
+def test_ivf_pq_probe_all_cells_exhaustive_equals_brute_force(spark):
+    emb = _emb(spark, n=50, seed=12)
+    queries = emb.where(F.col("vec_id") % 10 == 0)
+    truth = similarity.brute_force_topk(emb, queries, k=4, dim=DIM)
+    got = similarity.ivf_pq_topk(
+        emb, queries, dim=DIM, m=M, k=4, shortlist=50, sample=50,
+        n_centroids=8, n_probe=8,
+    )
+    assert _as_pairs(got) == _as_pairs(truth)
