@@ -1164,6 +1164,36 @@ def build_pq_index(
     )
 
 
+def pq_upsert(
+    spark,
+    path: str,
+    batch: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental ingest into a persisted PQ index (``build_pq_index``).
+
+    New vectors are encoded against the EXISTING codebooks (no refit —
+    the serving-time contract, mirroring ``ivf_upsert``) and appended to
+    ``{path}/codes``; ingest cost ∝ batch size. Codebooks drift as the
+    corpus distribution moves — rebuild when recall degrades (the
+    published PQ maintenance trade). Re-appending the same batch
+    duplicates rows; dedupe ids upstream or rebuild — documented, not
+    hidden.
+    """
+    cb_rows = spark.read.parquet(f"{path}/codebooks").collect()
+    mm = max(r["s"] for r in cb_rows) + 1
+    ksub = max(r["j"] for r in cb_rows) + 1
+    dsub = len(cb_rows[0]["centroid"])
+    books = np.empty((mm, ksub, dsub), dtype=np.float64)
+    for r in cb_rows:
+        books[r["s"], r["j"]] = r["centroid"]
+    pq_encode(batch, books, id_col=id_col, vec_col=vec_col).write.mode("append").parquet(
+        f"{path}/codes"
+    )
+
+
 def pq_search(
     spark,
     path: str,

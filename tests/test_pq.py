@@ -149,3 +149,25 @@ def test_ivf_pq_probe_all_cells_exhaustive_equals_brute_force(spark):
         n_centroids=8, n_probe=8,
     )
     assert _as_pairs(got) == _as_pairs(truth)
+
+
+def test_pq_upsert_appends_batch_and_search_sees_it(spark, tmp_path):
+    emb = _emb(spark, n=50)
+    old = emb.where(F.col("vec_id") < 40)
+    new = emb.where(F.col("vec_id") >= 40)
+    path = str(tmp_path / "pqidx")
+    similarity.build_pq_index(old, path, dim=DIM, m=M, sample=40)
+    n0 = spark.read.parquet(f"{path}/codes").count()
+    similarity.pq_upsert(spark, path, new)
+    codes = spark.read.parquet(f"{path}/codes")
+    assert codes.count() == n0 + 10  # batch-proportional append
+    # upserted ids are encoded with the ORIGINAL codebooks: re-encoding
+    # the same rows yields identical codes
+    books = similarity.pq_train(old, dim=DIM, m=M, sample=40)
+    expect = {r.neighbor_id: list(r.codes) for r in similarity.pq_encode(new, books).collect()}
+    got = {r.neighbor_id: list(r.codes) for r in codes.where(F.col("neighbor_id") >= 40).collect()}
+    assert got == expect
+    # search over the upserted index can return new ids
+    queries = emb.where(F.col("vec_id") == 0)
+    out = similarity.pq_search(spark, path, emb, queries, dim=DIM, k=50 - 1, shortlist=60)
+    assert {r.neighbor_id for r in out.collect()} == set(range(1, 50))
