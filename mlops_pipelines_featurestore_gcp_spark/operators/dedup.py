@@ -363,6 +363,26 @@ def ngram_jaccard_pairs(
         .select(F.col(id_col), md5_long(F.col("gram"), bits=60).alias("h"))
         .distinct()
     )
+    return key_jaccard_pairs(hashed, id_col, threshold=threshold, max_df=max_df)
+
+
+def key_jaccard_pairs(
+    hashed: DataFrame,
+    id_col: str,
+    *,
+    key_col: str = "h",
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact set-Jaccard pairs over ANY (id, key) element table — the
+    inverted-index machinery of :func:`ngram_jaccard_pairs` factored out
+    so non-text element sets (video frame fingerprints, any feature-set
+    column) reuse it. ``hashed`` must already be DISTINCT on
+    (id, key) — set semantics are the caller's hashing contract.
+    ``max_df`` is the hot-key candidate cap (see ngram_jaccard_pairs);
+    surviving pairs are always rescored exactly."""
+    if key_col != "h":
+        hashed = hashed.withColumnRenamed(key_col, "h")
     if max_df is None:
         a = hashed.select(F.col(id_col).alias("doc_a"), "h")
         b = hashed.select(F.col(id_col).alias("doc_b"), "h")
@@ -382,8 +402,8 @@ def ngram_jaccard_pairs(
             .where(F.col("jaccard") >= threshold)
             .select("doc_a", "doc_b", "jaccard")
         )
-    # capped path: per-doc distinct gram-hash sets once (one partial-combined
-    # shuffle, the minhash_lsh_pairs shape), candidates only from cool grams
+    # capped path: per-doc distinct key sets once (one partial-combined
+    # shuffle, the minhash_lsh_pairs shape), candidates only from cool keys
     doc_sets = hashed.groupBy(id_col).agg(F.collect_set("h").alias("__hs")).localCheckpoint(eager=False)
     cool = hashed.groupBy("h").agg(F.countDistinct(id_col).alias("__df")).where(F.col("__df") <= max_df)
     index = hashed.join(cool.select("h"), "h")

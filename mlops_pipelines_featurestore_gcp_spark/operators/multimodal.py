@@ -217,6 +217,48 @@ def perceptual_hash(
     return df.mapInPandas(_hash, schema)
 
 
+def video_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    *,
+    payload_col: str = "payload",
+    frame_bytes: int = 64,
+    every: int = 2,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Video near-dup via sampled-frame fingerprint Jaccard —
+    (id_a, id_b, jaccard).
+
+    The published keyframe-dedup shape: sample frames
+    (:func:`frame_sample`), fingerprint each (md5 of the frame bytes —
+    pure JVM, already emitted as ``frame_meta.fingerprint``), and score
+    video pairs by exact Jaccard over their DISTINCT frame-fingerprint
+    sets — two clips sharing most frames (re-encodes, trims, re-uploads
+    with a new intro) score high even though their byte streams differ.
+    Shared machinery: fingerprints fold to 60-bit longs and run through
+    ``dedup.key_jaccard_pairs`` (the d03 inverted index — one narrow-key
+    equi shuffle, Σ df² candidates, ``max_df`` hot-frame cap for
+    boilerplate frames like black/intro cards).
+
+    Unlike image aHash (mm04) / audio chroma (mm05), NOTHING here is
+    stub-decoded: frame splitting and md5 are byte-exact JVM expressions,
+    so a SQL oracle can replay the ENTIRE pipeline value-for-value.
+    """
+    from mlops_pipelines_featurestore_gcp_spark.functions.text import md5_long
+    from mlops_pipelines_featurestore_gcp_spark.operators.dedup import key_jaccard_pairs
+
+    frames = frame_sample(df, payload_col=payload_col, frame_bytes=frame_bytes, every=every)
+    hashed = (
+        frames.select(
+            F.col(id_col),
+            md5_long(F.col("frame_meta.fingerprint"), bits=60).alias("h"),
+        )
+        .distinct()
+    )
+    return key_jaccard_pairs(hashed, id_col, threshold=threshold, max_df=max_df)
+
+
 AFP_BITS = 60
 _AFP_FRAMES = 6  # chroma frames in the stub decode (need AFP_BITS/12 + 1)
 

@@ -1581,6 +1581,7 @@ def t10_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM fp JOIN groups g USING (f)
     """,
     tags=("sampling", "llm", "split", "dedup"),
+    defer=True,
 )
 def s06_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/val split (operators/sampling.py): the split draw
@@ -1737,6 +1738,70 @@ def mm05_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads = multimodal.attach_payload(bucketed, "text")
     pairs = multimodal.audio_neardup_pairs(payloads, "doc_id", max_hamming=0)
     return pairs.orderBy("id_a", "id_b")
+
+
+@register(
+    "mm06_video_neardup",
+    # Unlike mm04/mm05 (stub-decoded signatures → structural pair-set
+    # oracles), EVERY stage here is byte-exact JVM expression — frame
+    # windows, md5 fingerprints, the 60-bit fold, set Jaccard — so the
+    # oracle replays the ENTIRE pipeline value-for-value: a FULL
+    # differential check, the strongest oracle form in the mm family.
+    # Videos are synthesized per doc as shared-bucket intro (repeat
+    # period collapses its distinct frames) + unique body, so same-bucket
+    # pairs share exactly the aligned intro frames.
+    oracle=f"""
+    WITH vids AS (
+      SELECT doc_id,
+             repeat('P' || CAST(doc_id % 89 AS VARCHAR) || '#', 120) ||
+             repeat('s' || CAST(doc_id AS VARCHAR) || '.', 60) AS vt
+      FROM documents
+    ),
+    fr AS (
+      -- constant series bound (DuckDB's generate_series rejects lateral
+      -- column parameters): max video length is 480B intro + 60×(2+digits)
+      -- body < 33×64B even at the 100× corpus's widest doc_id
+      SELECT doc_id,
+             md5(substring(vt, j.generate_series * 64 + 1, 64)) AS fp
+      FROM vids, generate_series(0, 32) j
+      WHERE j.generate_series % 2 = 0
+        AND j.generate_series <= (length(vt) - 1) // 64
+    ),
+    hashed AS (SELECT DISTINCT doc_id, {_md5_long_sql('fp', 15)} AS h FROM fr),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM hashed GROUP BY doc_id),
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni
+      FROM hashed a JOIN hashed b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT c.id_a, c.id_b, c.ni / (sa.n + sb.n - c.ni) AS jaccard
+    FROM cand c
+    JOIN sizes sa ON sa.doc_id = c.id_a
+    JOIN sizes sb ON sb.doc_id = c.id_b
+    WHERE c.ni / (sa.n + sb.n - c.ni) >= 0.08
+    """,
+    tags=("multimodal", "dedup", "video", "jaccard"),
+)
+def mm06_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup over sampled-frame fingerprints: frame_sample →
+    JVM md5 per frame → exact Jaccard over distinct frame sets via the
+    shared d03 inverted index (`dedup.key_jaccard_pairs`). Completes the
+    image (mm04) / audio (mm05) / video near-dup triplet on one blocking
+    machinery. Synthesized videos: same-bucket clips share an aligned
+    intro (re-upload-with-new-body, the canonical video-dedup case);
+    ASCII payloads keep byte windows == char windows so both engines
+    fingerprint identical bytes."""
+    docs = load_table(spark, "documents", sf_dir)
+    unit_p = F.concat(F.lit("P"), (F.col("doc_id") % 89).cast("string"), F.lit("#"))
+    unit_s = F.concat(F.lit("s"), F.col("doc_id").cast("string"), F.lit("."))
+    vids = docs.select(
+        "doc_id", F.concat(F.repeat(unit_p, 120), F.repeat(unit_s, 60)).alias("text")
+    )
+    payloads = multimodal.attach_payload(vids, "text", mime="video/raw")
+    pairs = multimodal.video_neardup_pairs(payloads, "doc_id", threshold=0.08)
+    return pairs.select(
+        F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"), "jaccard"
+    )
 
 
 @register(

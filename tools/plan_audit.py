@@ -36,6 +36,7 @@ EXTRA = [
     "s03_ann_ivf_topk",
     "s08_ann_pq_topk",
     "s09_ann_ivfpq_topk",
+    "mm06_video_neardup",
     "t10_gopher_quality",
     "t11_unigram_lm_score",
     "s06_leakage_safe_split",
