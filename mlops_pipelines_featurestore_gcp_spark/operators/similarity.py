@@ -895,7 +895,12 @@ def pq_topk(
                 idx = np.flatnonzero(mask)
                 if len(idx) == 0:
                     continue
-                top = idx[np.argsort(-approx[idx], kind="stable")[:S]]
+                # (-approx, neighbor_id) is a TOTAL order — required for
+                # the layout-independence superset argument: quantization
+                # makes exact approx ties common (identical codes), and a
+                # positional tie-break would let different partitionings
+                # admit different tie members at the shortlist boundary.
+                top = idx[np.lexsort((nid[idx], -approx[idx]))[:S]]
                 out_q.append(np.full(len(top), qids[qi]))
                 out_n.append(nid[top])
                 out_s.append(approx[top])
@@ -1071,7 +1076,6 @@ def ivf_pq_topk(
 
     def _adc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         sub_idx = np.arange(m)
-        probe_sets = [set(p.tolist()) for p in probed]
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -1088,7 +1092,8 @@ def ivf_pq_topk(
                     continue
                 dots = qc[qi][cell[idx]] + T[qi][sub_idx[None, :], codes[idx]].sum(axis=1)
                 approx = dots / (denom[idx] * max(qn[qi], 1e-300))
-                top = idx[np.argsort(-approx, kind="stable")[:S]] if len(idx) > S else idx
+                # total order (-approx, id): see the pq_topk kernel note
+                top = idx[np.lexsort((nid[idx], -approx))[:S]] if len(idx) > S else idx
                 sc = (qc[qi][cell[top]] + T[qi][sub_idx[None, :], codes[top]].sum(axis=1)) / (
                     denom[top] * max(qn[qi], 1e-300)
                 )

@@ -171,3 +171,54 @@ def test_pq_upsert_appends_batch_and_search_sees_it(spark, tmp_path):
     queries = emb.where(F.col("vec_id") == 0)
     out = similarity.pq_search(spark, path, emb, queries, dim=DIM, k=50 - 1, shortlist=60)
     assert {r.neighbor_id for r in out.collect()} == set(range(1, 50))
+
+
+def test_pq_shortlist_is_partition_layout_independent(spark):
+    """The map-side top-S prune must give the same FINAL result under any
+    partitioning (per-batch top-S is a superset of the global top-S
+    members in that batch) — pins the docstring's superset argument."""
+    emb = _emb(spark, n=100, seed=21)
+    queries = emb.where(F.col("vec_id") % 25 == 0)
+    books = similarity.pq_train(emb, dim=DIM, m=M, sample=100, seed=5)
+    codes = similarity.pq_encode(emb, books)
+    outs = []
+    for parts in (1, 7, 32):
+        out = similarity.pq_topk(
+            emb, queries, dim=DIM, m=M, k=5, shortlist=8,
+            codebooks=books, corpus_codes=codes.repartition(parts),
+        )
+        outs.append(sorted(map(tuple, out.collect())))
+    assert outs[0] == outs[1] == outs[2]
+
+
+def test_pq_shortlist_tie_break_is_layout_independent(spark):
+    """Adversarial tie case: many IDENTICAL vectors → identical codes →
+    exact approx-score ties straddling the shortlist boundary. Without a
+    total (-approx, id) order in the kernel, different partitionings
+    admit different tie members (caught in round-6 self-review)."""
+    rng = np.random.RandomState(9)
+    protos = rng.randn(3, DIM)
+    rows = [(i, [float(x) for x in protos[i % 3]]) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = emb.where(F.col("vec_id") == 0)
+    books = similarity.pq_train(emb, dim=DIM, m=M, sample=60, seed=2)
+    codes = similarity.pq_encode(emb, books)
+    outs = []
+    for parts in (1, 5, 32):
+        out = similarity.pq_topk(
+            emb, queries, dim=DIM, m=M, k=5, shortlist=7,  # boundary inside a 20-member tie group
+            codebooks=books, corpus_codes=codes.repartition(parts),
+        )
+        outs.append(sorted(map(tuple, out.collect())))
+    assert outs[0] == outs[1] == outs[2]
+    outs2 = []
+    for parts in (1, 5, 32):
+        # ivf_pq builds codes in-call: vary layout via the corpus frame
+        # (an explicit repartition suppresses _maybe_spread's rebalance,
+        # so the requested layout is what the ADC kernel actually sees)
+        out = similarity.ivf_pq_topk(
+            emb.repartition(parts), queries, dim=DIM, m=M, k=5, shortlist=7,
+            sample=60, n_centroids=4, n_probe=4,
+        )
+        outs2.append(sorted(map(tuple, out.collect())))
+    assert outs2[0] == outs2[1] == outs2[2]
