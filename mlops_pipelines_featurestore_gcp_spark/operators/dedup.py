@@ -380,9 +380,20 @@ def key_jaccard_pairs(
     column) reuse it. ``hashed`` must already be DISTINCT on
     (id, key) — set semantics are the caller's hashing contract.
     ``max_df`` is the hot-key candidate cap (see ngram_jaccard_pairs);
-    surviving pairs are always rescored exactly."""
+    surviving pairs are always rescored exactly.
+
+    The element table feeds THREE consumers (the candidate self-join —
+    whose two sides Spark does reuse — plus each side of the size join),
+    and without materialization Catalyst replays the caller's
+    explode+hash+distinct lineage once per consumer: the round-6 plan
+    audit showed d03/mm06 running their corpus explode three times. The
+    lazy checkpoint runs it once; at scale that trades executor storage
+    the distinct shuffle already paid for against two full corpus
+    re-scans (the capped path has always made the same call for its
+    ``doc_sets``)."""
     if key_col != "h":
         hashed = hashed.withColumnRenamed(key_col, "h")
+    hashed = hashed.localCheckpoint(eager=False)
     if max_df is None:
         a = hashed.select(F.col(id_col).alias("doc_a"), "h")
         b = hashed.select(F.col(id_col).alias("doc_b"), "h")
