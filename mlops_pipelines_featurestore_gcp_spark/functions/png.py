@@ -199,3 +199,35 @@ def gray_8x8(blob: bytes) -> list[int]:
                     n += 1
             cells.append(acc // max(n, 1))
     return cells
+
+
+def box_resize(
+    width: int, height: int, channels: int, samples: bytes, out_w: int, out_h: int
+) -> bytes:
+    """Box-average resample to (out_w, out_h), any channel count — the
+    :func:`gray_8x8` index-range binning generalized (each output pixel
+    averages its input bin per channel; bins never empty because the
+    range is clamped to at least one source pixel). Returns row-major
+    8-bit samples with the INPUT's channel count."""
+    if out_w < 1 or out_h < 1:
+        raise ValueError(f"invalid target {out_w}x{out_h} (requires >= 1)")
+    out = bytearray(out_w * out_h * channels)
+    for gy in range(out_h):
+        y0 = gy * height // out_h
+        y1 = max((gy + 1) * height // out_h, y0 + 1)
+        for gx in range(out_w):
+            x0 = gx * width // out_w
+            x1 = max((gx + 1) * width // out_w, x0 + 1)
+            accs = [0] * channels
+            n = 0
+            for y in range(min(y0, height - 1), min(y1, height)):
+                row = y * width * channels
+                for x in range(min(x0, width - 1), min(x1, width)):
+                    base = row + x * channels
+                    for c in range(channels):
+                        accs[c] += samples[base + c]
+                    n += 1
+            obase = (gy * out_w + gx) * channels
+            for c in range(channels):
+                out[obase + c] = accs[c] // max(n, 1)
+    return bytes(out)

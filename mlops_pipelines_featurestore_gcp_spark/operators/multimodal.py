@@ -217,6 +217,71 @@ def perceptual_hash(
     return df.mapInPandas(_hash, schema)
 
 
+def resize_media(
+    df: DataFrame,
+    *,
+    out_w: int,
+    out_h: int,
+    payload_col: str = "payload",
+    out_col: str = "resized",
+    use_real_codecs: bool = False,
+) -> DataFrame:
+    """Resize image payloads to (out_w, out_h) → a new PNG binary column
+    plus its byte size — the resize stage of the decode / feature-extract
+    / resize / frame-sample multimodal kernel set.
+
+    ``use_real_codecs=True`` decodes for real — PIL when installed, else
+    the pure-stdlib PNG decoder — box-resamples (``png.box_resize``, the
+    gray_8x8 binning generalized to any target and channel count), and
+    re-encodes with the stdlib PNG writer: for PNG inputs the WHOLE
+    pipeline runs on real pixels even in this codec-less container
+    (non-PNG without PIL raises ``ValueError`` per payload, the decoder's
+    documented contract). The default stub derives deterministic
+    grayscale samples at the target size from the payload digest and
+    re-encodes them through the SAME real PNG writer, so output payloads
+    are genuine PNGs either way and the Arrow batch flow is identical.
+    """
+    from mlops_pipelines_featurestore_gcp_spark.functions import png
+
+    def _resize_real(blob: bytes) -> bytes:
+        import io
+
+        try:
+            from PIL import Image
+        except ImportError:
+            w, h, ch, samples = png.decode_png(blob)
+            return png.encode_png(
+                out_w, out_h, png.box_resize(w, h, ch, samples, out_w, out_h), channels=ch
+            )
+        with Image.open(io.BytesIO(blob)) as im:
+            out = io.BytesIO()
+            im.resize((out_w, out_h)).save(out, format="PNG")
+            return out.getvalue()
+
+    def _resize_stub(blob: bytes) -> bytes:
+        need, d, buf = out_w * out_h, hashlib.sha256(blob).digest(), bytearray()
+        while len(buf) < need:
+            buf.extend(d)
+            d = hashlib.sha256(d).digest()
+        return png.encode_png(out_w, out_h, bytes(buf[:need]), channels=1)
+
+    resize = _resize_real if use_real_codecs else _resize_stub
+    schema = (
+        ", ".join(f"{c} {t}" for c, t in _schema_of(df).items())
+        + f", {out_col} binary, {out_col}_bytes bigint"
+    )
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = [resize(bytes(b)) for b in pdf[payload_col]]
+            res = pdf.copy()
+            res[out_col] = blobs
+            res[f"{out_col}_bytes"] = [len(b) for b in blobs]
+            yield res
+
+    return df.mapInPandas(_run, schema)
+
+
 def video_neardup_pairs(
     df: DataFrame,
     id_col: str,

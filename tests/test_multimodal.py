@@ -77,3 +77,45 @@ def test_frame_sample_empty_payload_yields_no_rows(spark):
     out = frame_sample(df, frame_bytes=64, every=1).select("id").collect()
     ids = sorted(r.id for r in out)
     assert ids == ["b", "b", "b"]  # 130 bytes -> 3 frames; empty -> none
+
+
+def test_box_resize_exact_averages():
+    from mlops_pipelines_featurestore_gcp_spark.functions import png
+
+    # 4x2 gray image -> 2x1: each output pixel is the mean of its 2x2 bin
+    samples = bytes([10, 20, 30, 40,
+                     50, 60, 70, 80])
+    out = png.box_resize(4, 2, 1, samples, 2, 1)
+    assert list(out) == [(10 + 20 + 50 + 60) // 4, (30 + 40 + 70 + 80) // 4]
+    # RGB channels average independently
+    rgb = bytes([1, 2, 3, 5, 6, 7])  # 2x1 RGB
+    out = png.box_resize(2, 1, 3, rgb, 1, 1)
+    assert list(out) == [(1 + 5) // 2, (2 + 6) // 2, (3 + 7) // 2]
+    # upscale: bins clamp to at least one source pixel
+    up = png.box_resize(1, 1, 1, bytes([9]), 3, 2)
+    assert list(up) == [9] * 6
+
+
+def test_resize_media_real_png_pipeline(spark):
+    from mlops_pipelines_featurestore_gcp_spark.functions import png
+
+    samples = bytes(range(64))  # 8x8 gray gradient
+    blob = png.encode_png(8, 8, samples, channels=1)
+    df = spark.createDataFrame([(1, blob)], "doc_id long, payload binary")
+    out = mm.resize_media(df, out_w=4, out_h=4, use_real_codecs=True).collect()[0]
+    w, h, ch, got = png.decode_png(bytes(out.resized))
+    assert (w, h, ch) == (4, 4, 1)
+    assert got == png.box_resize(8, 8, 1, samples, 4, 4)  # real pixels resampled
+    assert out.resized_bytes == len(bytes(out.resized))
+
+
+def test_resize_media_stub_is_deterministic_valid_png(spark):
+    from mlops_pipelines_featurestore_gcp_spark.functions import png
+
+    df = spark.createDataFrame([(1, b"payload-a"), (2, b"payload-a"), (3, b"b")],
+                               "doc_id long, payload binary")
+    rows = {r.doc_id: bytes(r.resized) for r in
+            mm.resize_media(df, out_w=6, out_h=3).collect()}
+    assert rows[1] == rows[2] != rows[3]  # payload-keyed, deterministic
+    w, h, ch, _ = png.decode_png(rows[1])  # stub output is a REAL PNG
+    assert (w, h, ch) == (6, 3, 1)
