@@ -720,6 +720,7 @@ def d07_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # at-most-k vacuity is only right where buckets can come up empty).
     oracle=_ANN_CONTRACT_ORACLE,
     tags=("similarity", "llm", "quantization"),
+    defer=True,
 )
 def s05_ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage quantized top-5: int8-dot shortlist over the 4×-smaller
@@ -1334,6 +1335,91 @@ def c02_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return corpus_diff(docs, v2, "doc_id", "text")
+
+
+@register(
+    "c03_semantic_search",
+    # FULL-VALUE composite oracle, the c01 pattern applied to the RAG
+    # ingestion pipeline: chunking (t05's SQL twin), per-chunk hashed
+    # embeddings (t07's twin re-keyed on chunk id), and exact cosine
+    # top-k (s01's twin) stitch into ONE statement that replays the
+    # entire chunk → embed → search path value-for-value. Chunk ids pack
+    # as doc_id·100000 + chunk_idx (chunk counts are bounded far below
+    # 100k by document length); every chunk embeds to a nonzero vector
+    # by construction (a chunk is a join of ≥1 non-whitespace tokens),
+    # so no zero-norm guard is needed on either side.
+    oracle=f"""
+    WITH base AS (SELECT doc_id, {_TOKS.format(col='text')} AS t FROM documents),
+    st AS (
+      SELECT doc_id, t, unnest(range(0, greatest(len(t) - 16, 1), 48)) AS s
+      FROM base WHERE len(t) > 0
+    ),
+    chunks AS (
+      SELECT doc_id * 100000 + (s // 48) AS vid,
+             array_to_string(t[s + 1 : s + 64], ' ') AS ct
+      FROM st
+    ),
+    ctoks AS (
+      SELECT vid, unnest({_TOKS.format(col='nct')}) AS tok
+      FROM (SELECT vid, trim(regexp_replace(lower(ct), '\\s+', ' ', 'g')) AS nct FROM chunks)
+    ),
+    bs AS (
+      SELECT vid, {_md5_long_sql("concat('emb|b|', tok)")} % 64 AS b,
+             CASE WHEN {_md5_long_sql("concat('emb|s|', tok)")} % 2 = 0 THEN 1 ELSE -1 END AS sg
+      FROM ctoks
+    ),
+    cnt AS (SELECT vid, COUNT(*) AS n FROM bs GROUP BY vid),
+    sums AS (SELECT vid, b, CAST(SUM(sg) AS DOUBLE) AS v FROM bs GROUP BY vid, b),
+    grid AS (SELECT c.vid, g.d FROM cnt c CROSS JOIN (SELECT unnest(range(0, 64)) AS d) g),
+    vec AS (
+      SELECT g.vid, g.d, COALESCE(s.v, 0.0) AS v
+      FROM grid g LEFT JOIN sums s ON s.vid = g.vid AND s.b = g.d
+    ),
+    nrm AS (SELECT vid, sqrt(SUM(v * v)) AS nn FROM vec GROUP BY vid),
+    unitv AS (
+      SELECT v.vid, v.d, CASE WHEN n.nn > 0 THEN v.v / n.nn ELSE 0.0 END AS e
+      FROM vec v JOIN nrm n USING (vid)
+    ),
+    emb AS (SELECT vid, list(e ORDER BY d) AS embedding FROM unitv GROUP BY vid),
+    q AS (SELECT vid, embedding FROM emb WHERE vid % 251 = 0),
+    scored AS (
+      SELECT q.vid AS query_id, c.vid AS neighbor_id,
+             ROUND({_DOT_SQL.format(a='q.embedding', b='c.embedding')}
+                   / SQRT({_DOT_SQL.format(a='q.embedding', b='q.embedding')}
+                          * {_DOT_SQL.format(a='c.embedding', b='c.embedding')}), 6) AS cos_sim
+      FROM q JOIN emb c ON c.vid <> q.vid
+    )
+    SELECT query_id, neighbor_id, cos_sim,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rnk
+    FROM scored
+    QUALIFY rnk <= 3
+    """,
+    tags=("llm", "composite", "chunking", "embedding", "similarity"),
+)
+def c03_semantic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-ingestion composite: overlapping chunking → per-chunk hashed
+    embeddings → exact cosine top-3 for a deterministic query sample
+    (every 251st chunk id) — the chunk/embed/index/search path every
+    retrieval corpus runs, composed from the t05/t07/s01 green stages.
+    The brute-force search stage keeps the composite fully
+    SQL-replayable; the approximate tiers (s02/s03/s08/s09) are the
+    drop-in scale path for the same embedding column."""
+    from mlops_pipelines_featurestore_gcp_spark.operators.embeddings import hashed_embedding
+
+    docs = load_table(spark, "documents", sf_dir)
+    chunks = chunking.chunk_documents(docs, "doc_id", "text", chunk_tokens=64, overlap=16)
+    keyed = chunks.select(
+        (F.col("doc_id") * 100000 + F.col("chunk_idx")).alias("chunk_vid"), "chunk_text"
+    )
+    emb = hashed_embedding(keyed, "chunk_vid", "chunk_text", dim=64)
+    queries = emb.where(F.col("chunk_vid") % 251 == 0)
+    out = similarity.brute_force_topk(
+        emb, queries, id_col="chunk_vid", vec_col="embedding", k=3, dim=64
+    )
+    return out.select(
+        "query_id", "neighbor_id", "cos_sim", F.col("rnk").cast("long").alias("rnk")
+    )
 
 
 # same md5-uniform replay as _UHASH_SRC (defined near the top for s07);
