@@ -37,6 +37,7 @@ EXTRA = [
     "s08_ann_pq_topk",
     "s09_ann_ivfpq_topk",
     "mm06_video_neardup",
+    "c03_semantic_search",
     "t10_gopher_quality",
     "t11_unigram_lm_score",
     "s06_leakage_safe_split",
@@ -121,8 +122,9 @@ def main() -> None:
         # recall verifier brute-forces an ABSOLUTE 32-query sample
         # (broadcast query set, O(32N)) plus a size-1 flag crossJoin.
         # s08's registered form carries the same 32-query recall verifier
-        # (broadcast-query brute force) — by design, like s02/s03.
-        expected_cartesian = name.startswith(("s01", "s02", "s03", "s08", "s09", "f06", "t11"))
+        # (broadcast-query brute force) — by design, like s02/s03. c03's
+        # search stage IS s01's broadcast exact-scoring baseline.
+        expected_cartesian = name.startswith(("s01", "s02", "s03", "s08", "s09", "c03", "f06", "t11"))
         flag = " (by design: broadcast query set)" if a["cartesian"] and expected_cartesian else (" ⚠" if a["cartesian"] else "")
         print(
             f"| {name} | {a['exchanges']} | {a['bhj']} | {a['smj']} | {a['cartesian']}{flag} "
