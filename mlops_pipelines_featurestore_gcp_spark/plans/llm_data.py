@@ -1412,7 +1412,10 @@ def c03_semantic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = chunks.select(
         (F.col("doc_id") * 100000 + F.col("chunk_idx")).alias("chunk_vid"), "chunk_text"
     )
-    emb = hashed_embedding(keyed, "chunk_vid", "chunk_text", dim=64)
+    # the embedding table feeds BOTH search sides (corpus + query filter);
+    # the lazy checkpoint runs the chunk→embed pipeline once, not twice
+    # (the key_jaccard_pairs lesson applied at composition time)
+    emb = hashed_embedding(keyed, "chunk_vid", "chunk_text", dim=64).localCheckpoint(eager=False)
     queries = emb.where(F.col("chunk_vid") % 251 == 0)
     out = similarity.brute_force_topk(
         emb, queries, id_col="chunk_vid", vec_col="embedding", k=3, dim=64
