@@ -203,8 +203,27 @@ def text_profile(
     )
 
 
-def _lang_scores(toks: Column) -> dict[str, Column]:
+def lang_scores(toks: Column) -> dict[str, Column]:
+    """Per-language stopword-hit scores for a token-array column (public so
+    callers can ride the scores through another single-pass select — the
+    t01 profile fuses them — then apply ``lang_argmax`` on the aliases)."""
     return {lang: stopword_hits(toks, lang) for lang in STOPWORDS}
+
+
+def lang_argmax(score_cols: dict[str, Column]) -> tuple[Column, Column]:
+    """(lang_pred, best_score) argmax cascade over ALIASED score columns.
+
+    Fixed precedence order (en > es > fr > de) for ties; 'und' when no
+    stopword hits at all. Callers must pass plain column references, not the
+    raw score expressions — inlining each score into the when-cascade
+    duplicates the tokenize+filter subtree ~3× (greatest, equality, output)
+    and codegen compile time dominates the stage.
+    """
+    best = F.greatest(*score_cols.values())
+    pred = F.when(best == 0, F.lit("und"))
+    for lang in STOPWORDS:  # dict order = precedence order
+        pred = pred.when(score_cols[lang] == best, F.lit(lang))
+    return pred, best
 
 
 def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -217,19 +236,13 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     df = _spread(df)
     toks = tokens(normalize(F.col(text_col)))
     # Two-stage select: score columns FIRST, then the argmax cascade over
-    # plain column references. Inlining the score expressions into the
-    # when-cascade duplicates each tokenize+remove subtree ~3× (greatest,
-    # equality, output) — the generated code blows up and compile time
-    # dominates the stage.
+    # plain column references (see lang_argmax).
     scored = df.select(
         F.col(id_col),
-        *[c.alias(f"__s_{lang}") for lang, c in _lang_scores(toks).items()],
+        *[c.alias(f"__s_{lang}") for lang, c in lang_scores(toks).items()],
     )
     score_cols = {lang: F.col(f"__s_{lang}") for lang in STOPWORDS}
-    best = F.greatest(*score_cols.values())
-    pred = F.when(best == 0, F.lit("und"))
-    for lang in STOPWORDS:  # dict order = precedence order
-        pred = pred.when(score_cols[lang] == best, F.lit(lang))
+    pred, best = lang_argmax(score_cols)
     return scored.select(
         F.col(id_col),
         pred.alias("lang_pred"),

@@ -825,17 +825,41 @@ _PII_REDACT_SQL = (
 )
 
 
+# Stopword tables + per-language score fragment for the lang-ID surface
+# (ridden as extra columns on t01 since round 7 — r6's t03 consolidated).
+# Must mirror operators/text_analysis.py STOPWORDS exactly, in precedence
+# order (en > es > fr > de).
+_LANGS_SQL = {
+    "en": "['the','a','of','to','and','in','is','it','that','for']",
+    "es": "['el','la','de','que','y','en','un','una','los','por']",
+    "fr": "['le','la','de','et','les','des','un','une','dans','que']",
+    "de": "['der','die','das','und','in','den','von','zu','mit','ist']",
+}
+_LANG_SCORES_SQL = ",\n             ".join(
+    f"len(list_filter({{tcol}}, x -> list_contains({words}, x))) AS s_{lang}"
+    for lang, words in _LANGS_SQL.items()
+)
+_LANG_BEST_SQL = "greatest(s_en, s_es, s_fr, s_de)"
+_LANG_PRED_SQL = f"""CASE WHEN {_LANG_BEST_SQL} = 0 THEN 'und'
+                  WHEN s_en = {_LANG_BEST_SQL} THEN 'en'
+                  WHEN s_es = {_LANG_BEST_SQL} THEN 'es'
+                  WHEN s_fr = {_LANG_BEST_SQL} THEN 'fr'
+                  ELSE 'de' END"""
+
+
 @register(
     "t01_text_profile",
     oracle=f"""
     WITH base AS (
       SELECT doc_id, text, {_TOKS.format(col='text')} AS t,
+             {_TOKS.format(col='nt')} AS ntoks,
              len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
              {_PII_SRC_SQL} AS p
-      FROM documents
+      FROM (SELECT *, {_NORM} AS nt FROM documents)
     ),
     feats AS (
       SELECT doc_id, text, t, p,
+             {_LANG_SCORES_SQL.format(tcol='ntoks')},
              len(t) AS n_tok,
              len(list_filter(t, x -> list_contains(['the','a','of','to','and','in','is','it','that','for'], x)))
                / greatest(len(t), 1) AS stop_ratio,
@@ -859,21 +883,28 @@ _PII_REDACT_SQL = (
            CAST(len(regexp_extract_all(p, '{_PII_IP}')) AS BIGINT) AS n_ip,
            CAST(len(regexp_extract_all(p, '{_PII_SSN}')) AS BIGINT) AS n_ssn,
            CAST(len(regexp_extract_all(p, '{_PII_PHONE}')) AS BIGINT) AS n_phone,
-           md5({_PII_REDACT_SQL}) AS pii_redacted_fp
+           md5({_PII_REDACT_SQL}) AS pii_redacted_fp,
+           {_LANG_PRED_SQL} AS lang_pred,
+           CAST({_LANG_BEST_SQL} AS BIGINT) AS lang_hits
     FROM feats
     """,
-    tags=("text", "llm", "pii", "repetition"),
+    tags=("text", "llm", "pii", "repetition", "langid"),
 )
 def t01_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token statistics (whitespace + BPE-ish counts, distinct tokens, avg
     token length), quality pre-filter features + composite score, the
-    dup-bigram repetition signal, AND the PII scrub surface — one row-local
-    scan over the corpus (token_stats + quality_score + pii_redact fused).
+    dup-bigram repetition signal, the PII scrub surface, AND per-doc
+    language ID (r6's t03 consolidated: the stopword scores ride the same
+    single-pass select via ``extra``, then one chained map-side select runs
+    the argmax cascade — still one corpus scan, zero shuffles, and the
+    per-doc lang prediction is a STRONGER check than t03's grouped summary).
 
     The PII columns run on the document text augmented with deterministic
     doc_id-derived entities (email / dotted IP / phone): the synthetic
     corpus has no organic PII, and a differential check of all-zero counts
     would prove nothing about the regex or replacement semantics."""
+    from mlops_pipelines_featurestore_gcp_spark.functions.text import normalize, tokens
+
     docs = load_table(spark, "documents", sf_dir)
     pii_src = F.concat(
         F.col("text"),
@@ -886,52 +917,18 @@ def t01_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     extra = {f"n_{kind}": c for kind, c in text_analysis.pii_counts(pii_src).items()}
     extra["pii_redacted_fp"] = F.md5(text_analysis.redact_pii(pii_src))
-    return text_analysis.text_profile(docs, "doc_id", "text", extra=extra)
-
-
-_LANGS_SQL = {
-    "en": "['the','a','of','to','and','in','is','it','that','for']",
-    "es": "['el','la','de','que','y','en','un','una','los','por']",
-    "fr": "['le','la','de','et','les','des','un','une','dans','que']",
-    "de": "['der','die','das','und','in','den','von','zu','mit','ist']",
-}
-_SCORES_SQL = ",\n".join(
-    f"len(list_filter(t, x -> list_contains({words}, x))) AS s_{lang}" for lang, words in _LANGS_SQL.items()
-)
-
-
-@register(
-    "t03_lang_id",
-    oracle=f"""
-    WITH scores AS (
-      SELECT doc_id, lang, {_SCORES_SQL}
-      FROM (SELECT doc_id, lang, {_TOKS.format(col='nt')} AS t
-            FROM (SELECT doc_id, lang, {_NORM} AS nt FROM documents))
-    ),
-    pred AS (
-      SELECT doc_id, lang, greatest(s_en, s_es, s_fr, s_de) AS best,
-             CASE WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
-                  WHEN s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
-                  WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
-                  WHEN s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
-                  ELSE 'de' END AS lang_pred
-      FROM scores
-    )
-    SELECT lang, lang_pred, COUNT(*) AS n_docs, CAST(SUM(best) AS BIGINT) AS total_hits
-    FROM pred GROUP BY lang, lang_pred
-    """,
-    tags=("text", "llm", "langid"),
-    defer=True,
-)
-def t03_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-based language ID, summarized as metadata-lang × predicted."""
-    docs = load_table(spark, "documents", sf_dir)
-    pred = text_analysis.lang_id(docs, "doc_id", "text")
+    ntoks = tokens(normalize(F.col("text")))
+    for lang, c in text_analysis.lang_scores(ntoks).items():
+        extra[f"__s_{lang}"] = c
+    prof = text_analysis.text_profile(docs, "doc_id", "text", extra=extra)
+    score_cols = {
+        lang: F.col(f"__s_{lang}") for lang in text_analysis.STOPWORDS
+    }
+    pred, best = text_analysis.lang_argmax(score_cols)
     return (
-        docs.select("doc_id", "lang")
-        .join(pred, "doc_id")
-        .groupBy("lang", "lang_pred")
-        .agg(F.count("*").alias("n_docs"), F.sum("lang_hits").alias("total_hits"))
+        prof.withColumn("lang_pred", pred)
+        .withColumn("lang_hits", best.cast("long"))
+        .drop(*[f"__s_{lang}" for lang in text_analysis.STOPWORDS])
     )
 
 

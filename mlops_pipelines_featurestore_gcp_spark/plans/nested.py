@@ -69,42 +69,6 @@ def n01_array_build_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "n03_struct_of_arrays",
-    oracle=f"""
-    WITH nested AS (
-      SELECT o_custkey,
-             {{'order_keys': list(o_orderkey ORDER BY o_orderkey),
-              'prices': list(o_totalprice ORDER BY o_orderkey)}} AS orders_struct
-      FROM orders WHERE o_custkey < 100 GROUP BY o_custkey
-    )
-    SELECT o_custkey,
-           {sql_long_array('orders_struct.order_keys')} AS order_keys,
-           CAST(len(orders_struct.prices) AS BIGINT) AS n_orders,
-           orders_struct.prices[1] AS first_price
-    FROM nested
-    """,
-    tags=("nested", "struct"),
-    defer=True,
-)
-def n03_struct_of_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Struct-of-arrays build + field access (the observation
-    RECORD-REPEATED shape at depth 2)."""
-    o = load_table(spark, "orders", sf_dir).where(F.col("o_custkey") < 100)
-    nested = o.groupBy("o_custkey").agg(
-        F.struct(
-            F.sort_array(F.collect_list(F.struct(F.col("o_orderkey").alias("k")))).k.alias("order_keys"),
-            F.sort_array(F.collect_list(F.struct("o_orderkey", "o_totalprice"))).o_totalprice.alias("prices"),
-        ).alias("orders_struct")
-    )
-    return nested.select(
-        "o_custkey",
-        ser_long_array(F.col("orders_struct.order_keys")).alias("order_keys"),
-        F.size("orders_struct.prices").cast("long").alias("n_orders"),
-        F.element_at(F.col("orders_struct.prices"), 1).alias("first_price"),
-    )
-
-
-@register(
     "n04_explode_roundtrip",
     oracle="""
     WITH arrs AS (
@@ -139,44 +103,65 @@ def n04_explode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "n05_depth3_trajectory_shape",
     oracle=f"""
-    WITH obs AS (
+    WITH per_order AS (
+      SELECT o.o_custkey, o.o_orderkey AS ok, MIN(o.o_totalprice) AS tp,
+             list(l.l_quantity ORDER BY l.l_linenumber, l.l_quantity) AS ob
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_custkey < 50
+      GROUP BY o.o_custkey, o.o_orderkey
+    ),
+    obs AS (
       SELECT o_custkey,
-             list({{'observation_batch': ob}} ORDER BY ok) AS observation
-      FROM (
-        SELECT o.o_custkey, o.o_orderkey AS ok,
-               list(l.l_quantity ORDER BY l.l_linenumber, l.l_quantity) AS ob
-        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-        WHERE o.o_custkey < 50
-        GROUP BY o.o_custkey, o.o_orderkey
-      )
+             list({{'observation_batch': ob}} ORDER BY ok) AS observation,
+             {{'order_keys': list(ok ORDER BY ok),
+              'prices': list(tp ORDER BY ok)}} AS orders_struct
+      FROM per_order
       GROUP BY o_custkey
     )
     SELECT o_custkey,
            CAST(len(observation) AS BIGINT) AS batch,
            {sql_long_array('list_transform(observation, x -> CAST(len(x.observation_batch) AS BIGINT))')} AS inner_sizes,
            CAST(list_sum(list_transform(observation,
-                x -> CAST(list_sum(x.observation_batch) AS DOUBLE))) AS DOUBLE) AS total
+                x -> CAST(list_sum(x.observation_batch) AS DOUBLE))) AS DOUBLE) AS total,
+           {sql_long_array('orders_struct.order_keys')} AS order_keys,
+           CAST(len(orders_struct.prices) AS BIGINT) AS n_orders,
+           orders_struct.prices[1] AS first_price
     FROM obs
     """,
-    tags=("nested", "depth3"),
+    tags=("nested", "depth3", "struct"),
     defer=True,
 )
 def n05_depth3_trajectory_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The exact trajectory nesting: array<struct<observation_batch:
-    array<double>>> built from real data, then navigated at every depth."""
+    array<double>>> built from real data, then navigated at every depth —
+    plus the depth-2 struct-of-arrays build + field access (r6's n03 folded
+    in: ``orders_struct`` = struct(order_keys, prices) assembled in the SAME
+    per-customer aggregate, so the merge adds zero shuffles)."""
     o = load_table(spark, "orders", sf_dir).where(F.col("o_custkey") < 50)
     li = load_table(spark, "lineitem", sf_dir)
     per_order = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .groupBy("o_custkey", "o_orderkey")
-        .agg(F.sort_array(F.collect_list(F.struct("l_linenumber", "l_quantity"))).alias("z"))
-        .select("o_custkey", F.col("o_orderkey").alias("ok"), F.col("z.l_quantity").alias("ob"))
+        .agg(
+            F.sort_array(F.collect_list(F.struct("l_linenumber", "l_quantity"))).alias("z"),
+            F.min("o_totalprice").alias("tp"),
+        )
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("ok"),
+            F.col("z.l_quantity").alias("ob"),
+            "tp",
+        )
     )
     obs = per_order.groupBy("o_custkey").agg(
         F.transform(
             F.sort_array(F.collect_list(F.struct("ok", "ob"))),
             lambda s: F.struct(s.ob.alias("observation_batch")),
-        ).alias("observation")
+        ).alias("observation"),
+        F.struct(
+            F.sort_array(F.collect_list(F.struct(F.col("ok").alias("k")))).k.alias("order_keys"),
+            F.sort_array(F.collect_list(F.struct("ok", "tp"))).tp.alias("prices"),
+        ).alias("orders_struct"),
     )
     return obs.select(
         "o_custkey",
@@ -192,4 +177,7 @@ def n05_depth3_trajectory_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0.0),
             lambda a, b: a + b,
         ).alias("total"),
+        ser_long_array(F.col("orders_struct.order_keys")).alias("order_keys"),
+        F.size("orders_struct.prices").cast("long").alias("n_orders"),
+        F.element_at(F.col("orders_struct.prices"), 1).alias("first_price"),
     )

@@ -263,9 +263,18 @@ def q05_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q07_customers_no_orders",
+    "q08_outer_join_counts",
     oracle="""
-    SELECT c.c_mktsegment, COUNT(*) AS n_customers,
+    SELECT 'order_count_hist' AS op, CAST(n_orders AS STRING) AS dim,
+           COUNT(*) AS n_customers, CAST(NULL AS DOUBLE) AS total_acctbal
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    )
+    GROUP BY n_orders
+    UNION ALL
+    SELECT 'no_recent_orders' AS op, c.c_mktsegment AS dim, COUNT(*) AS n_customers,
            CAST(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS total_acctbal
     FROM customer c
     WHERE NOT EXISTS (
@@ -274,44 +283,20 @@ def q05_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     GROUP BY c.c_mktsegment
     """,
-    tags=("join", "anti", "agg"),
-    defer=True,
-)
-def q07_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join: customers with no recent orders, per segment."""
-    c = load_table(spark, "customer", sf_dir)
-    o = load_table(spark, "orders", sf_dir).where(
-        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
-    )
-    return (
-        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
-        .groupBy("c_mktsegment")
-        .agg(
-            F.count("*").alias("n_customers"),
-            _dec_sum(F.col("c_acctbal")).alias("total_acctbal"),
-        )
-    )
-
-
-@register(
-    "q08_outer_join_counts",
-    oracle="""
-    SELECT n_orders, COUNT(*) AS n_customers
-    FROM (
-      SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
-      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
-      GROUP BY c.c_custkey
-    )
-    GROUP BY n_orders
-    """,
-    tags=("join", "outer", "agg"),
+    tags=("join", "outer", "anti", "agg"),
     defer=True,
 )
 def q08_outer_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customer-order count distribution (TPC-H Q13-shaped left outer join).
+    """Customer-order activity in one op-tagged slot (r6's q07 folded in):
 
-    COUNT(o_orderkey) over the outer join counts zero for order-less
-    customers — the classic histogram-of-activity query.
+    - 'order_count_hist': TPC-H Q13-shaped LEFT OUTER join — the order-count
+      histogram where COUNT(o_orderkey) counts zero for order-less customers.
+    - 'no_recent_orders': LEFT ANTI join (NOT EXISTS) — customers with no
+      order since 2000, per segment, with their DECIMAL-exact balance total.
+
+    Both legs shuffle on the same c_custkey ⋈ o_custkey key; at scale each is
+    the canonical one-shuffle outer/anti plan, unioned only at the tiny
+    aggregated tail.
     """
     c = load_table(spark, "customer", sf_dir)
     o = load_table(spark, "orders", sf_dir)
@@ -320,28 +305,30 @@ def q08_outer_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(c.c_custkey)
         .agg(F.count(o.o_orderkey).alias("n_orders"))
     )
-    return per_cust.groupBy("n_orders").agg(F.count("*").alias("n_customers"))
-
-
-@register(
-    "q19_cross_join_regions",
-    oracle="""
-    SELECT a.r_name AS from_region, b.r_name AS to_region
-    FROM region a CROSS JOIN region b
-    WHERE a.r_regionkey <> b.r_regionkey
-    """,
-    tags=("join", "cross"),
-    defer=True,
-)
-def q19_cross_join_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross join (broadcast nested loop) over the 5-row region table."""
-    a = load_table(spark, "region", sf_dir).select(
-        F.col("r_regionkey").alias("a_key"), F.col("r_name").alias("from_region")
+    hist = per_cust.groupBy("n_orders").agg(F.count("*").alias("n_customers")).select(
+        F.lit("order_count_hist").alias("op"),
+        F.col("n_orders").cast("string").alias("dim"),
+        "n_customers",
+        F.lit(None).cast("double").alias("total_acctbal"),
     )
-    b = load_table(spark, "region", sf_dir).select(
-        F.col("r_regionkey").alias("b_key"), F.col("r_name").alias("to_region")
+    recent = load_table(spark, "orders", sf_dir).where(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
     )
-    return a.crossJoin(b).where(F.col("a_key") != F.col("b_key")).select("from_region", "to_region")
+    no_recent = (
+        c.join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            _dec_sum(F.col("c_acctbal")).alias("total_acctbal"),
+        )
+        .select(
+            F.lit("no_recent_orders").alias("op"),
+            F.col("c_mktsegment").alias("dim"),
+            "n_customers",
+            "total_acctbal",
+        )
+    )
+    return hist.unionByName(no_recent)
 
 
 @register(
@@ -428,11 +415,15 @@ def q21_in_and_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q09_window_navigation",
     oracle="""
-    SELECT c_custkey, o_orderkey, o_totalprice, rn, days_since_prev, next_key,
+    SELECT c_custkey, o_orderkey, o_totalprice, rn, price_rank, price_dense_rank,
+           price_quartile, days_since_prev, next_key,
            running_spend, first_order, latest_order, n_orders
     FROM (
       SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice,
              ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+             RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS price_rank,
+             DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS price_dense_rank,
+             NTILE(4) OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS price_quartile,
              CAST(date_diff('day',
                   CAST(LAG(o_orderdate) OVER wdate AS DATE),
                   CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_prev,
@@ -456,10 +447,12 @@ def q21_in_and_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q09_window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The window-function surface over ONE partition-by-customer shuffle:
     top-3 per customer via row_number (the pattern that also implements
-    feature-store latest/point-in-time reads, SURVEY §2.3 J2), lag/lead
-    navigation (days since previous order, next order key), a cumulative
-    DECIMAL running sum, and first/last/count over the unbounded frame
-    (r1's q09 + q10 + q11 + q24 in one slot)."""
+    feature-store latest/point-in-time reads, SURVEY §2.3 J2), the rank
+    flavors (rank / dense_rank / ntile, r6's q23 folded in — they share
+    w_price, so the merge adds zero shuffles), lag/lead navigation (days
+    since previous order, next order key), a cumulative DECIMAL running
+    sum, and first/last/count over the unbounded frame
+    (r1's q09 + q10 + q11 + q24 + r6's q23 in one slot)."""
     o = load_table(spark, "orders", sf_dir)
     w_price = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
     w_date = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
@@ -467,6 +460,9 @@ def q09_window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_full = w_date.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     return (
         o.withColumn("rn", F.row_number().over(w_price))
+        .withColumn("price_rank", F.rank().over(w_price).cast("long"))
+        .withColumn("price_dense_rank", F.dense_rank().over(w_price).cast("long"))
+        .withColumn("price_quartile", F.ntile(4).over(w_price).cast("long"))
         .withColumn("prev_date", F.lag("o_orderdate").over(w_date))
         .withColumn("next_key", F.lead("o_orderkey").over(w_date))
         .withColumn(
@@ -482,6 +478,9 @@ def q09_window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
             "o_totalprice",
             "rn",
+            "price_rank",
+            "price_dense_rank",
+            "price_quartile",
             F.datediff(F.col("o_orderdate"), F.col("prev_date")).cast("long").alias("days_since_prev"),
             "next_key",
             "running_spend",
@@ -492,36 +491,10 @@ def q09_window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q23_rank_flavors",
-    oracle="""
-    SELECT c_mktsegment, c_custkey, c_acctbal,
-           RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS bal_rank,
-           DENSE_RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS bal_dense_rank,
-           NTILE(4) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS bal_quartile
-    FROM customer
-    WHERE c_custkey <= 300
-    """,
-    tags=("window",),
-    defer=True,
-)
-def q23_rank_flavors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rank / dense_rank / ntile with a total order (unique tie-break)."""
-    c = load_table(spark, "customer", sf_dir).where(F.col("c_custkey") <= 300)
-    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
-    return c.select(
-        "c_mktsegment",
-        "c_custkey",
-        "c_acctbal",
-        F.rank().over(w).cast("long").alias("bal_rank"),
-        F.dense_rank().over(w).cast("long").alias("bal_dense_rank"),
-        F.ntile(4).over(w).cast("long").alias("bal_quartile"),
-    )
-
-
 # (r1's q24_first_last_window was folded into q10_running_first_last; r1's
-# q11_order_gaps into q09_window_navigation — the driver checks only the
-# first 50 registered queries, so the window surface shares slots.)
+# q11_order_gaps and r6's q23_rank_flavors into q09_window_navigation — the
+# driver checks only the first 50 registered queries, so the window surface
+# shares slots; the rank flavors ride q09's existing w_price shuffle.)
 
 
 # ---------------------------------------------------------------------------
@@ -585,19 +558,32 @@ def q12_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'except' AS op, COUNT(*) AS n FROM (SELECT * FROM building EXCEPT SELECT * FROM rich)
     UNION ALL
     SELECT 'union' AS op, COUNT(*) AS n FROM (SELECT * FROM building UNION SELECT * FROM rich)
+    UNION ALL
+    SELECT 'cross' AS op, COUNT(*) AS n
+    FROM region a CROSS JOIN region b WHERE a.r_regionkey <> b.r_regionkey
     """,
-    tags=("setop",),
+    tags=("setop", "join", "cross"),
     defer=True,
 )
 def q15_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT / EXCEPT / UNION-distinct cardinalities of two key sets."""
+    """INTERSECT / EXCEPT / UNION-distinct cardinalities of two key sets,
+    plus the cross-join surface (r6's q19 folded in): the ordered-pair count
+    of the 5-row region table via a broadcast nested-loop cross join —
+    cross joins are only ever sane on dimension-sized inputs, which is
+    exactly what this row demonstrates."""
     c = load_table(spark, "customer", sf_dir)
     building = c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
     rich = c.where(F.col("c_acctbal") > 5000).select("c_custkey")
+    ra = load_table(spark, "region", sf_dir).select(F.col("r_regionkey").alias("a_key"))
+    rb = load_table(spark, "region", sf_dir).select(F.col("r_regionkey").alias("b_key"))
     rows = [
         building.intersect(rich).agg(F.count("*").alias("n")).select(F.lit("intersect").alias("op"), "n"),
         building.exceptAll(rich).distinct().agg(F.count("*").alias("n")).select(F.lit("except").alias("op"), "n"),
         building.union(rich).distinct().agg(F.count("*").alias("n")).select(F.lit("union").alias("op"), "n"),
+        ra.crossJoin(rb)
+        .where(F.col("a_key") != F.col("b_key"))
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("cross").alias("op"), "n"),
     ]
     out = rows[0]
     for r in rows[1:]:

@@ -55,7 +55,8 @@ def st01_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "st02_sliding_window",
     oracle="""
-    WITH cand AS (
+    WITH mx AS (SELECT max(ts) AS max_ts FROM events),
+    cand AS (
       SELECT unnest([time_bucket(INTERVAL 30 MINUTE, ts),
                      time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE]) AS w_start,
              ts, value
@@ -66,25 +67,36 @@ def st01_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n_events,
            -- exact DECIMAL sum / exact count: the raw AVG diverged in the
            -- last ulp on the 10x corpus (round-5 sf1 gate finding)
-           CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS STRING) AS DOUBLE) / count(*) AS avg_value
-    FROM cand
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS STRING) AS DOUBLE) / count(*) AS avg_value,
+           CAST(count(*) FILTER (WHERE ts >= mx.max_ts - INTERVAL 6 HOUR) AS BIGINT) AS n_admitted
+    FROM cand, mx
     WHERE ts >= w_start AND ts < w_start + INTERVAL 1 HOUR
-    GROUP BY 1, 2
+    GROUP BY w_start, mx.max_ts
     """,
-    tags=("streaming", "window"),
+    tags=("streaming", "window", "watermark"),
     defer=True,
 )
 def st02_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-hour windows sliding every 30 min — each event in exactly 2
     windows. The average is an exact DECIMAL sum over an exact count, so
-    it is reduction-order-proof at any parallelism."""
+    it is reduction-order-proof at any parallelism.
+
+    ``n_admitted`` folds in r6's st05 (late-data cutoff): per window, the
+    events a 6-hour watermark (max event time − 6h) would still admit —
+    watermark semantics expressed in batch form. The global max rides a
+    single broadcast scalar, so the merge adds no shuffle to the window
+    aggregation."""
     ev = load_table(spark, "events", sf_dir)
+    max_ts = ev.agg(F.max("ts").alias("max_ts"))
+    ev = ev.crossJoin(F.broadcast(max_ts))
+    admitted = F.col("ts") >= F.col("max_ts") - F.expr("INTERVAL 6 HOURS")
     return sliding_window_agg(
         ev,
         "1 hour",
         "30 minutes",
         F.count("*").alias("n_events"),
         (F.sum(F.col("value").cast("decimal(18,6)")).cast("double") / F.count("*")).alias("avg_value"),
+        F.count(F.when(admitted, 1)).cast("long").alias("n_admitted"),
     )
 
 
@@ -160,32 +172,9 @@ def st04_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "st05_late_data_cutoff",
-    oracle="""
-    WITH mx AS (SELECT max(ts) AS max_ts FROM events)
-    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS w_start,
-           CAST(count(*) AS BIGINT) AS n_events
-    FROM events, mx
-    WHERE ts >= mx.max_ts - INTERVAL 6 HOUR
-    GROUP BY 1
-    """,
-    tags=("streaming", "watermark"),
-    defer=True,
-)
-def st05_late_data_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Watermark semantics in batch form: drop events older than
-    max_event_time - 6h, then tumbling-count (what a 6h watermark admits)."""
-    ev = load_table(spark, "events", sf_dir)
-    max_ts = ev.agg(F.max("ts").alias("max_ts"))
-    kept = ev.crossJoin(F.broadcast(max_ts)).where(
-        F.col("ts") >= F.col("max_ts") - F.expr("INTERVAL 6 HOURS")
-    )
-    return (
-        kept.groupBy(F.window("ts", "1 hour").alias("w"))
-        .agg(F.count("*").cast("long").alias("n_events"))
-        .select(F.col("w.start").alias("w_start"), "n_events")
-    )
+# (r6's st05_late_data_cutoff is consolidated into st02_sliding_window's
+# n_admitted column — watermark-cutoff semantics per window, same oracle
+# strength, one registry slot saved.)
 
 
 @register(

@@ -176,7 +176,7 @@ COPIES100 = 100
 # keep-best family, gated at 100× via d01/d08). They gate at 10×
 # (~14M pairs) with the rest of the pair-emitting dedups.
 GATE100 = [
-    "t01_text_profile", "t03_lang_id", "t04_doc_fingerprint",
+    "t01_text_profile", "t04_doc_fingerprint",
     "t09_token_vocab", "t10_gopher_quality", "t11_unigram_lm_score",
     "t15_importance_resample", "d01_exact_dedup", "d08_keep_best_exact",
     "t17_soft_dedup_weights", "s07_per_source_cap", "t05_chunk_documents",
