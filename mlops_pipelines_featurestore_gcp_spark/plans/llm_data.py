@@ -252,6 +252,7 @@ def t17_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE i.ni / (sa.n + sb.n - i.ni) >= 0.5
     """,
     tags=("dedup", "llm", "minhash"),
+    defer=True,
 )
 def d02_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16) + 4-band LSH candidates + exact-Jaccard verify ≥ 0.5."""
@@ -287,6 +288,7 @@ def d02_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE c.ni / (sa.n + sb.n - c.ni) >= 0.5
     """,
     tags=("dedup", "llm", "ngram"),
+    defer=True,
 )
 def d03_ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard pairs ≥ 0.5 via inverted-index join."""
@@ -333,7 +335,6 @@ _SIMHASH_SIG_SQL = f"""
     FROM pairs WHERE hamming <= 8
     """,
     tags=("dedup", "llm", "simhash"),
-    defer=True,
 )
 def d04_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash, 4×15-bit chunk blocking, hamming ≤ 8 verify."""
@@ -382,7 +383,6 @@ def _d05_sig_sql(t: int) -> str:
     SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.45
     """,
     tags=("dedup", "llm", "embedding", "lsh"),
-    defer=True,
 )
 def d05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs via coordinate-sign LSH blocking + exact
@@ -426,6 +426,7 @@ def d05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     QUALIFY rnk <= 5
     """,
     tags=("similarity", "llm"),
+    defer=True,
 )
 def s01_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 neighbors for every 50th vector (broadcast scoring)."""
@@ -589,6 +590,7 @@ def _ann_contract(
     # gate scale before rotating the query back into the driver window.
     oracle=_ANN_CONTRACT_RECALL_ORACLE,
     tags=("similarity", "llm", "lsh"),
+    defer=True,
 )
 def s02_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH approximate top-5 — the n≫memory scale path. Emits
@@ -623,6 +625,7 @@ def s02_operator_parts(spark: SparkSession, sf_dir: str):
     # wanting a cheaper scan lower n_probe and trade recall explicitly.
     oracle=_ANN_CONTRACT_RECALL_ORACLE,
     tags=("similarity", "llm", "ivf"),
+    defer=True,
 )
 def s03_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-5: k-means coarse cells, n_probe nearest probed;
@@ -663,6 +666,7 @@ def s03_operator_parts(spark: SparkSession, sf_dir: str):
            CAST(1 AS INT) AS subset_of_exact
     """,
     tags=("dedup", "similarity", "llm", "semantic"),
+    defer=True,
 )
 def d07_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup: KMeans cells, within-cell exact cosine
@@ -720,7 +724,6 @@ def d07_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # at-most-k vacuity is only right where buckets can come up empty).
     oracle=_ANN_CONTRACT_ORACLE,
     tags=("similarity", "llm", "quantization"),
-    defer=True,
 )
 def s05_ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage quantized top-5: int8-dot shortlist over the 4×-smaller
@@ -953,7 +956,6 @@ def t01_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM base b LEFT JOIN sk USING (doc_id)
     """,
     tags=("text", "llm", "fingerprint"),
-    defer=True,
 )
 def t04_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash document fingerprint: bottom-4 sketch of 8-gram hashes.
@@ -984,6 +986,7 @@ def t04_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM s
     """,
     tags=("text", "llm", "chunking"),
+    defer=True,
 )
 def t05_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping token-window chunking (64-token chunks, 16-token overlap):
@@ -1020,6 +1023,7 @@ def t05_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     HAVING COUNT(b.g) > 0
     """,
     tags=("text", "llm", "contamination", "dedup"),
+    defer=True,
 )
 def t06_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-set decontamination: flag corpus docs sharing 5-token grams
@@ -1047,7 +1051,6 @@ def t06_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents
     """,
     tags=("multimodal", "llm", "pandas-udf"),
-    defer=True,
 )
 def mm01_payload_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Opaque binary payload + typed JVM-side metadata (mime, size,
@@ -1084,6 +1087,7 @@ def mm01_payload_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM f
     """,
     tags=("multimodal", "llm", "video"),
+    defer=True,
     # Deferred from the driver window: the multimodal mapInPandas path is
     # checked via mm01, and the per-frame contents have an exact pytest
     # (test_multimodal.py); the local differential gate still runs this.
@@ -1143,6 +1147,7 @@ def mm03_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM emb e JOIN cnt c USING (doc_id)
     """,
     tags=("llm", "text", "embedding", "similarity"),
+    defer=True,
 )
 def t07_hashed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-hashed document embeddings (operators/embeddings.py): the
@@ -1236,7 +1241,6 @@ def t07_hashed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE d.doc_id IS NULL
     """,
     tags=("llm", "pipeline", "dedup", "text"),
-    defer=True,
 )
 def c01_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus preparation (operators/corpus.py): quality gate →
@@ -1271,6 +1275,7 @@ def c01_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM counts
     """,
     tags=("text", "llm", "vocab"),
+    defer=True,
 )
 def t09_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequency-ranked token vocabulary + cumulative coverage curve
@@ -1306,6 +1311,7 @@ def t09_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.old_fp <> n.new_fp
     """,
     tags=("llm", "pipeline", "diff"),
+    defer=True,
 )
 def c02_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus snapshot diff (operators/corpus.py corpus_diff): classify every
@@ -1458,6 +1464,7 @@ _UHASH = _UHASH_SRC
        OR {_UHASH.format(salt='budget').replace('doc_id', 's.doc_id')} < 20000.0 / tot.total
     """,
     tags=("llm", "sampling", "mix"),
+    defer=True,
 )
 def s04_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-mix construction (operators/sampling.py):
@@ -1508,7 +1515,6 @@ def s04_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM isl GROUP BY doc_id, grp
     """,
     tags=("llm", "dedup", "text"),
-    defer=True,
 )
 def d06_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring span dedup (operators/dedup.py exact_substring_spans):
@@ -1551,6 +1557,7 @@ def d06_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM placed
     """,
     tags=("llm", "packing", "text"),
+    defer=True,
 )
 def t08_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-token sequence packing (operators/packing.py): every doc gets a
@@ -1625,6 +1632,7 @@ _GOPHER_REQ_SQL = " + ".join(
     FROM feats
     """,
     tags=("text", "llm", "quality", "gopher"),
+    defer=True,
 )
 def t10_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher quality-rule evaluation (operators/quality.py) over the corpus
@@ -1667,7 +1675,6 @@ def t10_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM fp JOIN groups g USING (f)
     """,
     tags=("sampling", "llm", "split", "dedup"),
-    defer=True,
 )
 def s06_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/val split (operators/sampling.py): the split draw
@@ -1705,6 +1712,7 @@ def s06_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM agg
     """,
     tags=("text", "llm", "quality", "lm"),
+    defer=True,
 )
 def t11_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style perplexity signal from a self-trained add-1 unigram LM
@@ -1734,7 +1742,6 @@ def t11_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM range(8)
     """,
     tags=("text", "llm", "tokenizer", "bpe"),
-    defer=True,
 )
 def t12_bpe_subwords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE (operators/bpe.py): learn 8 merges from the corpus
@@ -1927,6 +1934,7 @@ def mm06_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM dl l LEFT JOIN scored s USING (doc_id)
     """,
     tags=("text", "llm", "relevance", "bm25"),
+    defer=True,
 )
 def t13_bm25_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 ranking of every document against a seed query
@@ -1964,6 +1972,7 @@ def t13_bm25_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM tf t JOIN dfreq d USING (term) CROSS JOIN n
     """,
     tags=("text", "llm", "relevance", "tfidf"),
+    defer=True,
 )
 def t14_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(doc, term) TF-IDF with smooth idf (scikit-learn convention) —
@@ -2015,6 +2024,7 @@ def t14_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
           < least(1.0, score_micro / 1000000.0 * 0.3)
     """,
     tags=("llm", "sampling", "relevance", "importance"),
+    defer=True,
 )
 def t15_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-shaped in-domain selection: BM25-score the corpus against a
@@ -2050,6 +2060,7 @@ def t15_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE len({_TOKS.format(col='nt')}) >= 5
     """,
     tags=("llm", "contamination", "bloom"),
+    defer=True,
 )
 def t16_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter contamination pass (operators/contamination.py
