@@ -255,7 +255,12 @@ def resize_media(
             )
         with Image.open(io.BytesIO(blob)) as im:
             out = io.BytesIO()
-            im.resize((out_w, out_h)).save(out, format="PNG")
+            # Pin the resample filter to BOX so the PIL path computes the
+            # same box average as png.box_resize — PIL's default (bicubic)
+            # would make use_real_codecs=True output depend on whether PIL
+            # happens to be installed (ADVICE r6: cross-environment
+            # determinism for the same flag value).
+            im.resize((out_w, out_h), resample=Image.Resampling.BOX).save(out, format="PNG")
             return out.getvalue()
 
     def _resize_stub(blob: bytes) -> bytes:

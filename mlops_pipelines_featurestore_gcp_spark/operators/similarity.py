@@ -984,8 +984,12 @@ def ivf_pq_topk(
     (Jégou et al. 2011 §IV): coarse cells prune WHICH vectors are scored,
     residual product quantization compresses WHAT is scored.
 
-    Index shape: a √N-cell coarse quantizer (driver-side seeded k-means on
-    the md5-ordered sample, like ``pq_train``); every vector stores its
+    Index shape: a √N-cell coarse quantizer sized from the CORPUS count
+    (``_auto_centroids`` — the s03 rule, so per-cell population grows as
+    √N, not linearly) and fit driver-side by seeded k-means on the
+    md5-ordered ≤``sample``-row draw (k is capped by the sample size, so
+    past N ≈ sample² the cell count plateaus at ``sample`` — raise
+    ``sample`` if a deployment needs more cells); every vector stores its
     cell id + m one-byte PQ codes of its RESIDUAL (v − centroid) + the
     exact reconstruction norm — one vectorized Arrow encode pass. Encoding
     residuals instead of raw vectors is the published trick: residuals
@@ -1019,8 +1023,10 @@ def ivf_pq_topk(
     X = np.asarray([r["__v"] for r in srows], dtype=np.float64)
     n = X.shape[0]
     if n_centroids is None:
-        n_centroids = max(4, min(65536, round(n**0.5 * 2)))  # sample-derived
-    n_centroids = min(n_centroids, n)
+        # corpus-count-derived √N (ADVICE r6: the sample-derived constant
+        # stopped growing with N, silently breaking the stated scale rule)
+        n_centroids = _auto_centroids(corpus.count())
+    n_centroids = min(n_centroids, n)  # k-means needs k ≤ sample rows
     cells = _kmeans_fit(X, n_centroids, seed)
     if n_probe is None:
         n_probe = max(4, -(-len(cells) // 3))

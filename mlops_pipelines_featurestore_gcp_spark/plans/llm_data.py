@@ -787,9 +787,11 @@ def s08_operator_parts(spark: SparkSession, sf_dir: str):
     tags=("similarity", "llm", "ivf", "pq"),
 )
 def s09_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ top-5: √N coarse cells probed at the ⅓ fraction, ADC over
-    residual PQ codes inside probed cells only, exact float rescore;
-    emits the shared ANN contract flags plus the sampled recall floor."""
+    """IVF-PQ top-5: √N coarse cells (corpus-count-derived via
+    ``_auto_centroids`` since r7 — ADVICE r6; capped by the ≤2048-row
+    codebook sample) probed at the ⅓ fraction, ADC over residual PQ codes
+    inside probed cells only, exact float rescore; emits the shared ANN
+    contract flags plus the sampled recall floor."""
     emb, queries, out = s09_operator_parts(spark, sf_dir)
     return _ann_contract(out, emb, dim=64, k=5, recall_floor=0.65, queries=queries)
 
@@ -1088,9 +1090,11 @@ def mm01_payload_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("multimodal", "llm", "video"),
     defer=True,
-    # Deferred from the driver window: the multimodal mapInPandas path is
-    # checked via mm01, and the per-frame contents have an exact pytest
-    # (test_multimodal.py); the local differential gate still runs this.
+    # NOTE on the defer flag: it rotates round-to-round (rotate_window.py
+    # owns it — do not read it as a permanent status). Independent of the
+    # window, the multimodal mapInPandas path is checked via mm01, the
+    # per-frame contents have an exact pytest (test_multimodal.py), and
+    # the local differential gate always runs this oracle.
 )
 def mm03_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over video-shaped payloads (fixed-size byte frames,
@@ -1348,9 +1352,13 @@ def c02_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     # top-k (s01's twin) stitch into ONE statement that replays the
     # entire chunk → embed → search path value-for-value. Chunk ids pack
     # as doc_id·100000 + chunk_idx (chunk counts are bounded far below
-    # 100k by document length); every chunk embeds to a nonzero vector
-    # by construction (a chunk is a join of ≥1 non-whitespace tokens),
-    # so no zero-norm guard is needed on either side.
+    # 100k by document length). Zero-norm guard (ADVICE r6): bucket sums
+    # CAN cancel to an all-zero embedding (e.g. a ragged 2-token chunk
+    # whose tokens share a bucket with opposite signs); a zero-norm
+    # vector has no direction, so BOTH sides drop it before the search
+    # leg (WHERE nn > 0 here, exists(e != 0) in Spark) — otherwise the
+    # oracle's cosine would divide by zero (DuckDB inf/NaN) where Spark's
+    # rounds a 0/positive quotient.
     oracle=f"""
     WITH base AS (SELECT doc_id, {_TOKS.format(col='text')} AS t FROM documents),
     st AS (
@@ -1380,10 +1388,11 @@ def c02_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     nrm AS (SELECT vid, sqrt(SUM(v * v)) AS nn FROM vec GROUP BY vid),
     unitv AS (
-      SELECT v.vid, v.d, CASE WHEN n.nn > 0 THEN v.v / n.nn ELSE 0.0 END AS e
+      SELECT v.vid, v.d, CASE WHEN n.nn > 0 THEN v.v / n.nn ELSE 0.0 END AS e, n.nn
       FROM vec v JOIN nrm n USING (vid)
     ),
-    emb AS (SELECT vid, list(e ORDER BY d) AS embedding FROM unitv GROUP BY vid),
+    emb AS (SELECT vid, list(e ORDER BY d) AS embedding
+            FROM unitv WHERE nn > 0 GROUP BY vid),
     q AS (SELECT vid, embedding FROM emb WHERE vid % 251 = 0),
     scored AS (
       SELECT q.vid AS query_id, c.vid AS neighbor_id,
@@ -1417,8 +1426,14 @@ def c03_semantic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # the embedding table feeds BOTH search sides (corpus + query filter);
     # the lazy checkpoint runs the chunk→embed pipeline once, not twice
-    # (the key_jaccard_pairs lesson applied at composition time)
-    emb = hashed_embedding(keyed, "chunk_vid", "chunk_text", dim=64).localCheckpoint(eager=False)
+    # (the key_jaccard_pairs lesson applied at composition time).
+    # Zero-norm chunks (cancelled bucket sums) are dropped BEFORE the
+    # search leg on both engines — see the oracle comment above.
+    emb = (
+        hashed_embedding(keyed, "chunk_vid", "chunk_text", dim=64)
+        .where(F.exists("embedding", lambda v: v != 0.0))
+        .localCheckpoint(eager=False)
+    )
     queries = emb.where(F.col("chunk_vid") % 251 == 0)
     out = similarity.brute_force_topk(
         emb, queries, id_col="chunk_vid", vec_col="embedding", k=3, dim=64

@@ -25,6 +25,23 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from mlops_pipelines_featurestore_gcp_spark import get_spark, plans  # noqa: E402
 from bench import HEADLINE  # noqa: E402  (audit the same set the bench times)
 
+# Rows where a CartesianProduct/BroadcastNestedLoopJoin in the audited plan
+# is the documented design (broadcast query set / size-1 stat table), keyed
+# by the EXACT row name printed in the table — per-query, never a prefix
+# (ADVICE r6). Any cartesian on a row not listed here renders the ⚠ flag.
+EXPECTED_CARTESIAN = {
+    "s01_ann_bruteforce_topk",           # broadcast exact-scoring baseline
+    "s02_ann_lsh_topk",                  # contract form: 32-query recall verifier
+    "s03_ann_ivf_topk",                  # contract form + operator's probed-cell broadcast
+    "s08_ann_pq_topk",                   # contract form: 32-query recall verifier
+    "s09_ann_ivfpq_topk",                # contract form: 32-query recall verifier
+    "s03_ann_ivf_topk (operator only)",  # query set broadcast into probed cells
+    "c03_semantic_search",               # search stage IS s01's baseline
+    "f06_feature_drift",                 # size-1 stat-table crossJoin
+    "t11_unigram_lm_score",              # size-1 vocab-stat crossJoin
+    "st02_sliding_window",               # size-1 broadcast of the global max ts (r7 merge)
+}
+
 # Deferred/new queries worth auditing beyond the bench set — same table,
 # separate section so the bench headline set stays stable.
 EXTRA = [
@@ -110,21 +127,11 @@ def main() -> None:
                 continue
             df = spec.fn(spark, sf_dir)
         a = audit(df)
-        # s01's BroadcastNestedLoopJoin is the operator's DESIGN: the tiny
-        # query set is broadcast against the corpus for exact scoring (the
-        # approximate s02/s03 paths exist precisely to avoid it at scale)
-        # s01's is the design (broadcast exact-scoring baseline); f06's and
-        # t11's are broadcast singleton/centroid/stat tables joined with
-        # crossJoin — size-1-side broadcasts, not data-path cartesians.
-        # d07 was REMOVED from this list in round 5: its verifier now
-        # rescores emitted pairs via keyed joins, so any cartesian in its
-        # plan is a real regression. s02/s03 joined in round 5: their
-        # recall verifier brute-forces an ABSOLUTE 32-query sample
-        # (broadcast query set, O(32N)) plus a size-1 flag crossJoin.
-        # s08's registered form carries the same 32-query recall verifier
-        # (broadcast-query brute force) — by design, like s02/s03. c03's
-        # search stage IS s01's broadcast exact-scoring baseline.
-        expected_cartesian = name.startswith(("s01", "s02", "s03", "s08", "s09", "c03", "f06", "t11"))
+        # By-design cartesians live in EXPECTED_CARTESIAN (exact row names;
+        # rationale per entry). History: d07 was REMOVED in round 5 — its
+        # verifier rescores emitted pairs via keyed joins, so any cartesian
+        # in its plan is a real regression.
+        expected_cartesian = name in EXPECTED_CARTESIAN
         flag = " (by design: broadcast query set)" if a["cartesian"] and expected_cartesian else (" ⚠" if a["cartesian"] else "")
         print(
             f"| {name} | {a['exchanges']} | {a['bhj']} | {a['smj']} | {a['cartesian']}{flag} "
