@@ -74,6 +74,7 @@ _UHASH_SRC = (
     GROUP BY 1
     """,
     tags=("dedup", "llm"),
+    defer=True,
 )
 def d01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: md5 fingerprint of normalized text, hash-groupBy."""
@@ -1846,6 +1847,71 @@ def mm05_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads = multimodal.attach_payload(bucketed, "text")
     pairs = multimodal.audio_neardup_pairs(payloads, "doc_id", max_hamming=0)
     return pairs.orderBy("id_a", "id_b")
+
+
+@register(
+    "mm07_media_keep_best",
+    # LINEAR-OUTPUT multimodal dedup (VERDICT r6 #2): mm04/mm05/mm06 emit
+    # PAIRS — Σ cluster² in duplicate multiplicity, which explodes on a
+    # dup-heavy crawl (the r6 100×-gate exclusion). This is the keep-best
+    # form: ONE flagged row per document, linear in corpus size at any
+    # duplicate multiplicity — so the mm family becomes 100×-gateable.
+    # Oracle: at max_hamming=0 the pair graph's connected components ARE
+    # the doc_id % 97 payload buckets (mm04's established contract + the
+    # no-collision fixture precondition in test_phash.py), and the
+    # media-quality stand-in is the md5-uniform (salt, id) draw — stub
+    # payloads carry no real resolution/bitrate metadata, so the draw
+    # plays that role and the oracle replays it exactly (the s07 pattern).
+    # kept = the component's max-quality member (ties to smallest id).
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id, doc_id % 97 AS comp,
+             {_UHASH_SRC.format(salt='mmq')} AS media_quality
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, media_quality,
+             CAST(COUNT(*) OVER (PARTITION BY comp) AS BIGINT) AS cluster_size,
+             ROW_NUMBER() OVER (PARTITION BY comp
+                                ORDER BY media_quality DESC, doc_id) AS rn
+      FROM q
+    )
+    SELECT doc_id, media_quality, cluster_size,
+           CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS INT) AS kept
+    FROM ranked
+    """,
+    tags=("multimodal", "dedup", "keep-best", "linear"),
+)
+def mm07_media_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-best-per-cluster image dedup, LINEAR output: the real mm04
+    fingerprint pipeline (payload attach → aHash) feeds
+    ``dedup.keep_best_by_signature`` — identical signatures collapse
+    before any pairwise stage, the near-dup graph runs over DISTINCT
+    signatures only, and every document comes back as one flagged row.
+    The d01/d08 linear form for media: neither the output NOR any
+    intermediate is Σ cluster² in duplicate multiplicity, so this gates
+    at 100× where the pair-emitting mm04/mm05/mm06 by design cannot.
+    Equivalence to the full pair-graph path
+    (``components.dedup_keep_best_set``) is pinned in
+    tests/test_multimodal.py."""
+    docs = load_table(spark, "documents", sf_dir)
+    bucketed = docs.select(
+        "doc_id", F.concat(F.lit("img-"), (F.col("doc_id") % 97).cast("string")).alias("text")
+    )
+    payloads = multimodal.attach_payload(bucketed, "text")
+    sig = multimodal.perceptual_hash(payloads).select("doc_id", "phash")
+    quality = docs.select(
+        "doc_id", sampling.uniform_hash("doc_id", "mmq").alias("media_quality")
+    )
+    return dedup.keep_best_by_signature(
+        sig,
+        "doc_id",
+        "phash",
+        quality,
+        "media_quality",
+        bits=multimodal.PHASH_BITS,
+        max_hamming=0,
+    )
 
 
 @register(

@@ -119,3 +119,82 @@ def test_resize_media_stub_is_deterministic_valid_png(spark):
     assert rows[1] == rows[2] != rows[3]  # payload-keyed, deterministic
     w, h, ch, _ = png.decode_png(rows[1])  # stub output is a REAL PNG
     assert (w, h, ch) == (6, 3, 1)
+
+
+def test_keep_best_by_signature_matches_pair_graph_path(spark):
+    """The linear keep-best form must select the SAME keep set as the full
+    pair-table composition (hamming_blocked_pairs → dedup_keep_best_set) —
+    the connectivity-equivalence that justifies skipping Σ cluster² pair
+    materialization (VERDICT r6 #2)."""
+    from mlops_pipelines_featurestore_gcp_spark.operators import sampling
+    from mlops_pipelines_featurestore_gcp_spark.operators.components import dedup_keep_best_set
+    from mlops_pipelines_featurestore_gcp_spark.operators.dedup import (
+        hamming_blocked_pairs,
+        keep_best_by_signature,
+    )
+
+    docs = spark.range(60).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("img-"), (F.col("id") % 7).cast("string")).alias("text"),
+    )
+    payloads = mm.attach_payload(docs, "text")
+    sig = mm.perceptual_hash(payloads).select("doc_id", "phash")
+    quality = docs.select("doc_id", sampling.uniform_hash("doc_id", "mmq").alias("q"))
+
+    linear = keep_best_by_signature(
+        sig, "doc_id", "phash", quality, "q", bits=mm.PHASH_BITS, max_hamming=0
+    )
+    rows = linear.collect()
+    assert len(rows) == 60  # linear: exactly one row per doc
+    kept_linear = {r.doc_id for r in rows if r.kept == 1}
+    assert all(r.cluster_size in (8, 9) for r in rows)  # 60 ids over 7 buckets
+
+    pairs = hamming_blocked_pairs(
+        sig, "doc_id", "phash", bits=mm.PHASH_BITS, max_hamming=0
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    kept_graph = {
+        r.doc_id
+        for r in dedup_keep_best_set(
+            pairs, docs.select("doc_id"), "doc_id", quality, "q"
+        ).collect()
+    }
+    assert kept_linear == kept_graph
+    assert len(kept_linear) == 7  # one survivor per payload bucket
+
+
+def test_keep_best_by_signature_neardup_graph(spark):
+    """max_hamming>0 path: distinct signatures within hamming reach merge
+    into one component (graph leg), identical signatures still collapse
+    without pairs, and the keep verdict matches the pair-graph path."""
+    from mlops_pipelines_featurestore_gcp_spark.operators import sampling
+    from mlops_pipelines_featurestore_gcp_spark.operators.components import dedup_keep_best_set
+    from mlops_pipelines_featurestore_gcp_spark.operators.dedup import (
+        hamming_blocked_pairs,
+        keep_best_by_signature,
+    )
+
+    # hand-built signatures: {1,2} identical; {3} differs from them by 1 bit
+    # (same chunk survives → candidate → hamming 1); {4} far away
+    rows = [(1, 0b1111_0000), (2, 0b1111_0000), (3, 0b1111_0001), (4, 0x0F0F0F0F0F0F0F0)]
+    sig = spark.createDataFrame(rows, "doc_id long, h long")
+    quality = sig.select("doc_id", sampling.uniform_hash("doc_id", "kbq").alias("q"))
+
+    linear = keep_best_by_signature(
+        sig, "doc_id", "h", quality, "q", bits=60, chunks=4, max_hamming=2
+    )
+    got = {r.doc_id: (r.cluster_size, r.kept) for r in linear.collect()}
+    assert {d: s for d, (s, _) in got.items()} == {1: 3, 2: 3, 3: 3, 4: 1}
+    assert sum(k for _, k in got.values()) == 2  # one keeper per component
+
+    pairs = hamming_blocked_pairs(sig, "doc_id", "h", bits=60, chunks=4, max_hamming=2)
+    kept_graph = {
+        r.doc_id
+        for r in dedup_keep_best_set(
+            pairs.select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")),
+            sig.select("doc_id"),
+            "doc_id",
+            quality,
+            "q",
+        ).collect()
+    }
+    assert {d for d, (_, k) in got.items() if k == 1} == kept_graph

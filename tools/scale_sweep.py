@@ -181,6 +181,10 @@ GATE100 = [
     "t15_importance_resample", "d01_exact_dedup", "d08_keep_best_exact",
     "t17_soft_dedup_weights", "s07_per_source_cap", "t05_chunk_documents",
     "t08_sequence_pack", "mm01_payload_decode",
+    # round 7: the LINEAR multimodal dedup form — gateable at 100× because
+    # neither its output nor any intermediate is quadratic in duplicate
+    # multiplicity (identical signatures collapse before the pair stage)
+    "mm07_media_keep_best",
 ]
 
 
