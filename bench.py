@@ -82,6 +82,10 @@ HEADLINE2 = [
     "st06_continuous_rollup",
     "st07_distinct_rollup",
     "mm05_audio_neardup",
+    # round 7 addition — value_new_ops grows by its own time vs the r6
+    # total; compare per-query series (queries_new_ops) across rounds, the
+    # totals only within a round.
+    "mm07_media_keep_best",
 ]
 
 
@@ -144,6 +148,8 @@ def main() -> None:
     # stabilizes the reported minimum.
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "4")))
     timings: dict[str, float] = {}
+    spreads: dict[str, dict[str, float]] = {}
+    load_before = os.getloadavg()
     for name in names:
         # Untimed warm-up at the SAME sf_dir: compiles the exact codegen
         # classes the timed reps execute (see module docstring).
@@ -154,7 +160,7 @@ def main() -> None:
             ).collect()
         except Exception as e:  # noqa: BLE001 — warm-up must never kill the bench
             print(f"# warmup {name} failed: {e}", file=sys.stderr)
-        best, n = float("inf"), 0
+        reps, n = [], 0
         for _ in range(repeats):
             t0 = time.perf_counter()
             df = plans.QUERIES[name].fn(spark, sf_dir)
@@ -164,9 +170,15 @@ def main() -> None:
                 F.count(F.lit(1)).alias("n"),
                 F.sum(F.hash(*df.columns).cast("long")).alias("h"),
             ).collect()[0]
-            best = min(best, time.perf_counter() - t0)
+            reps.append(time.perf_counter() - t0)
             n = row["n"]
-        timings[name] = round(best, 4)
+        reps.sort()
+        timings[name] = round(reps[0], 4)
+        spreads[name] = {
+            "min": round(reps[0], 4),
+            "median": round(reps[len(reps) // 2], 4),
+            "max": round(reps[-1], 4),
+        }
         print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
 
     # "value" stays the STABLE 24-query total (cross-round comparability);
@@ -174,6 +186,13 @@ def main() -> None:
     # JSON line under *_new_ops keys.
     stable = {n: t for n, t in timings.items() if n in HEADLINE}
     new_ops = {n: t for n, t in timings.items() if n in HEADLINE2}
+    # Noise armor (VERDICT r6 #5): the reported MIN carries its own run
+    # conditions — box load average before/after the run plus each query's
+    # min/median/max across the repeats — so a future reader can tell a
+    # contention artifact (wide spreads, high loadavg, as in round 6's
+    # phantom 1.03× "regression") from a real one, without re-running.
+    # Additive keys only: the driver contract (stable `value` series, one
+    # JSON line) is untouched.
     print(
         json.dumps(
             {
@@ -184,6 +203,10 @@ def main() -> None:
                 "sf": sf,
                 "value_new_ops": round(sum(new_ops.values()), 4),
                 "queries_new_ops": new_ops,
+                "repeats": repeats,
+                "loadavg_before": [round(x, 2) for x in load_before],
+                "loadavg_after": [round(x, 2) for x in os.getloadavg()],
+                "spreads": spreads,
             }
         )
     )
