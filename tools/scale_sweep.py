@@ -41,12 +41,16 @@ DEFAULT = ["d02_minhash_lsh_neardup", "d03_ngram_jaccard_neardup", "d04_simhash_
 COPIES = 10
 
 
-def _replicate_keyed(spark, table: str, key_offsets: dict[str, str]) -> None:
-    """Write a 10× copy of ``table`` with the listed key columns offset
-    per copy by (copy × max-of-offset-source): referential integrity is
-    preserved when referencing tables offset the SAME source key (e.g.
+def _replicate_keyed(
+    spark, table: str, key_offsets: dict[str, str], *, dst: str | None = None, copies_n: int | None = None
+) -> None:
+    """Write a ``copies_n``× copy of ``table`` with the listed key columns
+    offset per copy by (copy × max-of-offset-source): referential integrity
+    is preserved when referencing tables offset the SAME source key (e.g.
     l_orderkey and o_orderkey both offset by max o_orderkey + 1)."""
-    out = os.path.join(DST, f"{table}.parquet")
+    dst = dst or DST
+    copies_n = copies_n or COPIES
+    out = os.path.join(dst, f"{table}.parquet")
     if os.path.exists(out):
         return
     df = spark.read.parquet(os.path.join(SRC, f"{table}.parquet"))
@@ -57,7 +61,7 @@ def _replicate_keyed(spark, table: str, key_offsets: dict[str, str]) -> None:
         + 1
         for src in set(key_offsets.values())
     }
-    copies = spark.range(COPIES).select(F.col("id").alias("__copy"))
+    copies = spark.range(copies_n).select(F.col("id").alias("__copy"))
     cols = [
         (F.col(c) + F.col("__copy") * maxes[key_offsets[c]]).alias(c)
         if c in key_offsets
@@ -67,6 +71,28 @@ def _replicate_keyed(spark, table: str, key_offsets: dict[str, str]) -> None:
     df.crossJoin(F.broadcast(copies)).select(*cols).repartition(32).write.mode(
         "overwrite"
     ).parquet(out)
+
+
+def _replicate_events_userspace(spark, dst: str, copies_n: int) -> None:
+    """Events replicate by USER-SPACE offset: ``copies_n``× users with the
+    same per-user temporal pattern, so sessions/windows/funnels/rollups get
+    scaled keyed state while event-time density per key stays realistic —
+    and per-BUCKET aggregate cardinality grows ``copies_n``×, which is the
+    axis that stresses the DECIMAL/order-proof aggregation postures."""
+    ev_out = os.path.join(dst, "events.parquet")
+    if os.path.exists(ev_out):
+        return
+    ev = spark.read.parquet(os.path.join(SRC, "events.parquet"))
+    n_u = ev.agg(F.max("user_id")).first()[0] + 1
+    n_e = ev.agg(F.max("event_id")).first()[0] + 1
+    copies = spark.range(copies_n).select(F.col("id").alias("__copy"))
+    big = ev.crossJoin(F.broadcast(copies)).select(
+        (F.col("event_id") + F.col("__copy") * n_e).alias("event_id"),
+        "ts",
+        (F.col("user_id") + F.col("__copy") * n_u).alias("user_id"),
+        *[c for c in ev.columns if c not in ("event_id", "ts", "user_id")],
+    )
+    big.repartition(32).write.mode("overwrite").parquet(ev_out)
 
 
 def build_sf1(spark) -> None:
@@ -92,23 +118,7 @@ def build_sf1(spark) -> None:
     _replicate_keyed(
         spark, "lineitem", {"l_orderkey": "orders.o_orderkey"}
     )
-    ev_out = os.path.join(DST, "events.parquet")
-    if not os.path.exists(ev_out):
-        # events replicate by USER-SPACE offset: 10× users with the same
-        # per-user temporal pattern, so sessions/windows/funnels/rollups
-        # get 10× keyed state (the dimension that scales them) while
-        # event-time density per key stays realistic.
-        ev = spark.read.parquet(os.path.join(SRC, "events.parquet"))
-        n_u = ev.agg(F.max("user_id")).first()[0] + 1
-        n_e = ev.agg(F.max("event_id")).first()[0] + 1
-        copies = spark.range(COPIES).select(F.col("id").alias("__copy"))
-        big = ev.crossJoin(F.broadcast(copies)).select(
-            (F.col("event_id") + F.col("__copy") * n_e).alias("event_id"),
-            "ts",
-            (F.col("user_id") + F.col("__copy") * n_u).alias("user_id"),
-            *[c for c in ev.columns if c not in ("event_id", "ts", "user_id")],
-        )
-        big.repartition(32).write.mode("overwrite").parquet(ev_out)
+    _replicate_events_userspace(spark, DST, COPIES)
     _replicate_documents(spark, DST, COPIES)
     emb_out = os.path.join(DST, "embeddings.parquet")
     if not os.path.exists(emb_out):
@@ -185,20 +195,54 @@ GATE100 = [
     # neither its output nor any intermediate is quadratic in duplicate
     # multiplicity (identical signatures collapse before the pair stage)
     "mm07_media_keep_best",
+    # round 7 (VERDICT r6 #6): the relational/streaming families at 100×.
+    # Every prior decade-up surfaced a numeric-threshold divergence class
+    # (HUGEINT widening, raw-double reduction order, DECIMAL→DOUBLE
+    # double-rounding past 2⁵³); these six put ~10M-row groups through the
+    # DECIMAL accumulation postures, the 6-table join through 60M-row
+    # lineitem, RANGE frames / rollup buckets through 100× member counts,
+    # and the as-of join through 100× keyed state.
+    "q01_pricing_summary", "q05_nation_volume", "q12_rollup_cube",
+    "q28_range_frame", "st01_tumbling_window", "f03_asof_spine_join",
 ]
 
 
 def build_sf100(spark) -> None:
-    """Documents replicated 100× (≈500k docs) into ``DST100``; every other
-    table symlinks to sf0.1. Gate with
-    ``python tools/verify_local.py /tmp/spark_graft_sf10 <GATE100 names>``.
+    """The 100× corpus at ``DST100``: documents replicated 100× (≈500k
+    docs, per-copy perturbed), the TPC-H fact side (customer/orders/
+    lineitem) replicated 100× with consistent key offsets (~60M-row
+    lineitem), events replicated 100× in user space; part/supplier/
+    nation/region/embeddings symlink to sf0.1 (dimensions don't grow with
+    the fact side; embeddings' 100× story is the documents axis). Gate
+    with ``python tools/verify_local.py /tmp/spark_graft_sf10 <GATE100>``.
     """
     os.makedirs(DST100, exist_ok=True)
+    replicated = ("documents", "customer", "orders", "lineitem", "events")
     for t in TABLE_NAMES:
         link = os.path.join(DST100, f"{t}.parquet")
-        if t != "documents" and not os.path.exists(link):
+        if t in replicated:
+            # r6 builds symlinked the fact side — drop the stale link so
+            # the replicated write isn't skipped by the exists check
+            if os.path.islink(link):
+                os.remove(link)
+        elif not os.path.exists(link):
             os.symlink(os.path.join(SRC, f"{t}.parquet"), link)
     _replicate_documents(spark, DST100, COPIES100)
+    _replicate_keyed(
+        spark, "customer", {"c_custkey": "customer.c_custkey"},
+        dst=DST100, copies_n=COPIES100,
+    )
+    _replicate_keyed(
+        spark,
+        "orders",
+        {"o_orderkey": "orders.o_orderkey", "o_custkey": "customer.c_custkey"},
+        dst=DST100, copies_n=COPIES100,
+    )
+    _replicate_keyed(
+        spark, "lineitem", {"l_orderkey": "orders.o_orderkey"},
+        dst=DST100, copies_n=COPIES100,
+    )
+    _replicate_events_userspace(spark, DST100, COPIES100)
 
 
 def _materialize(df) -> None:
