@@ -95,6 +95,28 @@ def test_no_oracle_query_deferred_forever():
     )
 
 
+def test_registry_fits_rotation_capacity():
+    """Q oracle queries under a W-slot window and the 2-round staleness
+    rule are satisfiable only while Q ≤ 2W: each round must rotate the
+    Q−W deferred half back in, so past 2W some query necessarily misses
+    two consecutive windows no matter how defer flags are set (VERDICT r6
+    #7 — round 6 discovered this cap the hard way at Q=91). This test
+    rejects the REGISTRATION that breaks the bound, instead of the
+    after-the-fact staleness check catching it a round later."""
+    q = sum(1 for s in plans.QUERIES.values() if s.oracle is not None)
+    cap = 2 * DRIVER_WINDOW
+    assert q <= cap, (
+        f"{q} oracle queries > rotation capacity {cap} (window {DRIVER_WINDOW}, "
+        "2-round staleness rule): the ledger contract is now UNSATISFIABLE — "
+        "consolidate queries (merge related demos, ride assertions as extra "
+        "columns) before registering more"
+    )
+    # advisory headroom in the failure message of the capacity math:
+    # per-round free slots for NEW queries = 2W − Q. CLAUDE.md's policy
+    # floor (≥10 free) is enforced socially, not here — this test only
+    # rejects true unsatisfiability.
+
+
 def test_rotation_tool_planner_is_consistent_with_contract():
     """tools/rotate_window.py `plan` must agree with the contract tests:
     with the current ledger, no oracle query may already be overdue."""
