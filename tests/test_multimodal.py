@@ -198,3 +198,24 @@ def test_keep_best_by_signature_neardup_graph(spark):
         ).collect()
     }
     assert {d for d, (_, k) in got.items() if k == 1} == kept_graph
+
+
+def test_keep_best_by_signature_works_on_audio_fingerprints(spark):
+    """The linear keep-best operator is signature-family-agnostic: the
+    audio chromaprint-style fingerprint (mm05's signature) drops in
+    unchanged — same 60-bit hamming machinery, same keep contract."""
+    from mlops_pipelines_featurestore_gcp_spark.operators import sampling
+    from mlops_pipelines_featurestore_gcp_spark.operators.dedup import keep_best_by_signature
+
+    docs = spark.range(40).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("aud-"), (F.col("id") % 5).cast("string")).alias("text"),
+    )
+    payloads = mm.attach_payload(docs, "text")
+    sig = mm.audio_fingerprint(payloads).select("doc_id", "afp")
+    quality = docs.select("doc_id", sampling.uniform_hash("doc_id", "aq").alias("q"))
+    out = keep_best_by_signature(sig, "doc_id", "afp", quality, "q", max_hamming=0)
+    rows = out.collect()
+    assert len(rows) == 40
+    assert sum(r.kept for r in rows) == 5  # one survivor per payload bucket
+    assert all(r.cluster_size == 8 for r in rows)

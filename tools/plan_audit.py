@@ -54,6 +54,7 @@ EXTRA = [
     "s08_ann_pq_topk",
     "s09_ann_ivfpq_topk",
     "mm06_video_neardup",
+    "mm07_media_keep_best",
     "c03_semantic_search",
     "t10_gopher_quality",
     "t11_unigram_lm_score",
