@@ -1191,6 +1191,7 @@ def q35_sessionize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY f.cohort_period, period_offset
     """,
     tags=("events", "retention", "cohort"),
+    defer=True,
 )
 def q36_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort-retention triangle (operators/sessions.py): first-

@@ -37,7 +37,10 @@ DEFAULT = ["d02_minhash_lsh_neardup", "d03_ngram_jaccard_neardup", "d04_simhash_
            "t06_contamination_check", "st03_session_window", "st06_continuous_rollup",
            # round 6: the PQ ADC tier (operator-only, like d07 — the
            # registered form carries the 32-query recall verifier)
-           "s08_ann_pq_topk"]
+           "s08_ann_pq_topk",
+           # round 7: the linear multimodal keep-best (exponent ~0 —
+           # fixed costs dominate; output linear in corpus)
+           "mm07_media_keep_best"]
 COPIES = 10
 
 
