@@ -802,3 +802,75 @@ def keep_best_by_signature(
         F.count("*").over(wc).cast("long").alias("cluster_size"),
         (F.row_number().over(wr) == 1).cast("int").alias("kept"),
     )
+
+
+def keep_best_by_element_sets(
+    hashed: DataFrame,
+    id_col: str,
+    quality_df: DataFrame,
+    quality_col: str,
+    *,
+    key_col: str = "h",
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """LINEAR-OUTPUT set-Jaccard dedup: one ``(id, quality, cluster_size,
+    kept)`` row per input id — the :func:`keep_best_by_signature` posture
+    for ELEMENT-SET similarity (video frame sets, any feature-set column)
+    instead of single bit signatures.
+
+    Scale architecture (O(N) in duplicate multiplicity):
+
+    1. Canonical SET SIGNATURE per id — md5 over the sorted distinct
+       element keys, computed in the same aggregate that builds the set.
+       Ids with IDENTICAL element sets (byte-identical re-uploads, the
+       dominant duplicate mass) collapse to one signature before any
+       pairwise stage.
+    2. One representative id per distinct signature (min id);
+       :func:`key_jaccard_pairs` runs over REPRESENTATIVES only, so
+       candidate cost is Σ df² of the deduplicated content, never of the
+       corpus. This is connectivity-exact, not an approximation: two ids
+       with identical sets share every partner at identical Jaccard, so
+       the representative graph has the same components as the full
+       graph (pinned in tests/test_video_dedup.py).
+    3. ``connected_components`` labels the representative graph; every id
+       inherits its signature's component via keyed joins (a signature
+       in no pair is its own component).
+    4. Keep-best (quality desc NULLS LAST, ties to smallest id) +
+       cluster-size share one component-keyed window shuffle.
+    """
+    from mlops_pipelines_featurestore_gcp_spark.operators.components import connected_components
+
+    if key_col != "h":
+        hashed = hashed.withColumnRenamed(key_col, "h")
+    hashed = hashed.localCheckpoint(eager=False)  # feeds sig + rep-element consumers once
+    sig = hashed.groupBy(id_col).agg(
+        F.md5(F.concat_ws(",", F.array_sort(F.collect_set("h")))).alias("__sig")
+    )
+    rep = sig.groupBy("__sig").agg(F.min(id_col).alias("__rep"))
+    rep_elems = hashed.join(
+        rep.select(F.col("__rep").alias(id_col)), id_col
+    )
+    pairs = key_jaccard_pairs(
+        rep_elems, id_col, threshold=threshold, max_df=max_df
+    ).select(F.col("doc_a"), F.col("doc_b"))
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    rep_comp = rep.join(
+        comp.withColumnRenamed("node", "__rep"), "__rep", "left"
+    ).select(
+        "__sig", F.coalesce(F.col("component"), F.col("__rep")).alias("__comp")
+    )
+    labeled = sig.join(rep_comp, "__sig").select(F.col(id_col), "__comp")
+    scored = labeled.join(
+        quality_df.select(F.col(id_col), F.col(quality_col)), id_col, "left"
+    )
+    wc = Window.partitionBy("__comp")
+    wr = Window.partitionBy("__comp").orderBy(
+        F.col(quality_col).desc_nulls_last(), F.col(id_col).asc()
+    )
+    return scored.select(
+        F.col(id_col),
+        F.col(quality_col),
+        F.count("*").over(wc).cast("long").alias("cluster_size"),
+        (F.row_number().over(wr) == 1).cast("int").alias("kept"),
+    )

@@ -315,18 +315,46 @@ def video_neardup_pairs(
     stub-decoded: frame splitting and md5 are byte-exact JVM expressions,
     so a SQL oracle can replay the ENTIRE pipeline value-for-value.
     """
-    from mlops_pipelines_featurestore_gcp_spark.functions.text import md5_long
     from mlops_pipelines_featurestore_gcp_spark.operators.dedup import key_jaccard_pairs
 
-    frames = frame_sample(df, payload_col=payload_col, frame_bytes=frame_bytes, every=every)
-    hashed = (
-        frames.select(
-            F.col(id_col),
-            md5_long(F.col("frame_meta.fingerprint"), bits=60).alias("h"),
-        )
-        .distinct()
+    hashed = video_frame_hashes(
+        df, id_col, payload_col=payload_col, frame_bytes=frame_bytes, every=every
     )
     return key_jaccard_pairs(hashed, id_col, threshold=threshold, max_df=max_df)
+
+
+def video_frame_hashes(
+    df: DataFrame,
+    id_col: str,
+    *,
+    payload_col: str = "payload",
+    frame_bytes: int = 64,
+    every: int = 2,
+    full_frames_only: bool = False,
+) -> DataFrame:
+    """Distinct 60-bit sampled-frame fingerprints per video —
+    ``(id, h)``, the element table both the pair form
+    (:func:`video_neardup_pairs`) and the linear keep-best form
+    (``dedup.keep_best_by_element_sets``) consume. Pure JVM (frame
+    windows + md5), so SQL oracles replay it value-for-value.
+
+    ``full_frames_only=True`` drops the ragged trailing frame (shorter
+    than ``frame_bytes``): a few-byte tail is format noise, and a tail
+    shared by UNRELATED clips (e.g. a common byte suffix) manufactures
+    spurious near-dup edges — at the 10× gate such tails chained
+    unrelated cluster groups into one giant component. Dedup callers
+    should set it; mm06's pair query predates the flag and keeps the
+    tail for oracle continuity (its oracle replays whatever is hashed,
+    so it is correctness-neutral there)."""
+    from mlops_pipelines_featurestore_gcp_spark.functions.text import md5_long
+
+    frames = frame_sample(df, payload_col=payload_col, frame_bytes=frame_bytes, every=every)
+    if full_frames_only:
+        frames = frames.where(F.col("frame_meta.n_bytes") == frame_bytes)
+    return frames.select(
+        F.col(id_col),
+        md5_long(F.col("frame_meta.fingerprint"), bits=60).alias("h"),
+    ).distinct()
 
 
 AFP_BITS = 60

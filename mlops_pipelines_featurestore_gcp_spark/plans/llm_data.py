@@ -2082,6 +2082,105 @@ def mm06_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm08_video_keep_best",
+    # The LINEAR form of mm06 (VERDICT r6 #2 completed for the set-Jaccard
+    # modality): one flagged row per video, never a pair table. The oracle
+    # replays the ENTIRE pipeline value-for-value like mm06 (frame windows,
+    # md5, 60-bit fold, set Jaccard — all byte-exact JVM ⇄ SQL), then
+    # labels components as one-hop neighbor-min: valid because the
+    # registered fixture's pair graph is a union of CLIQUES (same-bucket
+    # clips all share the aligned intro; cross-bucket pairs share zero
+    # FULL frames) — the precondition is pinned against the real
+    # connected-components operator in test_video_dedup.py, including at
+    # a 10×-shaped id range. full_frames_only is load-bearing: the
+    # ragged trailing frame is an id-SUFFIX ('...042.') shared across
+    # unrelated clips, and at the 10× gate those tails chained 79 of the
+    # 89 cluster groups into one giant component. The quality stand-in
+    # is the md5-uniform (salt,id) draw, replayed exactly (s07).
+    oracle=f"""
+    WITH vids AS (
+      SELECT doc_id,
+             repeat('P' || CAST(doc_id % 89 AS VARCHAR) || '#', 120) ||
+             repeat('s' || CAST(doc_id AS VARCHAR) || '.', 60) AS vt
+      FROM documents
+    ),
+    fr AS (
+      SELECT doc_id,
+             md5(substring(vt, j.generate_series * 64 + 1, 64)) AS fp
+      FROM vids, generate_series(0, 32) j
+      WHERE j.generate_series % 2 = 0
+        AND j.generate_series <= (length(vt) - 1) // 64
+        AND length(substring(vt, j.generate_series * 64 + 1, 64)) = 64
+    ),
+    hashed AS (SELECT DISTINCT doc_id, {_md5_long_sql('fp', 15)} AS h FROM fr),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM hashed GROUP BY doc_id),
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni
+      FROM hashed a JOIN hashed b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c
+      JOIN sizes sa ON sa.doc_id = c.id_a
+      JOIN sizes sb ON sb.doc_id = c.id_b
+      WHERE c.ni / (sa.n + sb.n - c.ni) >= 0.08
+    ),
+    nbrmin AS (
+      SELECT doc_id, MIN(p) AS m FROM (
+        SELECT id_a AS doc_id, id_b AS p FROM pairs
+        UNION ALL
+        SELECT id_b AS doc_id, id_a AS p FROM pairs
+      ) GROUP BY doc_id
+    ),
+    comp AS (
+      SELECT s.doc_id, LEAST(s.doc_id, COALESCE(n.m, s.doc_id)) AS c
+      FROM sizes s LEFT JOIN nbrmin n USING (doc_id)
+    ),
+    q AS (
+      SELECT doc_id, {_UHASH_SRC.format(salt='vq')} AS media_quality
+      FROM documents
+    ),
+    ranked AS (
+      SELECT comp.doc_id, q.media_quality,
+             CAST(COUNT(*) OVER (PARTITION BY comp.c) AS BIGINT) AS cluster_size,
+             ROW_NUMBER() OVER (PARTITION BY comp.c
+                                ORDER BY q.media_quality DESC, comp.doc_id) AS rn
+      FROM comp JOIN q USING (doc_id)
+    )
+    SELECT doc_id, media_quality, cluster_size,
+           CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS INT) AS kept
+    FROM ranked
+    """,
+    tags=("multimodal", "dedup", "video", "keep-best", "linear"),
+)
+def mm08_video_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-best-per-cluster VIDEO dedup, linear output: the real mm06
+    frame pipeline feeds ``dedup.keep_best_by_element_sets`` — identical
+    frame SETS collapse to one canonical signature before any pairwise
+    stage, the Jaccard graph runs over set-representatives only (cost ∝
+    distinct content, not duplicate multiplicity — connectivity-exact,
+    since identical sets share every partner at identical Jaccard), and
+    every video comes back as one flagged row. With mm07 (bit-signature
+    modality: image/audio) this completes the linear keep-best story for
+    all three media families."""
+    docs = load_table(spark, "documents", sf_dir)
+    unit_p = F.concat(F.lit("P"), (F.col("doc_id") % 89).cast("string"), F.lit("#"))
+    unit_s = F.concat(F.lit("s"), F.col("doc_id").cast("string"), F.lit("."))
+    vids = docs.select(
+        "doc_id", F.concat(F.repeat(unit_p, 120), F.repeat(unit_s, 60)).alias("text")
+    )
+    payloads = multimodal.attach_payload(vids, "text", mime="video/raw")
+    hashed = multimodal.video_frame_hashes(payloads, "doc_id", full_frames_only=True)
+    quality = docs.select(
+        "doc_id", sampling.uniform_hash("doc_id", "vq").alias("media_quality")
+    )
+    return dedup.keep_best_by_element_sets(
+        hashed, "doc_id", quality, "media_quality", threshold=0.08
+    )
+
+
+@register(
     "t13_bm25_relevance",
     oracle=f"""
     WITH base AS (

@@ -1162,6 +1162,7 @@ def q34_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM sess GROUP BY user_id, session_seq
     """,
     tags=("events", "session", "window"),
+    defer=True,
 )
 def q35_sessionize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch sessionization (30-min inactivity gap) + per-session rollup
