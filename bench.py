@@ -82,10 +82,12 @@ HEADLINE2 = [
     "st06_continuous_rollup",
     "st07_distinct_rollup",
     "mm05_audio_neardup",
-    # round 7 addition — value_new_ops grows by its own time vs the r6
+    # round 7 additions — value_new_ops grows by their own time vs the r6
     # total; compare per-query series (queries_new_ops) across rounds, the
     # totals only within a round.
     "mm07_media_keep_best",
+    "mm08_video_keep_best",
+    "s10_ann_ivfpq_persisted",
 ]
 
 

@@ -40,6 +40,7 @@ EXPECTED_CARTESIAN = {
     "f06_feature_drift",                 # size-1 stat-table crossJoin
     "t11_unigram_lm_score",              # size-1 vocab-stat crossJoin
     "st02_sliding_window",               # size-1 broadcast of the global max ts (r7 merge)
+    "s10_ann_ivfpq_persisted",           # contract form: 32-query recall verifier (s09 twin)
 }
 
 # Deferred/new queries worth auditing beyond the bench set — same table,
@@ -55,6 +56,8 @@ EXTRA = [
     "s09_ann_ivfpq_topk",
     "mm06_video_neardup",
     "mm07_media_keep_best",
+    "mm08_video_keep_best",
+    "s10_ann_ivfpq_persisted",
     "c03_semantic_search",
     "t10_gopher_quality",
     "t11_unigram_lm_score",

@@ -198,6 +198,12 @@ GATE100 = [
     # neither its output nor any intermediate is quadratic in duplicate
     # multiplicity (identical signatures collapse before the pair stage)
     "mm07_media_keep_best",
+    # mm08 (linear VIDEO keep-best) is 10×-gated but excluded from 100×:
+    # its fixture synthesizes DISTINCT near-dups (unique bodies), and
+    # pairs among distinct near-dup content are inherently pairwise —
+    # the set-signature collapse removes EXACT-duplicate multiplicity
+    # (tested: 2000 videos / 8 distinct → 8-node rep graph), which this
+    # fixture has none of at 100×.
     # round 7 (VERDICT r6 #6): the relational/streaming families at 100×.
     # Every prior decade-up surfaced a numeric-threshold divergence class
     # (HUGEINT widening, raw-double reduction order, DECIMAL→DOUBLE
