@@ -88,6 +88,8 @@ HEADLINE2 = [
     "mm07_media_keep_best",
     "mm08_video_keep_best",
     "s10_ann_ivfpq_persisted",
+    "q37_skew_salted_topk",
+    "st08_interval_join",
 ]
 
 

@@ -113,6 +113,7 @@ _QUALITY_SQL = f"""
     SELECT doc_id, fp, n_docs, quality FROM ranked WHERE rn = 1
     """,
     tags=("dedup", "llm", "quality"),
+    defer=True,
 )
 def d08_keep_best_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware exact dedup (operators/dedup.py exact_dedup_keep_best):

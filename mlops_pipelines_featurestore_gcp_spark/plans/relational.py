@@ -1115,6 +1115,7 @@ def q33_binned_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM s0 LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
     """,
     tags=("events", "funnel", "sequence"),
+    defer=True,
 )
 def q34_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed funnel (view → click → purchase within 24 h of the anchor):
@@ -1204,4 +1205,47 @@ def q36_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return retention_cohorts(
         ev, entity_col="user_id", time_col="t", period=7 * 86400 * 1_000_000
+    )
+
+
+@register(
+    "q37_skew_salted_topk",
+    # The salted two-phase plan is EXACTLY the unsalted window answer
+    # (operators/skew.py proves why: any global top-3 row is in its salt
+    # sub-group's top-3), so the oracle is the plain ROW_NUMBER form —
+    # the driver hash pins the skew-safe rewrite to the naive semantics.
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_type, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY value DESC, event_id ASC) AS rnk
+      FROM events
+    )
+    SELECT user_id, event_type, event_id, value, rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+    tags=("window", "topk", "skew"),
+)
+def q37_skew_salted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 events by value per (user, event_type) through the SKEW-SAFE
+    two-phase salted window (operators/skew.py salted_topk): phase 1 ranks
+    inside 8 deterministic salt sub-groups (a hot key's rows fan out across
+    8 tasks instead of one), phase 2 ranks the <=24 survivors per key. The
+    order is total (value DESC, event_id ASC) so both phases break ties
+    identically — the driver hash proves the rewrite returns bit-identical
+    rows to the naive single-window plan at any salt. At 100 TB this is the
+    difference between a straggler task holding a hot user's full history
+    and 8 bounded sub-scans."""
+    from mlops_pipelines_featurestore_gcp_spark.operators.skew import salted_topk
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "event_type", "event_id", "value"
+    )
+    return salted_topk(
+        ev,
+        ["user_id", "event_type"],
+        [F.col("value").desc(), F.col("event_id").asc()],
+        k=3,
+        salt=8,
+        rank_col="rnk",
     )

@@ -301,3 +301,58 @@ def st07_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("int").alias("estimate_within_band"),
         )
     )
+
+
+@register(
+    "st08_interval_join",
+    # Batch-parity evidence for the stream-STREAM interval join: the
+    # registered call runs streaming/joins.py interval_join on the batch
+    # events frame (watermarks are no-ops there), and
+    # tests/test_skew_and_stream_joins.py separately pins that the SAME
+    # function over readStream micro-batches emits the SAME rows — so the
+    # driver hash transitively covers the streaming plan's semantics.
+    oracle="""
+    SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+           epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+    FROM events v
+    JOIN events p
+      ON v.user_id = p.user_id
+     AND p.ts >= v.ts
+     AND p.ts <= v.ts + INTERVAL 6 HOUR
+    WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+    """,
+    tags=("streaming", "join", "interval", "watermark"),
+)
+def st08_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View->purchase attribution pairs within 6 hours per user — the
+    stream-stream interval join (streaming/joins.py interval_join). Both
+    sides carry watermarks so the streaming form's join buffers expire:
+    state is bounded by (watermark + interval) x arrival rate, never by
+    history — the property that keeps this runnable on an unbounded
+    100 TB/day event stream. The batch plan is a single user_id shuffle
+    with the time bounds as post-join predicates."""
+    from mlops_pipelines_featurestore_gcp_spark.streaming.joins import interval_join
+
+    ev = load_table(spark, "events", sf_dir)
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts"), F.col("event_id").alias("purchase_id")
+    )
+    joined = interval_join(
+        views,
+        purchases,
+        key="user_id",
+        left_time="ts",
+        right_time="pts",
+        watermark="1 hour",
+        lower="0 seconds",
+        upper="6 hours",
+    )
+    return joined.select(
+        "user_id",
+        "view_id",
+        "purchase_id",
+        (F.unix_micros(F.col("pts")) - F.unix_micros(F.col("ts"))).alias("gap_us"),
+    )

@@ -213,6 +213,11 @@ GATE100 = [
     # and the as-of join through 100× keyed state.
     "q01_pricing_summary", "q05_nation_volume", "q12_rollup_cube",
     "q28_range_frame", "st01_tumbling_window", "f03_asof_spine_join",
+    # round 7 additions: both are USER-space linear on events — q37's
+    # top-3-per-(user,type) output and st08's per-user attribution pairs
+    # grow with users, never quadratically (the interval bound caps pairs
+    # per view at the per-user 6-hour purchase density).
+    "q37_skew_salted_topk", "st08_interval_join",
 ]
 
 
