@@ -90,6 +90,7 @@ HEADLINE2 = [
     "s10_ann_ivfpq_persisted",
     "q37_skew_salted_topk",
     "st08_interval_join",
+    "st09_quantile_rollup",
 ]
 
 

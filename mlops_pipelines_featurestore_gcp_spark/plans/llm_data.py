@@ -175,6 +175,7 @@ def t18_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, source FROM ranked WHERE rn <= 10
     """,
     tags=("llm", "sampling", "cap"),
+    defer=True,
 )
 def s07_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/Dolma-style per-domain page cap (operators/sampling.py

@@ -356,3 +356,122 @@ def st08_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_id",
         (F.unix_micros(F.col("pts")) - F.unix_micros(F.col("ts"))).alias("gap_us"),
     )
+
+
+@register(
+    "st09_quantile_rollup",
+    # The third mergeable-sketch rollup family (st06 sums, st07 HLL
+    # distincts, this: quantiles). The histogram estimates are FULL
+    # value-level oracle columns — (bin+0.5)*4.0 is an exact integer in
+    # double for every bin, so DuckDB replays the whole sketch bit-for-bit
+    # (no epsilon needed, unlike HLL). Rank k is INTEGER arithmetic
+    # ((n+1)//2, (19n+19)//20): DuckDB parses 0.95 as DECIMAL and Spark as
+    # double, the exact class of cross-engine rank-off-by-one the decimal
+    # rules in CLAUDE.md exist for. The two store flags are the st06/st07
+    # contract: incremental 3-batch maintenance equals a one-shot rebuild
+    # (BIT-exact here — integer bin counts have no merge drift), and the
+    # estimate sits within bin_width/2 of the true rank-k value (the
+    # histogram's by-construction bound, checked against raw truth).
+    oracle="""
+    WITH b AS (
+      SELECT CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS bucket,
+             event_type,
+             CAST(least(greatest(floor(value / 4.0), 0), 255) AS BIGINT) AS bin
+      FROM events
+    ),
+    h AS (SELECT bucket, event_type, bin, COUNT(*) AS c FROM b GROUP BY 1, 2, 3),
+    cum AS (
+      SELECT bucket, event_type, bin,
+             CAST(SUM(c) OVER (PARTITION BY bucket, event_type ORDER BY bin) AS BIGINT) AS cc,
+             CAST(SUM(c) OVER (PARTITION BY bucket, event_type) AS BIGINT) AS n
+      FROM h
+    )
+    SELECT bucket, event_type, MAX(n) AS n_rows,
+           MIN(CASE WHEN cc >= (n + 1) // 2
+                    THEN CAST((bin + 0.5) * 4.0 AS DOUBLE) END) AS p50_est,
+           MIN(CASE WHEN cc >= (19 * n + 19) // 20
+                    THEN CAST((bin + 0.5) * 4.0 AS DOUBLE) END) AS p95_est,
+           CAST(1 AS INT) AS incremental_matches_full,
+           CAST(1 AS INT) AS p50_within_band,
+           CAST(1 AS INT) AS p95_within_band
+    FROM cum
+    GROUP BY bucket, event_type
+    """,
+    tags=("streaming", "rollup", "sketch", "quantile"),
+)
+def st09_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained p50/p95 per (hour, event_type) via
+    histogram sketches (streaming/quantile_rollup.py): three
+    event_id-sharded refreshes into the pgroup store, a one-shot rebuild
+    for the maintenance-parity flag, then per-bucket estimates plus
+    band checks against the exact rank-k truth. The only maintainable
+    form of quantiles at 100 TB: per-refresh cost is batch-proportional,
+    state is 256 ints per (bucket, key), and day/month re-aggregations
+    sum the same histograms — raw values are never re-sorted."""
+    import tempfile
+
+    from mlops_pipelines_featurestore_gcp_spark.streaming.quantile_rollup import QuantileRollup
+
+    WIDTH = 3600 * 1_000_000
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("t"),
+        "event_type",
+        F.col("value").alias("v"),
+    )
+
+    def _mk(tag: str) -> QuantileRollup:
+        return QuantileRollup(
+            tempfile.mkdtemp(prefix=f"spark_graft_qtile_{tag}_"),
+            time_col="t", value_col="v", keys=["event_type"],
+            bucket_width=WIDTH, lo=0.0, hi=1024.0, bins=256,
+        )
+
+    inc = _mk("inc")
+    for i in range(3):
+        inc.refresh(ev.where(F.col("event_id") % 3 == i).drop("event_id"), batch_id=i)
+    full = _mk("full")
+    full.refresh(ev.drop("event_id"), batch_id=0)
+
+    q_inc = inc.quantiles(spark, qs=(0.5, 0.95))
+    hi_ = inc.histogram(spark).withColumnRenamed("bin_count", "c_inc")
+    hf = full.histogram(spark).withColumnRenamed("bin_count", "c_full")
+    parity = (
+        hi_.join(hf, ["bucket", "event_type", "__bin"], "full")
+        .groupBy("bucket", "event_type")
+        .agg(
+            F.min(F.col("c_inc").eqNullSafe(F.col("c_full")).cast("int")).alias(
+                "incremental_matches_full"
+            )
+        )
+    )
+    bucketed = ev.withColumn("bucket", F.floor(F.col("t") / F.lit(WIDTH)).cast("long"))
+    wn = Window.partitionBy("bucket", "event_type")
+    wo = wn.orderBy(F.col("v").asc(), F.col("event_id").asc())
+    ranked = (
+        bucketed.withColumn("rn", F.row_number().over(wo))
+        .withColumn("n", F.count("*").over(wn))
+    )
+    k50 = F.floor((F.col("n") + F.lit(1)) / F.lit(2))
+    k95 = F.floor((F.lit(19) * F.col("n") + F.lit(19)) / F.lit(20))
+    truth = (
+        ranked.select(
+            "bucket", "event_type",
+            F.when(F.col("rn") == k50, F.col("v")).alias("t50"),
+            F.when(F.col("rn") == k95, F.col("v")).alias("t95"),
+        )
+        .groupBy("bucket", "event_type")
+        .agg(F.max("t50").alias("true50"), F.max("t95").alias("true95"))
+    )
+    return (
+        q_inc.join(parity, ["bucket", "event_type"])
+        .join(truth, ["bucket", "event_type"])
+        .select(
+            "bucket", "event_type", "n_rows", "p50_est", "p95_est",
+            "incremental_matches_full",
+            (F.abs(F.col("p50_est") - F.col("true50")) <= F.lit(2.0))
+            .cast("int").alias("p50_within_band"),
+            (F.abs(F.col("p95_est") - F.col("true95")) <= F.lit(2.0))
+            .cast("int").alias("p95_within_band"),
+        )
+    )

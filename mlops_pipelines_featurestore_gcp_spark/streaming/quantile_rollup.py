@@ -149,6 +149,9 @@ class QuantileRollup:
 
 
 def _qname(q: float) -> str:
-    """0.5 -> '50', 0.95 -> '95', 0.999 -> '999'."""
+    """0.5 -> '50', 0.95 -> '95', 0.999 -> '999' (percentile convention)."""
     s = f"{q:g}"
-    return s[2:] if s.startswith("0.") else s.replace(".", "_")
+    if s.startswith("0."):
+        digits = s[2:]
+        return digits + "0" if len(digits) == 1 else digits
+    return s.replace(".", "_")

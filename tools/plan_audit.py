@@ -75,6 +75,10 @@ EXTRA = [
     "t16_bloom_contamination",
     "st07_distinct_rollup",
     "c01_prepare_corpus",
+    # round 7 additions
+    "q37_skew_salted_topk",
+    "st08_interval_join",
+    "st09_quantile_rollup",
 ]
 
 

@@ -218,6 +218,11 @@ GATE100 = [
     # grow with users, never quadratically (the interval bound caps pairs
     # per view at the per-user 6-hour purchase density).
     "q37_skew_salted_topk", "st08_interval_join",
+    # st09: histogram-sketch quantile rollup — state is 256 ints per
+    # (bucket, key) regardless of raw row count; the 100× run puts ~3000-row
+    # groups through the integer rank arithmetic and the full bit-exact
+    # maintenance-parity compare.
+    "st09_quantile_rollup",
 ]
 
 
