@@ -91,6 +91,7 @@ HEADLINE2 = [
     "q37_skew_salted_topk",
     "st08_interval_join",
     "st09_quantile_rollup",
+    "q38_data_expectations",
 ]
 
 

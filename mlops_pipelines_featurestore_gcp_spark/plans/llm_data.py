@@ -1903,6 +1903,7 @@ def t12_bpe_subwords(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY 1, 2
     """,
     tags=("multimodal", "dedup", "phash"),
+    defer=True,
 )
 def mm04_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-dup over the multimodal payload column: perceptual aHash

@@ -1249,3 +1249,61 @@ def q37_skew_salted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         salt=8,
         rank_col="rnk",
     )
+
+
+@register(
+    "q38_data_expectations",
+    # Driver-hashed evidence for the declarative validation gate
+    # (operators/expectations.py): six expectation kinds — not_null,
+    # between, isin, regex, exact-unique, fraction_at_least — all folded
+    # into ONE aggregate scan, replayed as plain SQL aggregates. The
+    # between check is tuned to FAIL (≈20% of orders exceed 400k): a
+    # report where every row reads ok=true would never prove the
+    # violation counters count.
+    oracle="""
+    WITH s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_nn,
+        CAST(SUM(CASE WHEN o_totalprice IS NOT NULL
+                       AND (o_totalprice < 0 OR o_totalprice > 400000)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS v_bt,
+        CAST(SUM(CASE WHEN o_orderstatus IS NOT NULL
+                       AND o_orderstatus NOT IN ('P', 'O', 'F')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS v_in,
+        CAST(SUM(CASE WHEN o_orderpriority IS NOT NULL
+                       AND regexp_extract(o_orderpriority, '^[1-5]-', 0) = ''
+                      THEN 1 ELSE 0 END) AS BIGINT) AS v_re,
+        CAST(GREATEST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey), 0) AS BIGINT) AS v_uq,
+        CAST(GREATEST((COUNT(*) * 250000 + 999999) // 1000000
+                      - SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END),
+                      0) AS BIGINT) AS v_fr
+      FROM orders
+    )
+    SELECT 'not_null(o_custkey)' AS expectation, v_nn AS n_violations, n AS n_rows, v_nn = 0 AS ok FROM s
+    UNION ALL SELECT 'between(o_totalprice,0,400000)', v_bt, n, v_bt = 0 FROM s
+    UNION ALL SELECT 'isin(o_orderstatus)', v_in, n, v_in = 0 FROM s
+    UNION ALL SELECT 'matches(o_orderpriority)', v_re, n, v_re = 0 FROM s
+    UNION ALL SELECT 'unique(o_orderkey)', v_uq, n, v_uq = 0 FROM s
+    UNION ALL SELECT 'fraction_at_least(finished,0.25)', v_fr, n, v_fr = 0 FROM s
+    """,
+    tags=("quality", "expectations", "validation"),
+)
+def q38_data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Great-Expectations-style batch admission gate over orders
+    (operators/expectations.py validate): six checks, one scan — the
+    100 TB property is that the battery costs ONE pass (+ the exact-
+    distinct shuffle) no matter how many expectations run. The report is
+    report-sized by construction (one row per expectation), so the
+    collect inside validate() is driver-safe at any corpus size."""
+    from mlops_pipelines_featurestore_gcp_spark.operators import expectations as X
+
+    orders = load_table(spark, "orders", sf_dir)
+    exps = [
+        X.not_null("o_custkey"),
+        X.between("o_totalprice", 0, 400000),
+        X.isin("o_orderstatus", ["P", "O", "F"]),
+        X.matches("o_orderpriority", "^[1-5]-"),
+        X.unique("o_orderkey"),
+        X.fraction_at_least("finished", F.col("o_orderstatus") == "F", 0.25),
+    ]
+    return X.validate(orders, exps)

@@ -79,6 +79,7 @@ EXTRA = [
     "q37_skew_salted_topk",
     "st08_interval_join",
     "st09_quantile_rollup",
+    "q38_data_expectations",
 ]
 
 

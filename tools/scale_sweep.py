@@ -223,6 +223,9 @@ GATE100 = [
     # groups through the integer rank arithmetic and the full bit-exact
     # maintenance-parity compare.
     "st09_quantile_rollup",
+    # q38: the one-scan expectations battery — the exact-unique check puts
+    # a 15M-key COUNT DISTINCT through both engines; output is always 6 rows.
+    "q38_data_expectations",
 ]
 
 
