@@ -92,6 +92,7 @@ HEADLINE2 = [
     "st08_interval_join",
     "st09_quantile_rollup",
     "q38_data_expectations",
+    "ml06_ranking_metrics",
 ]
 
 

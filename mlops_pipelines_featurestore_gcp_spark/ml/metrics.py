@@ -24,22 +24,46 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def rmse(scored: DataFrame, *, label_col: str, pred_col: str) -> float:
-    """Root-mean-squared error over all scored pairs."""
-    row = scored.agg(
-        F.sqrt(F.avg(F.pow(F.col(pred_col) - F.col(label_col), 2))).alias("v")
-    ).collect()[0]
-    if row["v"] is None:
+def rmse(scored: DataFrame, *, label_col: str, pred_col: str, quant: int | None = None) -> float:
+    """Root-mean-squared error over all scored pairs.
+
+    ``quant`` switches to the summation-order-proof posture (the t11
+    micro-int pattern): each squared error floor-quantizes to an integer
+    at that scale BEFORE the sum, so the aggregate is exact integer
+    addition at any parallelism — a raw double AVG is reduction-order
+    sensitive in the last ulp once enough rows sum (the class every 10×
+    gate keeps finding). The result then derives from one exact rational
+    + one sqrt, both IEEE-deterministic.
+    """
+    err = F.col(pred_col) - F.col(label_col)
+    if quant is None:
+        row = scored.agg(F.sqrt(F.avg(F.pow(err, 2))).alias("v")).collect()[0]
+        if row["v"] is None:
+            raise ValueError("rmse: no scored rows (empty prediction⋈label join?)")
+        return float(row["v"])
+    se_q = F.floor(err * err * F.lit(float(quant)) + F.lit(0.5)).cast("long")
+    row = scored.agg(F.sum(se_q).alias("s"), F.count(F.lit(1)).alias("n")).collect()[0]
+    if not row["n"]:
         raise ValueError("rmse: no scored rows (empty prediction⋈label join?)")
-    return float(row["v"])
+    import math
+
+    return math.sqrt(row["s"] / (row["n"] * float(quant)))
 
 
-def mae(scored: DataFrame, *, label_col: str, pred_col: str) -> float:
-    """Mean absolute error over all scored pairs."""
-    row = scored.agg(F.avg(F.abs(F.col(pred_col) - F.col(label_col))).alias("v")).collect()[0]
-    if row["v"] is None:
+def mae(scored: DataFrame, *, label_col: str, pred_col: str, quant: int | None = None) -> float:
+    """Mean absolute error over all scored pairs. ``quant`` as in ``rmse``:
+    integer-exact absolute errors, order-proof sum."""
+    err = F.abs(F.col(pred_col) - F.col(label_col))
+    if quant is None:
+        row = scored.agg(F.avg(err).alias("v")).collect()[0]
+        if row["v"] is None:
+            raise ValueError("mae: no scored rows (empty prediction⋈label join?)")
+        return float(row["v"])
+    ae_q = F.floor(err * F.lit(float(quant)) + F.lit(0.5)).cast("long")
+    row = scored.agg(F.sum(ae_q).alias("s"), F.count(F.lit(1)).alias("n")).collect()[0]
+    if not row["n"]:
         raise ValueError("mae: no scored rows (empty prediction⋈label join?)")
-    return float(row["v"])
+    return row["s"] / (row["n"] * float(quant))
 
 
 def precision_at_k(
@@ -67,6 +91,17 @@ def precision_at_k(
     )
 
 
+def discount_table(k: int) -> list[float]:
+    """The DCG rank discounts 1/log2(r+1) for r = 1..k, computed ONCE
+    driver-side. Injecting these as literals (into the plan AND any SQL
+    twin) keeps transcendentals out of the distributed path entirely —
+    two engines' log2 can differ a ulp, and at 100× corpus scale a ulp
+    under a floor-quantization boundary flips a value."""
+    import math
+
+    return [1.0 / math.log2(r + 1) for r in range(1, k + 1)]
+
+
 def ndcg_at_k(
     scored: DataFrame,
     *,
@@ -75,12 +110,20 @@ def ndcg_at_k(
     label_col: str,
     pred_col: str,
     k: int,
+    gain_quant: int | None = None,
 ) -> DataFrame:
     """Per-user NDCG@k with linear gains (gain = label).
 
     DCG ranks by prediction, IDCG by label — both windows share the
     per-user partitioning, so one exchange feeds both sorts. Users whose
     ideal DCG is 0 (all labels 0) score 0.
+
+    ``gain_quant`` switches to the order-proof posture: each discounted
+    gain floor-quantizes to an integer at that scale (discounts from
+    ``discount_table`` — driver-side literals, no distributed log2), the
+    per-user sums are exact BIGINT adds, and the final NDCG is one
+    integer-ratio division — bit-stable at any parallelism and SQL-
+    replayable term for term.
     """
     wp = Window.partitionBy(user_col).orderBy(F.col(pred_col).desc(), F.col(item_col))
     wl = Window.partitionBy(user_col).orderBy(F.col(label_col).desc(), F.col(item_col))
@@ -88,10 +131,29 @@ def ndcg_at_k(
         scored.withColumn("__rp", F.row_number().over(wp))
         .withColumn("__rl", F.row_number().over(wl))
     )
-    disc_p = F.when(F.col("__rp") <= k, F.col(label_col) / F.log2(F.col("__rp") + 1)).otherwise(F.lit(0.0))
-    disc_l = F.when(F.col("__rl") <= k, F.col(label_col) / F.log2(F.col("__rl") + 1)).otherwise(F.lit(0.0))
+    if gain_quant is None:
+        disc_p = F.when(F.col("__rp") <= k, F.col(label_col) / F.log2(F.col("__rp") + 1)).otherwise(F.lit(0.0))
+        disc_l = F.when(F.col("__rl") <= k, F.col(label_col) / F.log2(F.col("__rl") + 1)).otherwise(F.lit(0.0))
+        agg = ranked.groupBy(user_col).agg(
+            F.sum(disc_p).alias("__dcg"), F.sum(disc_l).alias("__idcg")
+        )
+        return agg.select(
+            user_col,
+            F.when(F.col("__idcg") > 0, F.col("__dcg") / F.col("__idcg"))
+            .otherwise(F.lit(0.0))
+            .alias("ndcg_at_k"),
+        )
+    discs = F.array(*[F.lit(d) for d in discount_table(k)])
+    q = F.lit(float(gain_quant))
+
+    def _term(rank_col: str):
+        gain = F.col(label_col) * F.element_at(discs, F.col(rank_col).cast("int"))
+        return F.when(
+            F.col(rank_col) <= k, F.floor(gain * q + F.lit(0.5)).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+
     agg = ranked.groupBy(user_col).agg(
-        F.sum(disc_p).alias("__dcg"), F.sum(disc_l).alias("__idcg")
+        F.sum(_term("__rp")).alias("__dcg"), F.sum(_term("__rl")).alias("__idcg")
     )
     return agg.select(
         user_col,

@@ -1938,6 +1938,7 @@ def mm04_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY 1, 2
     """,
     tags=("multimodal", "dedup", "audio"),
+    defer=True,
 )
 def mm05_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio near-dup over the multimodal payload column: chromaprint-style

@@ -214,3 +214,91 @@ def ml05_linucb_suffstats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("label") % 3).cast("double").alias("reward"),
     )
     return sufficient_stats_exact(train, context_dim=k)
+
+
+# DCG rank discounts 1/log2(r+1) for r=1..5, computed ONCE here and
+# injected as literals into BOTH engines' plans (ml/metrics.py
+# discount_table): distributed log2 can differ a ulp between engines,
+# and under floor-quantization a ulp is a flipped value at 100x.
+_DISC_CASE_SQL = "CASE {r} " + 'WHEN 1 THEN 1.0 WHEN 2 THEN 0.6309297535714575 WHEN 3 THEN 0.5 WHEN 4 THEN 0.43067655807339306 WHEN 5 THEN 0.38685280723454163' + " ELSE 0.0 END"
+
+
+@register(
+    "ml06_ranking_metrics",
+    oracle=f"""
+    WITH scored AS (
+      SELECT user_id, event_id AS item, value AS label,
+             CAST(concat('0x', substr(md5(concat('ml6p|', CAST(event_id AS VARCHAR))), 1, 8)) AS BIGINT)
+               / 4294967296.0 * 512.0 AS pred
+      FROM events
+    ),
+    ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY pred DESC, item) AS rp,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY label DESC, item) AS rl
+      FROM scored
+    ),
+    per_user AS (
+      SELECT user_id,
+             SUM(CASE WHEN rp <= 5 AND label >= 300.0 THEN 1 ELSE 0 END)
+               / SUM(CASE WHEN rp <= 5 THEN 1 ELSE 0 END) AS precision_at_k,
+             CAST(SUM(CASE WHEN rp <= 5
+                      THEN CAST(floor(label * ({_DISC_CASE_SQL.format(r='rp')}) * 1000000.0 + 0.5) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS dcg,
+             CAST(SUM(CASE WHEN rl <= 5
+                      THEN CAST(floor(label * ({_DISC_CASE_SQL.format(r='rl')}) * 1000000.0 + 0.5) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS idcg
+      FROM ranked GROUP BY user_id
+    ),
+    gstats AS (
+      SELECT CAST(SUM(CAST(floor((pred - label) * (pred - label) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS se,
+             CAST(SUM(CAST(floor(abs(pred - label) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS ae,
+             COUNT(*) AS n
+      FROM scored
+    )
+    SELECT p.user_id, p.precision_at_k,
+           CASE WHEN p.idcg > 0 THEN p.dcg / p.idcg ELSE 0.0 END AS ndcg_at_k,
+           sqrt(g.se / (g.n * 1000000.0)) AS rmse_global,
+           g.ae / (g.n * 1000000.0) AS mae_global
+    FROM per_user p CROSS JOIN gstats g
+    """,
+    tags=("ml", "metrics", "ranking"),
+)
+def ml06_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recommender-evaluation metrics under the driver hash
+    (ml/metrics.py): per-user precision@5 and NDCG@5 plus corpus RMSE/MAE
+    attached as constant columns — every number from the REAL operators in
+    their order-proof quantized mode (integer micro-gains, driver-side
+    discount literals, exact BIGINT sums; see gain_quant/quant docstrings).
+    Predictions are the md5-uniform deterministic stand-in scaled to the
+    label range — the s07/mm07 replay pattern. At 100 TB: two windows over
+    ONE per-user exchange, one aggregate scan for the globals, and the
+    report joins on broadcast scalars."""
+    from mlops_pipelines_featurestore_gcp_spark.ml import metrics
+    from mlops_pipelines_featurestore_gcp_spark.operators import sampling
+
+    ev = load_table(spark, "events", sf_dir)
+    scored = ev.select(
+        "user_id",
+        F.col("event_id").alias("item"),
+        F.col("value").alias("label"),
+        (sampling.uniform_hash("event_id", "ml6p") * F.lit(512.0)).alias("pred"),
+    )
+    prec = metrics.precision_at_k(
+        scored, user_col="user_id", item_col="item",
+        label_col="label", pred_col="pred", k=5, threshold=300.0,
+    )
+    ndcg = metrics.ndcg_at_k(
+        scored, user_col="user_id", item_col="item",
+        label_col="label", pred_col="pred", k=5, gain_quant=1_000_000,
+    )
+    rmse_g = metrics.rmse(scored, label_col="label", pred_col="pred", quant=1_000_000)
+    mae_g = metrics.mae(scored, label_col="label", pred_col="pred", quant=1_000_000)
+    return (
+        prec.join(ndcg, "user_id")
+        .select(
+            "user_id", "precision_at_k", "ndcg_at_k",
+            F.lit(rmse_g).alias("rmse_global"),
+            F.lit(mae_g).alias("mae_global"),
+        )
+    )

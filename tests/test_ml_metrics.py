@@ -97,3 +97,37 @@ def test_als_reconstruction_quality(spark, sf_small):
     base = long.select("label", F.lit(mean_row).alias("pred"))
     base_rmse = metrics.rmse(base, label_col="label", pred_col="pred")
     assert model_rmse < base_rmse
+
+
+def test_quantized_metrics_match_float_paths(spark):
+    df = spark.createDataFrame(
+        [(1.0, 2.25), (3.0, 3.0), (0.0, 4.5)], "label double, pred double"
+    )
+    assert abs(
+        metrics.rmse(df, label_col="label", pred_col="pred", quant=1_000_000)
+        - metrics.rmse(df, label_col="label", pred_col="pred")
+    ) < 1e-5
+    assert abs(
+        metrics.mae(df, label_col="label", pred_col="pred", quant=1_000_000)
+        - metrics.mae(df, label_col="label", pred_col="pred")
+    ) < 1e-5
+    out_f = metrics.ndcg_at_k(
+        _scored(spark), user_col="user", item_col="item",
+        label_col="label", pred_col="pred", k=2,
+    )
+    out_q = metrics.ndcg_at_k(
+        _scored(spark), user_col="user", item_col="item",
+        label_col="label", pred_col="pred", k=2, gain_quant=1_000_000,
+    )
+    f = {r.user: r.ndcg_at_k for r in out_f.collect()}
+    q = {r.user: r.ndcg_at_k for r in out_q.collect()}
+    assert set(f) == set(q)
+    for u in f:
+        assert abs(f[u] - q[u]) < 1e-5, u
+
+
+def test_discount_table_is_the_dcg_series(spark):
+    import math
+
+    d = metrics.discount_table(4)
+    assert d[0] == 1.0 and abs(d[2] - 1 / math.log2(4)) < 1e-15

@@ -80,6 +80,7 @@ EXTRA = [
     "st08_interval_join",
     "st09_quantile_rollup",
     "q38_data_expectations",
+    "ml06_ranking_metrics",
 ]
 
 

@@ -226,6 +226,9 @@ GATE100 = [
     # q38: the one-scan expectations battery — the exact-unique check puts
     # a 15M-key COUNT DISTINCT through both engines; output is always 6 rows.
     "q38_data_expectations",
+    # ml06: ranking metrics — per-user output (linear in users), integer
+    # micro-gain sums through 100x per-bucket row counts.
+    "ml06_ranking_metrics",
 ]
 
 
