@@ -2062,6 +2062,7 @@ def mm07_media_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE c.ni / (sa.n + sb.n - c.ni) >= 0.08
     """,
     tags=("multimodal", "dedup", "video", "jaccard"),
+    defer=True,
 )
 def mm06_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video near-dup over sampled-frame fingerprints: frame_sample →
@@ -2381,4 +2382,188 @@ def t16_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         (F.col("n_maybe_hits") >= F.col("__xh")).cast("int").alias("no_false_negatives"),
         (F.col("n_grams") == F.col("__xg")).cast("int").alias("denominators_match"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup (operators/incremental.py) under the driver hash (r7).
+# The oracle replays the full 3-batch ingest sequence: per batch, the exact
+# layer (stored canonical wins over batch-min), the in-batch MinHash-LSH +
+# exact-Jaccard verify (the d02 machinery constrained to the batch's exact
+# survivors), and the cross-batch signature-agreement probe against the
+# bands/signatures of previously KEPT docs — sequential state threaded
+# through SQL as staged CTEs. Synthetic exact dups (doc_id%10==7 borrows the
+# previous doc's text) land both before AND after their twins in batch
+# order, so the stored-canonical-wins rule is exercised in both directions
+# (27 is kept in batch 0; 26 arrives in batch 2 and dups TO the larger id).
+def _d09_batch_sql(b: int, kept_prev: str | None) -> str:
+    """CTE block for ingest batch ``b``; ``kept_prev`` names a CTE of
+    previously-kept doc_ids (None for the first batch)."""
+    cross = ""
+    cross_union = ""
+    if kept_prev:
+        cross = f"""
+    se{b} AS (SELECT bb.fp, bb.doc_id AS scanon FROM base bb JOIN {kept_prev} k ON k.doc_id = bb.doc_id),
+    cx{b} AS (
+      SELECT DISTINCT nb.doc_id AS doc_id, ob.doc_id AS old
+      FROM bnd nb JOIN bnd ob ON nb.band = ob.band AND nb.bkey = ob.bkey
+      JOIN srv{b} s ON s.doc_id = nb.doc_id JOIN {kept_prev} k ON k.doc_id = ob.doc_id
+      WHERE ob.doc_id != nb.doc_id
+    ),
+    ag{b} AS (
+      SELECT c.doc_id, c.old, SUM(CASE WHEN mn.mhv = mo.mhv THEN 1 ELSE 0 END) / 16.0 AS est
+      FROM cx{b} c JOIN mh mn ON mn.doc_id = c.doc_id
+                   JOIN mh mo ON mo.doc_id = c.old AND mo.hi = mn.hi
+      GROUP BY c.doc_id, c.old
+    ),"""
+        cross_union = f"""
+        UNION ALL SELECT doc_id, old AS dup_of, est FROM ag{b} WHERE est >= 0.5"""
+        canon = f"COALESCE(se{b}.scanon, bc{b}.bcanon)"
+        se_join = f"LEFT JOIN se{b} USING (fp)"
+    else:
+        canon = f"bc{b}.bcanon"
+        se_join = ""
+    return f"""
+    bc{b} AS (SELECT fp, MIN(doc_id) AS bcanon FROM base WHERE bt = {b} GROUP BY fp),
+    {"" if not kept_prev else cross.split("cx")[0].strip().rstrip(",") + ","}
+    ex{b} AS (
+      SELECT f.doc_id, f.fp, {canon} AS canon
+      FROM base f JOIN bc{b} USING (fp) {se_join} WHERE f.bt = {b}
+    ),
+    srv{b} AS (SELECT doc_id FROM ex{b} WHERE canon = doc_id),
+    {"" if not kept_prev else "cx" + cross.split("cx", 1)[1].strip().rstrip(",") + ","}
+    cand{b} AS (
+      SELECT DISTINCT a.doc_id AS da, c.doc_id AS db
+      FROM bnd a JOIN bnd c ON a.band = c.band AND a.bkey = c.bkey AND a.doc_id < c.doc_id
+      JOIN srv{b} s1 ON s1.doc_id = a.doc_id JOIN srv{b} s2 ON s2.doc_id = c.doc_id
+    ),
+    pair{b} AS (
+      SELECT i.da, i.db, i.ni / (za.n + zb.n - i.ni) AS j
+      FROM (SELECT c.da, c.db, COUNT(*) AS ni
+            FROM cand{b} c JOIN dsh x ON x.doc_id = c.da
+                           JOIN dsh y ON y.doc_id = c.db AND y.h = x.h
+            GROUP BY c.da, c.db) i
+      JOIN sizes za ON za.doc_id = i.da JOIN sizes zb ON zb.doc_id = i.db
+      WHERE i.ni / (za.n + zb.n - i.ni) >= 0.5
+    ),
+    nl{b} AS (
+      SELECT doc_id, MIN(dup_of) AS dup_of, MAX(est) AS est FROM (
+        SELECT db AS doc_id, da AS dup_of, j AS est FROM pair{b}{cross_union}
+      ) GROUP BY doc_id
+    ),
+    kept{b} AS (
+      SELECT s.doc_id FROM srv{b} s LEFT JOIN nl{b} l ON l.doc_id = s.doc_id
+      WHERE l.doc_id IS NULL
+    ),
+    rep{b} AS (
+      SELECT e.doc_id,
+             CASE WHEN e.canon != e.doc_id THEN 'exact_dup'
+                  WHEN l.doc_id IS NOT NULL THEN 'near_dup' ELSE 'kept' END AS status,
+             CASE WHEN e.canon != e.doc_id THEN e.canon ELSE l.dup_of END AS dup_of,
+             CASE WHEN e.canon != e.doc_id THEN CAST(1.0 AS DOUBLE) ELSE l.est END AS est_jaccard
+      FROM ex{b} e LEFT JOIN nl{b} l USING (doc_id)
+    )"""
+
+
+_D09_SEEDS = ", ".join(
+    f"({i}, {a}, {b})" for i, (a, b) in enumerate(dedup.minhash_coeffs(16))
+)
+
+_D09_ORACLE = f"""
+    WITH raw AS (
+      -- quarter-corpus subset with SELF-CONTAINED dup clusters around each
+      -- base doc (id % 40 = 16): 20 = exact copy, 24/28 = near copies with
+      -- distinct suffixes. Batch membership (id % 3) rotates per cluster
+      -- (+40k shifts by k mod 3), so exact/near dups land before AND after
+      -- their twins across the three ingests.
+      SELECT d.doc_id,
+             CASE WHEN d.doc_id % 40 = 20 AND b.text IS NOT NULL THEN b.text
+                  WHEN d.doc_id % 40 = 24 AND b.text IS NOT NULL
+                    THEN b.text || ' zq' || CAST(d.doc_id AS VARCHAR) || 'x'
+                  WHEN d.doc_id % 40 = 28 AND b.text IS NOT NULL
+                    THEN b.text || ' wq' || CAST(d.doc_id AS VARCHAR) || 'x'
+                  ELSE d.text END AS text
+      FROM documents d
+      LEFT JOIN documents b
+        ON d.doc_id % 40 IN (20, 24, 28) AND b.doc_id = d.doc_id - (d.doc_id % 40 - 16)
+      WHERE d.doc_id % 4 = 0
+    ),
+    base AS (
+      SELECT doc_id, nt, doc_id % 3 AS bt, md5(nt) AS fp
+      FROM (SELECT doc_id, {_NORM} AS nt FROM raw)
+    ),
+    sh AS (
+      SELECT doc_id, {poly_char_hash_sql('nt', 'i', 5, dedup.MINHASH_PRIME)} AS h
+      FROM (SELECT doc_id, nt, unnest(range(1, len(nt) - 3)) AS i FROM base WHERE len(nt) >= 5)
+    ),
+    dsh AS (SELECT DISTINCT doc_id, h FROM sh),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM dsh GROUP BY doc_id),
+    seeds(hi, sa, sb) AS (VALUES {_D09_SEEDS}),
+    mh AS (
+      SELECT doc_id, seeds.hi AS hi, MIN((seeds.sa * h + seeds.sb) % {dedup.MINHASH_PRIME}) AS mhv
+      FROM sh, seeds GROUP BY doc_id, seeds.hi
+    ),
+    bnd AS (
+      SELECT doc_id, hi // 4 AS band,
+             md5(string_agg(CAST(mhv AS VARCHAR), ',' ORDER BY hi)) AS bkey
+      FROM mh GROUP BY doc_id, hi // 4
+    ),
+    {_d09_batch_sql(0, None)},
+    {_d09_batch_sql(1, "kept0")},
+    kept01 AS (SELECT doc_id FROM kept0 UNION ALL SELECT doc_id FROM kept1),
+    {_d09_batch_sql(2, "kept01")}
+    SELECT * FROM rep0 UNION ALL SELECT * FROM rep1 UNION ALL SELECT * FROM rep2
+"""
+
+
+@register(
+    "d09_incremental_dedup",
+    oracle=_D09_ORACLE,
+    tags=("dedup", "llm", "incremental"),
+)
+def d09_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup against the persisted index
+    (operators/incremental.py): three doc_id-sharded ingests into one
+    index, each batch checked against the exact fingerprint store, the
+    in-batch LSH pipeline, and the stored band/signature tables of
+    previously KEPT docs — cost per ingest ∝ batch (+ touched index
+    buckets), never corpus (the property that makes dedup maintainable at
+    100 TB: re-running d02 corpus-wide per ingest is a full corpus pass).
+    The per-doc reports are pinned against eagerly-materialized layer
+    snapshots inside ingest(), so unioning the three reports after all
+    ingests reads each batch's verdicts AT ITS OWN ingest time."""
+    import tempfile
+
+    from mlops_pipelines_featurestore_gcp_spark.operators.incremental import IncrementalDedupIndex
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    m = F.col("doc_id") % 40
+    sub = docs.where(F.col("doc_id") % 4 == 0).withColumn(
+        "__b",
+        F.when(m.isin(20, 24, 28), F.col("doc_id") - (m - 16)),
+    )
+    src = docs.select(F.col("doc_id").alias("__b"), F.col("text").alias("__bt"))
+    sfx = lambda tag: F.concat(  # noqa: E731
+        F.col("__bt"), F.lit(f" {tag}"), F.col("doc_id").cast("string"), F.lit("x")
+    )
+    staged = sub.join(src, "__b", "left").select(
+        "doc_id",
+        F.when((m == 20) & F.col("__bt").isNotNull(), F.col("__bt"))
+        .when((m == 24) & F.col("__bt").isNotNull(), sfx("zq"))
+        .when((m == 28) & F.col("__bt").isNotNull(), sfx("wq"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    # n_buckets sized to the fixture corpus (the knob scales with corpus
+    # size in production; 32 buckets over <=1250 docs is write overhead)
+    idx = IncrementalDedupIndex(
+        spark, tempfile.mkdtemp(prefix="spark_graft_incdedup_"), n_buckets=8
+    )
+    reps = [
+        idx.ingest(staged.where(F.col("doc_id") % 3 == b), "doc_id", "text")
+        for b in range(3)
+    ]
+    return (
+        reps[0].unionByName(reps[1]).unionByName(reps[2])
+        .select("doc_id", "status", "dup_of", "est_jaccard")
     )

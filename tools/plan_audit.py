@@ -81,6 +81,7 @@ EXTRA = [
     "st09_quantile_rollup",
     "q38_data_expectations",
     "ml06_ranking_metrics",
+    "d09_incremental_dedup",
 ]
 
 
