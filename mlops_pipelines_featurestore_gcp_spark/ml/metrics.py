@@ -66,6 +66,27 @@ def mae(scored: DataFrame, *, label_col: str, pred_col: str, quant: int | None =
     return row["s"] / (row["n"] * float(quant))
 
 
+def regression_metrics(
+    scored: DataFrame, *, label_col: str, pred_col: str, quant: int
+) -> tuple[float, float]:
+    """(rmse, mae) from ONE aggregate scan in the order-proof quantized
+    posture — callers needing both metrics should not pay two corpus
+    passes (``rmse``/``mae`` each run their own job)."""
+    import math
+
+    err = F.col(pred_col) - F.col(label_col)
+    q = F.lit(float(quant))
+    row = scored.agg(
+        F.sum(F.floor(err * err * q + F.lit(0.5)).cast("long")).alias("se"),
+        F.sum(F.floor(F.abs(err) * q + F.lit(0.5)).cast("long")).alias("ae"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    if not row["n"]:
+        raise ValueError("regression_metrics: no scored rows")
+    denom = row["n"] * float(quant)
+    return math.sqrt(row["se"] / denom), row["ae"] / denom
+
+
 def precision_at_k(
     scored: DataFrame,
     *,

@@ -2392,18 +2392,24 @@ def t16_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exact-Jaccard verify (the d02 machinery constrained to the batch's exact
 # survivors), and the cross-batch signature-agreement probe against the
 # bands/signatures of previously KEPT docs — sequential state threaded
-# through SQL as staged CTEs. Synthetic exact dups (doc_id%10==7 borrows the
-# previous doc's text) land both before AND after their twins in batch
-# order, so the stored-canonical-wins rule is exercised in both directions
-# (27 is kept in batch 0; 26 arrives in batch 2 and dups TO the larger id).
+# through SQL as staged CTEs. Fixture: the doc_id%4==0 quarter corpus with
+# self-contained dup clusters around each base doc (id ≡ 16 mod 40): +4 is
+# an exact copy, +8/+12 are near copies with distinct suffixes. Batch
+# membership (id % 3) rotates per cluster, so twins land both BEFORE and
+# AFTER their originals — the stored-canonical-wins rule is exercised in
+# both directions (e.g. the batch-0 copy is kept and the later-arriving
+# original exact-dups TO the larger id).
 def _d09_batch_sql(b: int, kept_prev: str | None) -> str:
     """CTE block for ingest batch ``b``; ``kept_prev`` names a CTE of
-    previously-kept doc_ids (None for the first batch)."""
-    cross = ""
-    cross_union = ""
+    previously-kept doc_ids (None for the first batch). The stored-index
+    pieces (se = fp→canonical of kept docs, cx/ag = band-candidate +
+    signature-agreement probe) are separate fragments so each lands at
+    its correct position: se before ex (the exact layer reads it), cx/ag
+    after srv (the probe is restricted to this batch's exact survivors)."""
     if kept_prev:
-        cross = f"""
-    se{b} AS (SELECT bb.fp, bb.doc_id AS scanon FROM base bb JOIN {kept_prev} k ON k.doc_id = bb.doc_id),
+        se_cte = f"""
+    se{b} AS (SELECT bb.fp, bb.doc_id AS scanon FROM base bb JOIN {kept_prev} k ON k.doc_id = bb.doc_id),"""
+        cx_ag_cte = f"""
     cx{b} AS (
       SELECT DISTINCT nb.doc_id AS doc_id, ob.doc_id AS old
       FROM bnd nb JOIN bnd ob ON nb.band = ob.band AND nb.bkey = ob.bkey
@@ -2421,17 +2427,18 @@ def _d09_batch_sql(b: int, kept_prev: str | None) -> str:
         canon = f"COALESCE(se{b}.scanon, bc{b}.bcanon)"
         se_join = f"LEFT JOIN se{b} USING (fp)"
     else:
+        se_cte = ""
+        cx_ag_cte = ""
+        cross_union = ""
         canon = f"bc{b}.bcanon"
         se_join = ""
     return f"""
-    bc{b} AS (SELECT fp, MIN(doc_id) AS bcanon FROM base WHERE bt = {b} GROUP BY fp),
-    {"" if not kept_prev else cross.split("cx")[0].strip().rstrip(",") + ","}
+    bc{b} AS (SELECT fp, MIN(doc_id) AS bcanon FROM base WHERE bt = {b} GROUP BY fp),{se_cte}
     ex{b} AS (
       SELECT f.doc_id, f.fp, {canon} AS canon
       FROM base f JOIN bc{b} USING (fp) {se_join} WHERE f.bt = {b}
     ),
-    srv{b} AS (SELECT doc_id FROM ex{b} WHERE canon = doc_id),
-    {"" if not kept_prev else "cx" + cross.split("cx", 1)[1].strip().rstrip(",") + ","}
+    srv{b} AS (SELECT doc_id FROM ex{b} WHERE canon = doc_id),{cx_ag_cte}
     cand{b} AS (
       SELECT DISTINCT a.doc_id AS da, c.doc_id AS db
       FROM bnd a JOIN bnd c ON a.band = c.band AND a.bkey = c.bkey AND a.doc_id < c.doc_id

@@ -292,8 +292,9 @@ def ml06_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored, user_col="user_id", item_col="item",
         label_col="label", pred_col="pred", k=5, gain_quant=1_000_000,
     )
-    rmse_g = metrics.rmse(scored, label_col="label", pred_col="pred", quant=1_000_000)
-    mae_g = metrics.mae(scored, label_col="label", pred_col="pred", quant=1_000_000)
+    rmse_g, mae_g = metrics.regression_metrics(
+        scored, label_col="label", pred_col="pred", quant=1_000_000
+    )
     return (
         prec.join(ndcg, "user_id")
         .select(

@@ -452,8 +452,13 @@ def st09_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucketed.withColumn("rn", F.row_number().over(wo))
         .withColumn("n", F.count("*").over(wn))
     )
-    k50 = F.floor((F.col("n") + F.lit(1)) / F.lit(2))
-    k95 = F.floor((F.lit(19) * F.col("n") + F.lit(19)) / F.lit(20))
+    # DECIMAL routing, not long/long `/` (IEEE double division): above
+    # 19n ≈ 2⁵³ the double drops low bits and the floor lands one rank off
+    # the oracle's exact `//` — the fraction_at_least hazard.
+    k50 = F.floor(((F.col("n") + F.lit(1)).cast("decimal(38,0)")) / F.lit(2)).cast("long")
+    k95 = F.floor(
+        ((F.lit(19) * F.col("n") + F.lit(19)).cast("decimal(38,0)")) / F.lit(20)
+    ).cast("long")
     truth = (
         ranked.select(
             "bucket", "event_type",

@@ -41,7 +41,7 @@ from __future__ import annotations
 
 from fractions import Fraction
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mlops_pipelines_featurestore_gcp_spark.streaming.rollup import ContinuousAggregate
@@ -91,6 +91,10 @@ class QuantileRollup:
     # --- write path ---------------------------------------------------------
     def _binned(self, df: DataFrame) -> DataFrame:
         raw = F.floor((F.col(self.value_col) - F.lit(self.lo)) / F.lit(self.bin_width))
+        # NULL values have no bin; greatest() would silently skip the NULL
+        # and clamp them into bin 0 as phantom zero-count state. Drop them,
+        # the same convention ContinuousAggregate applies to NULL times.
+        df = df.where(F.col(self.value_col).isNotNull())
         return df.withColumn(
             "__bin",
             F.least(F.greatest(raw, F.lit(0)), F.lit(self.bins - 1)).cast("long"),
@@ -137,15 +141,27 @@ class QuantileRollup:
         aggs = [F.max("__n").cast("long").alias("n_rows")]
         for q in qs:
             fr = Fraction(q).limit_denominator(10_000)
-            k = (F.lit(fr.numerator) * F.col("__n") + F.lit(fr.denominator - 1)) / F.lit(
-                fr.denominator
-            )
-            # integer floor-div: (num*n + den-1) // den == ceil(num*n/den)
-            k = F.floor(k).cast("long")
             aggs.append(
-                F.min(F.when(F.col("__cc") >= k, mid)).alias(f"p{_qname(q)}_est")
+                F.min(F.when(F.col("__cc") >= _ceil_div(fr), mid)).alias(
+                    f"p{_qname(q)}_est"
+                )
             )
         return cum.groupBy(*grp).agg(*aggs)
+
+
+def _ceil_div(fr: Fraction, n_col: str = "__n") -> Column:
+    """ceil(num*n/den) as (num*n + den-1) // den in EXACT arithmetic.
+
+    Spark's ``/`` on longs is IEEE double division — above num*n ≈ 2⁵³ the
+    long→double conversion drops low bits and the floor can land one rank
+    off the oracle's integer ``//`` (the hazard operators/expectations.py
+    fraction_at_least documents). Routing through DECIMAL(38,0) keeps the
+    quotient exact to int64 range, same as that operator.
+    """
+    num = (F.lit(fr.numerator) * F.col(n_col) + F.lit(fr.denominator - 1)).cast(
+        "decimal(38,0)"
+    )
+    return F.floor(num / F.lit(fr.denominator)).cast("long")
 
 
 def _qname(q: float) -> str:

@@ -131,3 +131,12 @@ def test_discount_table_is_the_dcg_series(spark):
 
     d = metrics.discount_table(4)
     assert d[0] == 1.0 and abs(d[2] - 1 / math.log2(4)) < 1e-15
+
+
+def test_regression_metrics_single_pass_matches_individual(spark):
+    df = spark.createDataFrame(
+        [(1.0, 2.25), (3.0, 3.0), (0.0, 4.5)], "label double, pred double"
+    )
+    r, m = metrics.regression_metrics(df, label_col="label", pred_col="pred", quant=1_000_000)
+    assert abs(r - metrics.rmse(df, label_col="label", pred_col="pred", quant=1_000_000)) < 1e-12
+    assert abs(m - metrics.mae(df, label_col="label", pred_col="pred", quant=1_000_000)) < 1e-12

@@ -85,3 +85,13 @@ def test_read_prunes_bucket_range(spark, tmp_path):
     qr.refresh(_batch(spark, [(50, "a", 1.0), (250, "a", 9.0), (950, "a", 33.0)]), batch_id=0)
     got = qr.quantiles(spark, qs=(0.5,), bucket_min=2, bucket_max=2).collect()
     assert [(r.bucket, r.p50_est) for r in got] == [(2, 10.0)]
+
+
+def test_null_values_are_dropped_not_clamped(spark, tmp_path):
+    qr = _qr(tmp_path)
+    qr.refresh(
+        spark.createDataFrame([(0, "a", None), (1, "a", 1.0)], "t long, k string, v double"),
+        batch_id=0,
+    )
+    got = {r["__bin"]: r.bin_count for r in qr.histogram(spark).collect()}
+    assert got == {0: 1}  # only the real value; no phantom bin-0 state row
