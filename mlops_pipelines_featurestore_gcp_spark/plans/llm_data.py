@@ -754,6 +754,7 @@ def s05_ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 0.92 (sf0.01) / 0.88 (sf0.1) / 0.925 (10×) — floor 0.7.
     oracle=_ANN_CONTRACT_RECALL_ORACLE,
     tags=("similarity", "llm", "quantization", "pq"),
+    defer=True,
 )
 def s08_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage PQ top-5: asymmetric-distance shortlist over 8-byte PQ
@@ -2573,4 +2574,70 @@ def d09_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         reps[0].unionByName(reps[1]).unionByName(reps[2])
         .select("doc_id", "status", "dup_of", "est_jaccard")
+    )
+
+
+@register(
+    "q39_tfrecord_roundtrip",
+    # The TFRecord codec (S6 sink / S7 scan / P5 bytes — previously
+    # pytest-only) under the driver hash as a round-trip contract: the
+    # Spark side encodes a documents subset to real TFRecord files
+    # (CRC-framed protos, sources/tfrecord.py), scans them back through
+    # the binaryFile → Arrow decode path, and emits the md5 of every
+    # DECODED text — which must hash-equal DuckDB's md5 of the SOURCE
+    # text. A lost row, a flipped byte, or a mis-coerced dtype anywhere
+    # in encode→frame→write→scan→unframe→decode changes the value hash;
+    # the full-join roundtrip_ok flag additionally NULLs (≠ the oracle's
+    # constant 1) if either side drops a doc_id. IO-codec query: gated at
+    # the three fixture scales; scaling is partition-parallel file IO
+    # (one file per partition, write parallelism = partition count).
+    oracle="""
+    SELECT doc_id, md5(text) AS text_fp, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(1 AS INT) AS roundtrip_ok
+    FROM documents WHERE doc_id % 5 = 0
+    """,
+    tags=("tfrecord", "codec", "source", "sink"),
+)
+def q39_tfrecord_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write→read TFRecord round-trip over a documents subset: S6's
+    deterministic-filename atomic sink, S7's schema-driven parse
+    (sources/tfrecord.py write_tfrecords/read_tfrecords; reference
+    feature_description analog trainer_component.py:32-40), value-hashed
+    against the source rows."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from mlops_pipelines_featurestore_gcp_spark.sources.tfrecord import (
+        read_tfrecords,
+        write_tfrecords,
+    )
+
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .where(F.col("doc_id") % 5 == 0)
+        .select("doc_id", "text", "n_chars")
+    )
+    out = tempfile.mkdtemp(prefix="spark_graft_tfrec_q39_")
+    write_tfrecords(docs.repartition(8), out)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    back = read_tfrecords(spark, out, schema).select(
+        "doc_id", F.md5("text").alias("text_fp"), F.col("n_chars").cast("long").alias("n_chars")
+    )
+    orig = docs.select(
+        "doc_id", F.md5("text").alias("__ofp"), F.col("n_chars").cast("long").alias("__on")
+    )
+    return back.join(orig, "doc_id", "full").select(
+        "doc_id",
+        "text_fp",
+        "n_chars",
+        ((F.col("text_fp") == F.col("__ofp")) & (F.col("n_chars") == F.col("__on")))
+        .cast("int")
+        .alias("roundtrip_ok"),
     )

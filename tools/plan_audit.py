@@ -82,6 +82,7 @@ EXTRA = [
     "q38_data_expectations",
     "ml06_ranking_metrics",
     "d09_incremental_dedup",
+    "q39_tfrecord_roundtrip",
 ]
 
 
