@@ -449,7 +449,7 @@ _ANN_CONTRACT_ORACLE = """
     FROM embeddings WHERE vec_id % 50 = 0
     """
 
-# s02/s03 variant with the aggregate recall floor (VERDICT r4 #7): same
+# s08/s09 variant with the aggregate recall floor (VERDICT r4 #7): same
 # per-query flags plus one constant column asserting recall@k vs exact
 # brute force over a DETERMINISTIC 32-query sample meets the floor.
 _ANN_CONTRACT_RECALL_ORACLE = """
@@ -460,6 +460,19 @@ _ANN_CONTRACT_RECALL_ORACLE = """
            CAST(1 AS INT) AS scores_monotone,
            CAST(1 AS INT) AS recall_floor_met
     FROM embeddings WHERE vec_id % 50 = 0
+    """
+
+# s03's merged form (round-7 consolidation): the LSH and IVF tiers share
+# one query — identical contract columns, one `op` tag per tier.
+_ANN_CONTRACT_RECALL_ORACLE_2TIER = """
+    SELECT t.op, CAST(e.vec_id AS BIGINT) AS query_id,
+           CAST(1 AS INT) AS at_most_k,
+           CAST(1 AS INT) AS rescore_parity,
+           CAST(1 AS INT) AS ranks_contiguous,
+           CAST(1 AS INT) AS scores_monotone,
+           CAST(1 AS INT) AS recall_floor_met
+    FROM embeddings e CROSS JOIN (VALUES ('ivf'), ('lsh')) AS t(op)
+    WHERE e.vec_id % 50 = 0
     """
 
 
@@ -577,32 +590,6 @@ def _ann_contract(
     return result.crossJoin(F.broadcast(hit))
 
 
-@register(
-    "s02_ann_lsh_topk",
-    # WHICH neighbors LSH admits is bucket-layout-specific; the contract
-    # (_ann_contract) is what the driver hash-checks, now including the
-    # aggregate recall@5 floor over the deterministic 32-query sample
-    # (VERDICT r4 #7). Round 6: multi-probe (Hamming-1 on the query side,
-    # VERDICT r5 #2) lifts measured recall@5 to 0.90 at sf0.01, 0.835 at
-    # sf0.1, 0.988 at the 10× corpus (was 0.58/0.54/0.84 single-probe) —
-    # floor 0.7 with honest margin at every gate scale. RE-TUNING TRIGGER
-    # (ADVICE r5): expected bucket size is N/2^planes, so rescore cost per
-    # query grows linearly in N at fixed planes — when avg bucket exceeds
-    # ~1k (N ≳ 256k here), raise planes (+1 per doubling) and hold recall
-    # by raising tables or probe radius; re-measure the floor at each new
-    # gate scale before rotating the query back into the driver window.
-    oracle=_ANN_CONTRACT_RECALL_ORACLE,
-    tags=("similarity", "llm", "lsh"),
-    defer=True,
-)
-def s02_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH approximate top-5 — the n≫memory scale path. Emits
-    the per-query contract flags (≤k results, contiguous ranks, exact
-    rescore parity, monotone scores) plus the sampled recall floor."""
-    emb, queries, out = s02_operator_parts(spark, sf_dir)
-    return _ann_contract(out, emb, dim=64, k=5, recall_floor=0.7, queries=queries)
-
-
 def s02_operator_parts(spark: SparkSession, sf_dir: str):
     """(emb, queries, operator output) for s02 — the operator-only frame is
     what ``tools/plan_audit.py`` audits (the registered query adds the
@@ -626,16 +613,30 @@ def s02_operator_parts(spark: SparkSession, sf_dir: str):
     # recall is scale-stable by construction: measured 0.86 at sf0.01,
     # 0.885 at sf0.1, ≥0.946 at the 10× corpus — floor 0.7. Callers
     # wanting a cheaper scan lower n_probe and trade recall explicitly.
-    oracle=_ANN_CONTRACT_RECALL_ORACLE,
-    tags=("similarity", "llm", "ivf"),
+    # Round-7 consolidation: the former s02_ann_lsh_topk rides this query
+    # as op='lsh' rows — SAME contract columns, same recall floor (LSH
+    # multi-probe measured 0.90/0.835/0.988 at sf0.01/sf0.1/10×, VERDICT
+    # r5 #2). Its re-tuning trigger stands: LSH expected bucket size is
+    # N/2^planes, so when avg bucket exceeds ~1k (N ≳ 256k here) raise
+    # planes (+1 per doubling) and hold recall via tables/probe radius.
+    oracle=_ANN_CONTRACT_RECALL_ORACLE_2TIER,
+    tags=("similarity", "llm", "ivf", "lsh"),
     defer=True,
 )
 def s03_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-5: k-means coarse cells, n_probe nearest probed;
-    emits the per-query contract flags (≤k, contiguous ranks, exact
-    rescore parity, monotone scores) plus the sampled recall floor."""
-    emb, queries, out = s03_operator_parts(spark, sf_dir)
-    return _ann_contract(out, emb, dim=64, k=5, recall_floor=0.7, queries=queries)
+    """IVF approximate top-5 (op='ivf') beside hyperplane multi-probe LSH
+    top-5 (op='lsh'), each under the full per-query contract (≤k,
+    contiguous ranks, exact rescore parity, monotone scores) plus the
+    sampled recall floor. One op-tagged union — both tiers run their real
+    operators; the merged query is the round-7 registry consolidation of
+    the former s02_ann_lsh_topk."""
+    emb, queries, ivf_out = s03_operator_parts(spark, sf_dir)
+    _, _, lsh_out = s02_operator_parts(spark, sf_dir)
+    ivf = _ann_contract(ivf_out, emb, dim=64, k=5, recall_floor=0.7, queries=queries)
+    lsh = _ann_contract(lsh_out, emb, dim=64, k=5, recall_floor=0.7, queries=queries)
+    return ivf.select(F.lit("ivf").alias("op"), "*").unionByName(
+        lsh.select(F.lit("lsh").alias("op"), "*")
+    )
 
 
 def s03_operator_parts(spark: SparkSession, sf_dir: str):

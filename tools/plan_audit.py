@@ -31,8 +31,7 @@ from bench import HEADLINE  # noqa: E402  (audit the same set the bench times)
 # (ADVICE r6). Any cartesian on a row not listed here renders the ⚠ flag.
 EXPECTED_CARTESIAN = {
     "s01_ann_bruteforce_topk",           # broadcast exact-scoring baseline
-    "s02_ann_lsh_topk",                  # contract form: 32-query recall verifier
-    "s03_ann_ivf_topk",                  # contract form + operator's probed-cell broadcast
+    "s03_ann_ivf_topk",                  # contract form (x2 tiers: ivf+lsh, r7 merge) + probed-cell broadcast
     "s08_ann_pq_topk",                   # contract form: 32-query recall verifier
     "s09_ann_ivfpq_topk",                # contract form: 32-query recall verifier
     "s03_ann_ivf_topk (operator only)",  # query set broadcast into probed cells
@@ -50,7 +49,6 @@ EXTRA = [
     "t17_soft_dedup_weights",
     "t18_heavy_hitters_cms",
     "s07_per_source_cap",
-    "s02_ann_lsh_topk",
     "s03_ann_ivf_topk",
     "s08_ann_pq_topk",
     "s09_ann_ivfpq_topk",
