@@ -1751,10 +1751,35 @@ _GOPHER_REQ_SQL = " + ".join(
                 AND mean_len >= 3.0 AND mean_len <= 10.0
                 AND symbol_ratio <= 0.1 AND bullet_frac < 0.9
                 AND ellipsis_frac < 0.3 AND alpha_frac > 0.8
-                AND n_req >= 2 AS INT) AS keep
+                AND n_req >= 2 AS INT) AS keep,
+           lm.n_tokens, lm.logp_micro_sum, lm.avg_logp, lm.perplexity
     FROM feats
+    LEFT JOIN (
+      WITH tok AS (
+        SELECT doc_id, unnest({_TOKS.format(col='nt')}) AS token
+        FROM (SELECT doc_id, {_NORM} AS nt FROM documents)
+      ),
+      vocab AS (SELECT token, COUNT(*) AS tf FROM tok GROUP BY token),
+      tot AS (SELECT SUM(tf) AS total, COUNT(*) AS v FROM vocab),
+      scored AS (
+        SELECT t.doc_id,
+               CAST(floor(ln((v.tf + 1.0) / (tot.total + tot.v)) * 1000000.0 + 0.5) AS BIGINT) AS lp
+        FROM tok t JOIN vocab v USING (token) CROSS JOIN tot
+      ),
+      agg AS (
+        -- CAST: DuckDB SUM(BIGINT) -> HUGEINT -> pandas float64 breaks the
+        -- driver's hash vs Spark int64 (round-4 verdict root cause).
+        SELECT doc_id, COUNT(*) AS n_tokens,
+               CAST(SUM(lp) AS BIGINT) AS logp_micro_sum
+        FROM scored GROUP BY doc_id
+      )
+      SELECT doc_id, n_tokens, logp_micro_sum,
+             floor((logp_micro_sum / 1000000.0 / n_tokens) * 1000000.0 + 0.5) / 1000000.0 AS avg_logp,
+             floor(exp(-(logp_micro_sum / 1000000.0 / n_tokens)) * 1000000.0 + 0.5) / 1000000.0 AS perplexity
+      FROM agg
+    ) lm USING (doc_id)
     """,
-    tags=("text", "llm", "quality", "gopher"),
+    tags=("text", "llm", "quality", "gopher", "lm"),
     defer=True,
 )
 def t10_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1762,7 +1787,16 @@ def t10_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     augmented with deterministic doc_id-derived structure (bullet lines,
     ellipsis lines, symbol runs) — the synthetic single-line documents would
     otherwise make the line-shape rules trivially vacuous, like t01's PII
-    augmentation. Map-only codegen pass, no shuffle."""
+    augmentation. Map-only codegen pass, no shuffle. Round-7 consolidation:
+    the former t11_unigram_lm_score (CCNet-style perplexity from a
+    self-trained add-1 unigram LM, operators/lm_score.py) rides this query
+    as four LEFT-JOINed columns on the same per-doc row set — per-token
+    log-probs floor-quantize to integer micro-nats BEFORE the per-doc sum,
+    so the aggregate is exact integer addition at any parallelism. The two
+    quality signals (rule gates + LM score) are exactly what a filter
+    pipeline consumes together."""
+    from mlops_pipelines_featurestore_gcp_spark.operators.lm_score import unigram_lm_score
+
     docs = load_table(spark, "documents", sf_dir)
     gtext = F.concat(
         F.col("text"),
@@ -1779,9 +1813,11 @@ def t10_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("\n### header ## #tag ..."),
         ).otherwise(F.lit("")),
     )
-    return quality.gopher_filters(
+    rules = quality.gopher_filters(
         docs.select("doc_id", gtext.alias("gtext")), "doc_id", "gtext"
     )
+    lm = unigram_lm_score(docs, "doc_id", "text")
+    return rules.join(lm, "doc_id", "left")
 
 
 @register(
@@ -1806,46 +1842,6 @@ def s06_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     group draw is replayed verbatim by the oracle."""
     docs = load_table(spark, "documents", sf_dir)
     return sampling.leakage_safe_split(docs, "doc_id", "text", val_fraction=0.1)
-
-
-@register(
-    "t11_unigram_lm_score",
-    oracle=f"""
-    WITH tok AS (
-      SELECT doc_id, unnest({_TOKS.format(col='nt')}) AS token
-      FROM (SELECT doc_id, {_NORM} AS nt FROM documents)
-    ),
-    vocab AS (SELECT token, COUNT(*) AS tf FROM tok GROUP BY token),
-    tot AS (SELECT SUM(tf) AS total, COUNT(*) AS v FROM vocab),
-    scored AS (
-      SELECT t.doc_id,
-             CAST(floor(ln((v.tf + 1.0) / (tot.total + tot.v)) * 1000000.0 + 0.5) AS BIGINT) AS lp
-      FROM tok t JOIN vocab v USING (token) CROSS JOIN tot
-    ),
-    agg AS (
-      -- CAST: DuckDB SUM(BIGINT) -> HUGEINT -> pandas float64 breaks the
-      -- driver's hash vs Spark int64 (round-4 verdict root cause).
-      SELECT doc_id, COUNT(*) AS n_tokens,
-             CAST(SUM(lp) AS BIGINT) AS logp_micro_sum
-      FROM scored GROUP BY doc_id
-    )
-    SELECT doc_id, n_tokens, logp_micro_sum,
-           floor((logp_micro_sum / 1000000.0 / n_tokens) * 1000000.0 + 0.5) / 1000000.0 AS avg_logp,
-           floor(exp(-(logp_micro_sum / 1000000.0 / n_tokens)) * 1000000.0 + 0.5) / 1000000.0 AS perplexity
-    FROM agg
-    """,
-    tags=("text", "llm", "quality", "lm"),
-    defer=True,
-)
-def t11_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CCNet-style perplexity signal from a self-trained add-1 unigram LM
-    (operators/lm_score.py). Per-token log-probs floor-quantize to integer
-    micro-nats BEFORE the per-doc sum, so the aggregate is exact integer
-    addition — summation-order-proof at any parallelism."""
-    from mlops_pipelines_featurestore_gcp_spark.operators.lm_score import unigram_lm_score
-
-    docs = load_table(spark, "documents", sf_dir)
-    return unigram_lm_score(docs, "doc_id", "text")
 
 
 @register(

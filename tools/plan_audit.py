@@ -37,7 +37,7 @@ EXPECTED_CARTESIAN = {
     "s03_ann_ivf_topk (operator only)",  # query set broadcast into probed cells
     "c03_semantic_search",               # search stage IS s01's baseline
     "f06_feature_drift",                 # size-1 stat-table crossJoin
-    "t11_unigram_lm_score",              # size-1 vocab-stat crossJoin
+    "t10_gopher_quality",                # size-1 vocab-stat crossJoin (t11 LM columns, r7 merge)
     "st02_sliding_window",               # size-1 broadcast of the global max ts (r7 merge)
     "s10_ann_ivfpq_persisted",           # contract form: 32-query recall verifier (s09 twin)
 }
@@ -58,7 +58,6 @@ EXTRA = [
     "s10_ann_ivfpq_persisted",
     "c03_semantic_search",
     "t10_gopher_quality",
-    "t11_unigram_lm_score",
     "s06_leakage_safe_split",
     "q33_binned_range_join",
     "q34_window_funnel",

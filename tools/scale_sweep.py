@@ -190,7 +190,7 @@ COPIES100 = 100
 # (~14M pairs) with the rest of the pair-emitting dedups.
 GATE100 = [
     "t01_text_profile", "t04_doc_fingerprint",
-    "t09_token_vocab", "t10_gopher_quality", "t11_unigram_lm_score",
+    "t09_token_vocab", "t10_gopher_quality",
     "t15_importance_resample", "d01_exact_dedup", "d08_keep_best_exact",
     "t17_soft_dedup_weights", "s07_per_source_cap", "t05_chunk_documents",
     "t08_sequence_pack", "mm01_payload_decode",
