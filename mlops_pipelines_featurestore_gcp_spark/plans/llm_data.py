@@ -2213,13 +2213,35 @@ def mm08_video_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored AS (
       SELECT doc_id, SUM(c_micro) AS score_micro, COUNT(*) AS n_matched
       FROM contrib GROUP BY doc_id
+    ),
+    bm25 AS (
+      SELECT 'bm25' AS op, l.doc_id, '' AS term,
+             l.n_tokens AS x1,
+             CAST(COALESCE(s.n_matched, 0) AS BIGINT) AS x2,
+             CAST(COALESCE(s.score_micro, 0) AS BIGINT) AS score_micro
+      FROM dl l LEFT JOIN scored s USING (doc_id)
+    ),
+    -- t14_tf_idf's rows (r7 consolidation): per-(doc, term) smooth-idf
+    -- TF-IDF — x1 = tf, x2 = df_docs.
+    tfw AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+    ),
+    dfreq_all AS (SELECT term, COUNT(*) AS df_docs FROM tfw GROUP BY term),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+    tfidf AS (
+      SELECT 'tfidf' AS op, t.doc_id, t.term,
+             CAST(t.tf AS BIGINT) AS x1,
+             CAST(d.df_docs AS BIGINT) AS x2,
+             CAST(floor(
+               t.tf * (ln((1.0 + CAST(n.n_docs AS DOUBLE)) / (1.0 + d.df_docs)) + 1.0)
+               * 1000000.0 + 0.5) AS BIGINT) AS tfidf_micro
+      FROM tfw t JOIN dfreq_all d USING (term) CROSS JOIN n
     )
-    SELECT l.doc_id, l.n_tokens,
-           CAST(COALESCE(s.n_matched, 0) AS BIGINT) AS n_matched,
-           CAST(COALESCE(s.score_micro, 0) AS BIGINT) AS score_micro
-    FROM dl l LEFT JOIN scored s USING (doc_id)
+    SELECT op, doc_id, term, x1, x2, score_micro FROM bm25
+    UNION ALL
+    SELECT op, doc_id, term, x1, x2, tfidf_micro AS score_micro FROM tfidf
     """,
-    tags=("text", "llm", "relevance", "bm25"),
+    tags=("text", "llm", "relevance", "bm25", "tfidf"),
     defer=True,
 )
 def t13_bm25_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2228,47 +2250,35 @@ def t13_bm25_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per-term contributions are micro-quantized longs summed per doc
     (t11's integer contract → order-proof, oracle-replayable); zero-match
     docs keep score 0 so the full ranking survives. The |query|-row df
-    table broadcasts; the only shuffles are the two keyed aggregates."""
-    from mlops_pipelines_featurestore_gcp_spark.operators.relevance import bm25_scores
+    table broadcasts; the only shuffles are the two keyed aggregates.
+    Round-7 consolidation: the former t14_tf_idf rides as op='tfidf'
+    rows — per-(doc, term) smooth-idf TF-IDF (scikit-learn convention),
+    one (doc, term) groupBy + a vocabulary-keyed df join, micro-quantized
+    longs. Union columns: op='bm25' → (x1=n_tokens, x2=n_matched,
+    score_micro=BM25 micro-sum); op='tfidf' → (x1=tf, x2=df_docs,
+    score_micro=tfidf_micro)."""
+    from mlops_pipelines_featurestore_gcp_spark.operators.relevance import bm25_scores, tf_idf
 
     docs = load_table(spark, "documents", sf_dir)
-    return bm25_scores(
+    bm25 = bm25_scores(
         docs, "doc_id", "text", ["join", "scan", "vector", "data", "spark"]
+    ).select(
+        F.lit("bm25").alias("op"),
+        "doc_id",
+        F.lit("").alias("term"),
+        F.col("n_tokens").alias("x1"),
+        F.col("n_matched").alias("x2"),
+        "score_micro",
     )
-
-
-@register(
-    "t14_tf_idf",
-    oracle=f"""
-    WITH base AS (
-      SELECT doc_id, {_NORM} AS nt FROM documents
-    ),
-    toks AS (
-      SELECT doc_id, unnest({_TOKS.format(col='nt')}) AS term FROM base
-    ),
-    tf AS (
-      SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
-    ),
-    dfreq AS (SELECT term, COUNT(*) AS df_docs FROM tf GROUP BY term),
-    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents)
-    SELECT t.doc_id, t.term, t.tf, d.df_docs,
-           CAST(floor(
-             t.tf * (ln((1.0 + CAST(n.n_docs AS DOUBLE)) / (1.0 + d.df_docs)) + 1.0)
-             * 1000000.0 + 0.5) AS BIGINT) AS tfidf_micro
-    FROM tf t JOIN dfreq d USING (term) CROSS JOIN n
-    """,
-    tags=("text", "llm", "relevance", "tfidf"),
-    defer=True,
-)
-def t14_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-(doc, term) TF-IDF with smooth idf (scikit-learn convention) —
-    the feature build for classifier quality filters and importance
-    weighting. One (doc, term) groupBy + a vocabulary-keyed df join;
-    scores are micro-quantized longs (hash-stable across engines)."""
-    from mlops_pipelines_featurestore_gcp_spark.operators.relevance import tf_idf
-
-    docs = load_table(spark, "documents", sf_dir)
-    return tf_idf(docs, "doc_id", "text")
+    tfidf = tf_idf(docs, "doc_id", "text").select(
+        F.lit("tfidf").alias("op"),
+        "doc_id",
+        "term",
+        F.col("tf").cast("long").alias("x1"),
+        F.col("df_docs").cast("long").alias("x2"),
+        F.col("tfidf_micro").alias("score_micro"),
+    )
+    return bm25.unionByName(tfidf)
 
 
 @register(

@@ -67,7 +67,6 @@ EXTRA = [
     "d07_semantic_dedup",
     "ml05_linucb_suffstats",
     "t13_bm25_relevance",
-    "t14_tf_idf",
     "t15_importance_resample",
     "t16_bloom_contamination",
     "st07_distinct_rollup",
