@@ -1886,40 +1886,6 @@ def t12_bpe_subwords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "mm04_image_neardup",
-    # The aHash VALUES have no SQL twin (sha256 chain over raw digest
-    # bytes), but at max_hamming=0 the OUTPUT is fully determined by the
-    # payload-equality structure: identical payloads → identical hashes →
-    # hamming 0 → every same-bucket pair must appear, and (tested in
-    # test_phash.py) distinct payloads never collide on this fixture — so
-    # the oracle states the exact pair set from the doc_id % 97 bucketing
-    # alone, and the driver hash-checks the whole dedup output.
-    oracle="""
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS INT) AS hamming
-    FROM documents a JOIN documents b
-      ON a.doc_id % 97 = b.doc_id % 97 AND a.doc_id < b.doc_id
-    ORDER BY 1, 2
-    """,
-    tags=("multimodal", "dedup", "phash"),
-    defer=True,
-)
-def mm04_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image near-dup over the multimodal payload column: perceptual aHash
-    (mapInPandas, stub decode) + hamming chunk blocking — the multimodal
-    twin of d04's text SimHash. Duplicate payloads are synthesized by
-    bucketing doc text so the fixture corpus actually contains image-level
-    dups to find."""
-    docs = load_table(spark, "documents", sf_dir)
-    # collapse text to doc_id%97 buckets → deterministic duplicate payloads
-    bucketed = docs.select(
-        "doc_id", F.concat(F.lit("img-"), (F.col("doc_id") % 97).cast("string")).alias("text")
-    )
-    payloads = multimodal.attach_payload(bucketed, "text")
-    pairs = multimodal.image_neardup_pairs(payloads, "doc_id", max_hamming=0)
-    return pairs.orderBy("id_a", "id_b")
-
-
-@register(
     "mm05_audio_neardup",
     # Same contract shape as mm04: the chromaprint-style fingerprint VALUES
     # have no SQL twin (chained sha256 chroma stub), but at max_hamming=0
@@ -2053,13 +2019,29 @@ def mm07_media_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM hashed a JOIN hashed b ON a.h = b.h AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
-    SELECT c.id_a, c.id_b, c.ni / (sa.n + sb.n - c.ni) AS jaccard
+    -- metric_micro: the SAME double division as before, micro-quantized so
+    -- the video and image legs share one BIGINT metric column (r7 merge).
+    SELECT 'video' AS op, c.id_a, c.id_b,
+           CAST(floor(c.ni / (sa.n + sb.n - c.ni) * 1000000.0 + 0.5) AS BIGINT) AS metric_micro
     FROM cand c
     JOIN sizes sa ON sa.doc_id = c.id_a
     JOIN sizes sb ON sb.doc_id = c.id_b
     WHERE c.ni / (sa.n + sb.n - c.ni) >= 0.08
+    UNION ALL
+    -- mm04_image_neardup's rows (r7 consolidation). The aHash VALUES have
+    -- no SQL twin (sha256 chain over raw digest bytes), but at
+    -- max_hamming=0 the OUTPUT is fully determined by payload-equality
+    -- structure: identical payloads → identical hashes → hamming 0 →
+    -- every same-bucket pair must appear, and (tested in test_phash.py)
+    -- distinct payloads never collide on this fixture — so the exact pair
+    -- set follows from the doc_id % 97 bucketing alone; metric_micro is
+    -- the hamming distance (0).
+    SELECT 'image' AS op, a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(0 AS BIGINT) AS metric_micro
+    FROM documents a JOIN documents b
+      ON a.doc_id % 97 = b.doc_id % 97 AND a.doc_id < b.doc_id
     """,
-    tags=("multimodal", "dedup", "video", "jaccard"),
+    tags=("multimodal", "dedup", "video", "jaccard", "phash"),
     defer=True,
 )
 def mm06_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2070,7 +2052,12 @@ def mm06_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     machinery. Synthesized videos: same-bucket clips share an aligned
     intro (re-upload-with-new-body, the canonical video-dedup case);
     ASCII payloads keep byte windows == char windows so both engines
-    fingerprint identical bytes."""
+    fingerprint identical bytes. Round-7 consolidation: the former
+    mm04_image_neardup rides as op='image' rows — perceptual aHash
+    (mapInPandas, stub decode) + hamming chunk blocking, the multimodal
+    twin of d04's text SimHash, over doc_id%97-bucketed payloads.
+    metric_micro = micro-quantized Jaccard (video) / hamming distance
+    (image)."""
     docs = load_table(spark, "documents", sf_dir)
     unit_p = F.concat(F.lit("P"), (F.col("doc_id") % 89).cast("string"), F.lit("#"))
     unit_s = F.concat(F.lit("s"), F.col("doc_id").cast("string"), F.lit("."))
@@ -2078,10 +2065,23 @@ def mm06_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.concat(F.repeat(unit_p, 120), F.repeat(unit_s, 60)).alias("text")
     )
     payloads = multimodal.attach_payload(vids, "text", mime="video/raw")
-    pairs = multimodal.video_neardup_pairs(payloads, "doc_id", threshold=0.08)
-    return pairs.select(
-        F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"), "jaccard"
+    video = multimodal.video_neardup_pairs(payloads, "doc_id", threshold=0.08).select(
+        F.lit("video").alias("op"),
+        F.col("doc_a").alias("id_a"),
+        F.col("doc_b").alias("id_b"),
+        F.floor(F.col("jaccard") * 1000000.0 + 0.5).cast("long").alias("metric_micro"),
     )
+    bucketed = docs.select(
+        "doc_id", F.concat(F.lit("img-"), (F.col("doc_id") % 97).cast("string")).alias("text")
+    )
+    img_payloads = multimodal.attach_payload(bucketed, "text")
+    image = multimodal.image_neardup_pairs(img_payloads, "doc_id", max_hamming=0).select(
+        F.lit("image").alias("op"),
+        "id_a",
+        "id_b",
+        F.col("hamming").cast("long").alias("metric_micro"),
+    )
+    return video.unionByName(image)
 
 
 @register(
