@@ -760,21 +760,9 @@ def pq_train(
     for s in range(m):
         sub = X[:, s * dsub : (s + 1) * dsub]
         # k-means++-free seeded init: distinct sample rows as initial means
+        # (one shared rng advanced per subspace — the original draw order)
         init_idx = rng.permutation(n)[:ksub]
-        C = sub[init_idx].copy()
-        for _ in range(max_iter):
-            d2 = ((sub[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)  # (n, ksub)
-            assign = d2.argmin(axis=1)
-            newC = C.copy()
-            for j in range(ksub):
-                mask = assign == j
-                if mask.any():
-                    newC[j] = sub[mask].mean(axis=0)
-            if np.allclose(newC, C):
-                C = newC
-                break
-            C = newC
-        books[s] = C
+        books[s] = _lloyd(sub, sub[init_idx], max_iter)
     return books
 
 
@@ -944,24 +932,39 @@ def pq_topk(
     return rescored.withColumn("rnk", F.row_number().over(w2)).where(F.col("rnk") <= k)
 
 
+def _lloyd(X: np.ndarray, C: np.ndarray, max_iter: int = 15) -> np.ndarray:
+    """Vectorized Lloyd iterations from a given init (shared kernel for
+    ``_kmeans_fit`` and ``pq_train``). Deterministic given (X, C): argmin
+    ties break by numpy index order, grouped means are one bincount per
+    dimension — no per-cluster Python loop, so a 256-word codebook fit is
+    milliseconds instead of seconds (the round-7 bench's s09/s10 hotspot).
+    Distances use the ‖x‖² − 2x·c + ‖c‖² expansion (BLAS matmul instead of
+    an (n, k, d) broadcast) — same argmin up to float associativity."""
+    k, d = C.shape
+    Xn = (X**2).sum(axis=1)
+    C = C.copy()
+    for _ in range(max_iter):
+        d2 = Xn[:, None] - 2.0 * (X @ C.T) + (C**2).sum(axis=1)[None, :]
+        assign = d2.argmin(axis=1)
+        counts = np.bincount(assign, minlength=k)
+        newC = C.copy()
+        nz = counts > 0
+        sums = np.empty((k, d), dtype=np.float64)
+        for dd in range(d):
+            sums[:, dd] = np.bincount(assign, weights=X[:, dd], minlength=k)
+        newC[nz] = sums[nz] / counts[nz][:, None]
+        if np.allclose(newC, C):
+            return newC
+        C = newC
+    return C
+
+
 def _kmeans_fit(X: np.ndarray, k: int, seed: int, max_iter: int = 15) -> np.ndarray:
     """Seeded driver-side Lloyd's k-means (the pq_train kernel, factored
     for reuse by the IVF-PQ coarse quantizer). Deterministic: init is a
     seeded permutation of sample rows; ties break by numpy argmin order."""
     rng = np.random.RandomState(seed)
-    C = X[rng.permutation(X.shape[0])[:k]].copy()
-    for _ in range(max_iter):
-        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-        assign = d2.argmin(axis=1)
-        newC = C.copy()
-        for j in range(k):
-            mask = assign == j
-            if mask.any():
-                newC[j] = X[mask].mean(axis=0)
-        if np.allclose(newC, C):
-            return newC
-        C = newC
-    return C
+    return _lloyd(X, X[rng.permutation(X.shape[0])[:k]], max_iter)
 
 
 def ivfpq_train(

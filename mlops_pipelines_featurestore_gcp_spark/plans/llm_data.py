@@ -841,7 +841,10 @@ def s10_ann_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
 
     emb, queries, incall = s09_operator_parts(spark, sf_dir)
-    tag = hashlib.md5(f"ivfpq-v1|{sf_dir}".encode()).hexdigest()[:8]
+    # v2: the vectorized Lloyd kernel (r7 perf) can differ from v1's
+    # centroids in the last ulp — the tag bump forces a rebuild so the
+    # persisted index always comes from the same kernel as the in-call twin.
+    tag = hashlib.md5(f"ivfpq-v2|{sf_dir}".encode()).hexdigest()[:8]
     path = f"/tmp/spark_graft_ivfpq_{tag}"
     import os
 
