@@ -229,6 +229,19 @@ GATE100 = [
     # ml06: ranking metrics — per-user output (linear in users), integer
     # micro-gain sums through 100x per-bucket row counts.
     "ml06_ranking_metrics",
+    # round 7 session 3: six more relational/behavioral families. q17 puts
+    # the DECIMAL conditional/date aggregates through ~6M-row groups; q27
+    # grouping-sets over the 60M fact; q32's sketch error bands (HLL/GK)
+    # against 100x distinct counts — the approx family's scale probe; the
+    # events trio (funnel / sessionize / cohorts) is user-space linear.
+    # All six hash-matched on first run (timings in LOCAL_GATE.md).
+    # st03_session_window also hash-matched at 100x (689.7s — the
+    # 9.5M-session output through the pandas compare dominates) but stays
+    # OUT of the standing list: q35 already covers the identical output
+    # shape (same 9.5M rows) at 297s, and the standing gate should stay
+    # re-runnable per round.
+    "q17_date_conditional_agg", "q27_grouping_sets", "q32_approx_aggregates",
+    "q34_window_funnel", "q35_sessionize_stats", "q36_retention_cohorts",
 ]
 
 
