@@ -1490,6 +1490,7 @@ def c02_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     QUALIFY rnk <= 3
     """,
     tags=("llm", "composite", "chunking", "embedding", "similarity", "ann"),
+    defer=True,
 )
 def c03_semantic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAG-ingestion composite: overlapping chunking → per-chunk hashed

@@ -1307,3 +1307,97 @@ def q38_data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         X.fraction_at_least("finished", F.col("o_orderstatus") == "F", 0.25),
     ]
     return X.validate(orders, exps)
+
+
+@register(
+    "q40_clustered_layout",
+    # Driver-hashed evidence for the data-layout family (sources/layout.py
+    # — previously pytest-only): a fragmented 48-file write is compacted
+    # WITH re-clustering (compact_table -> save_clustered), a second
+    # compact must skip (idempotence), the parquet footers must show
+    # near-disjoint per-file l_shipdate intervals (the stats-based-skipping
+    # property, measured from the files themselves), and the monthly
+    # rollup read from the COMPACTED table must equal the same rollup on
+    # the source — the layout pipeline moved bytes, never values. The
+    # flags are computed from report-sized driver state (<=48 footer rows,
+    # two scalar counts) and replicated onto every month row so the
+    # driver's value hash covers them.
+    oracle="""
+    SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(1 AS INT) AS compacted_fewer_files,
+           CAST(1 AS INT) AS compact_idempotent,
+           CAST(1 AS INT) AS files_disjoint,
+           CAST(1 AS INT) AS rows_preserved
+    FROM lineitem
+    GROUP BY 1
+    """,
+    tags=("layout", "compaction", "clustering", "io"),
+)
+def q40_clustered_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction + clustered layout under the driver hash
+    (sources/layout.py): the maintenance pass every long-lived 100 TB
+    table needs. Steps: (1) fragment lineitem into 48 round-robin files
+    (what per-batch streaming sinks accumulate), (2) ``compact_table``
+    bin-packs to ~8 files AND restores l_orderkey clustering via
+    ``save_clustered`` (range shuffle + sort-within-files), (3) a second
+    compact call must report skipped=True, (4) ``layout_stats`` reads
+    per-file min/max back from the footers and the intervals must be
+    pairwise non-overlapping (equal cluster keys co-locate under
+    repartitionByRange, so file ranges can touch only at distinct
+    boundaries — measured overlap count must be 0), (5) the monthly
+    rollup over ``read_clustered`` must match the source table
+    value-for-value."""
+    import tempfile
+
+    from mlops_pipelines_featurestore_gcp_spark.sources import layout
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_linenumber", "l_shipdate", "l_quantity"
+    )
+    n_src = li.count()
+    path = tempfile.mkdtemp(prefix="spark_graft_layout_q40_")
+    li.repartition(48).write.mode("overwrite").parquet(path)
+    total = sum(
+        f.stat().st_size
+        for f in __import__("pathlib").Path(path).glob("*.parquet")
+    )
+    r1 = layout.compact_table(
+        spark, path, target_bytes=max(1, -(-total // 8)), cluster_by="l_orderkey"
+    )
+    # idempotence: a directory that already meets the target is not
+    # rewritten. The target is recomputed from the POST-compact bytes
+    # (compression ratios change across layouts, so the pre-compact
+    # target could legitimately justify a further rewrite).
+    total2 = sum(
+        f.stat().st_size
+        for f in __import__("pathlib").Path(path).glob("*.parquet")
+    )
+    r2 = layout.compact_table(
+        spark,
+        path,
+        target_bytes=max(1, -(-total2 // max(1, r1["files_after"]))),
+        cluster_by="l_orderkey",
+    )
+    stats = layout.layout_stats(spark, path, "l_orderkey").collect()  # <= 48 rows
+    ivals = sorted((r["c_min"], r["c_max"]) for r in stats)
+    overlaps = sum(1 for a, b in zip(ivals, ivals[1:]) if b[0] < a[1])
+    out = layout.read_clustered(spark, path)
+    n_out = out.count()
+    return (
+        out.groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        )
+        .select(
+            "ship_month",
+            "n_rows",
+            "sum_qty",
+            F.lit(int(r1["files_after"] < r1["files_before"])).alias("compacted_fewer_files"),
+            F.lit(int(bool(r2["skipped"]))).alias("compact_idempotent"),
+            F.lit(int(overlaps == 0)).alias("files_disjoint"),
+            F.lit(int(n_out == n_src)).alias("rows_preserved"),
+        )
+    )

@@ -79,6 +79,7 @@ EXTRA = [
     "ml06_ranking_metrics",
     "d09_incremental_dedup",
     "q39_tfrecord_roundtrip",
+    "q40_clustered_layout",
 ]
 
 

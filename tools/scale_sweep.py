@@ -242,6 +242,11 @@ GATE100 = [
     # re-runnable per round.
     "q17_date_conditional_agg", "q27_grouping_sets", "q32_approx_aggregates",
     "q34_window_funnel", "q35_sessionize_stats", "q36_retention_cohorts",
+    # q40: the compaction/clustered-layout maintenance pass — IO-shaped
+    # (fragment 48 files -> bin-pack+recluster -> footer-stats disjointness
+    # -> monthly rollup off the compacted table), 44.6s at the 60M-row
+    # 100x lineitem.
+    "q40_clustered_layout",
 ]
 
 
