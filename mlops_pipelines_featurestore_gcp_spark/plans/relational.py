@@ -1329,11 +1329,13 @@ def q38_data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(1 AS INT) AS compacted_fewer_files,
            CAST(1 AS INT) AS compact_idempotent,
            CAST(1 AS INT) AS files_disjoint,
-           CAST(1 AS INT) AS rows_preserved
+           CAST(1 AS INT) AS rows_preserved,
+           CAST(1 AS INT) AS zorder_both_dims_narrow,
+           CAST(1 AS INT) AS clustered_other_dim_wide
     FROM lineitem
     GROUP BY 1
     """,
-    tags=("layout", "compaction", "clustering", "io"),
+    tags=("layout", "compaction", "clustering", "zorder", "io"),
 )
 def q40_clustered_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction + clustered layout under the driver hash
@@ -1348,13 +1350,19 @@ def q40_clustered_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     repartitionByRange, so file ranges can touch only at distinct
     boundaries — measured overlap count must be 0), (5) the monthly
     rollup over ``read_clustered`` must match the source table
-    value-for-value."""
+    value-for-value, (6) ``save_zordered`` on a deterministic 1/16 subset
+    (the rank-normalize step is a global sort — the operator's documented
+    write-side cost) must keep BOTH dimensions' mean per-file footer
+    width under 0.6x their span (the Morton-interleave property the
+    pytest pins on a synthetic grid, here on real keys), while the
+    single-key clustered layout leaves the OTHER dimension wide (>0.5x
+    span) — the measured contrast that justifies z-ordering at all."""
     import tempfile
 
     from mlops_pipelines_featurestore_gcp_spark.sources import layout
 
     li = load_table(spark, "lineitem", sf_dir).select(
-        "l_orderkey", "l_linenumber", "l_shipdate", "l_quantity"
+        "l_orderkey", "l_linenumber", "l_partkey", "l_shipdate", "l_quantity"
     )
     n_src = li.count()
     path = tempfile.mkdtemp(prefix="spark_graft_layout_q40_")
@@ -1385,6 +1393,24 @@ def q40_clustered_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlaps = sum(1 for a, b in zip(ivals, ivals[1:]) if b[0] < a[1])
     out = layout.read_clustered(spark, path)
     n_out = out.count()
+
+    def _mean_width(p: str, col: str) -> float:
+        rows = layout.layout_stats(spark, p, col).collect()  # <= num_files rows
+        return sum(int(r["c_max"]) - int(r["c_min"]) for r in rows) / max(1, len(rows))
+
+    zsub = li.where(F.col("l_orderkey") % 16 == 0).select("l_orderkey", "l_partkey")
+    spans = zsub.agg(
+        (F.max("l_orderkey") - F.min("l_orderkey")).alias("so"),
+        (F.max("l_partkey") - F.min("l_partkey")).alias("sp"),
+    ).first()
+    zpath = tempfile.mkdtemp(prefix="spark_graft_layout_q40z_")
+    layout.save_zordered(zsub, zpath, zorder_by=["l_orderkey", "l_partkey"], num_files=16)
+    z_narrow = int(
+        _mean_width(zpath, "l_orderkey") < 0.6 * spans["so"]
+        and _mean_width(zpath, "l_partkey") < 0.6 * spans["sp"]
+    )
+    pk_span = out.agg((F.max("l_partkey") - F.min("l_partkey")).alias("s")).first()["s"]
+    other_wide = int(_mean_width(path, "l_partkey") > 0.5 * pk_span)
     return (
         out.groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
         .agg(
@@ -1399,5 +1425,7 @@ def q40_clustered_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(int(bool(r2["skipped"]))).alias("compact_idempotent"),
             F.lit(int(overlaps == 0)).alias("files_disjoint"),
             F.lit(int(n_out == n_src)).alias("rows_preserved"),
+            F.lit(z_narrow).alias("zorder_both_dims_narrow"),
+            F.lit(other_wide).alias("clustered_other_dim_wide"),
         )
     )
