@@ -476,6 +476,36 @@ _ANN_CONTRACT_RECALL_ORACLE_2TIER = """
     """
 
 
+def _recall_truth(
+    emb: DataFrame,
+    queries: DataFrame,
+    *,
+    dim: int,
+    k: int,
+    n_recall_sample: int = 32,
+) -> DataFrame:
+    """Exact brute-force top-k over the deterministic md5-ordered
+    ≤``n_recall_sample``-query draw — the recall verifier's ground truth.
+    Factored out so a query hosting SEVERAL ANN tiers against the same
+    (emb, queries, k, dim) computes the O(sample·N) exact scan ONCE and
+    hands it to each tier's ``_ann_contract`` call (s03's r7 merged form
+    was running it twice)."""
+    from mlops_pipelines_featurestore_gcp_spark.functions.text import md5_long
+    from mlops_pipelines_featurestore_gcp_spark.operators.similarity import brute_force_topk
+
+    sampled = (
+        queries.select("vec_id", "embedding")
+        .withColumn(
+            "__h",
+            md5_long(F.concat(F.lit("recall|"), F.col("vec_id").cast("string")), bits=60),
+        )
+        .orderBy("__h", "vec_id")
+        .limit(n_recall_sample)
+        .drop("__h")
+    )
+    return brute_force_topk(emb, sampled, k=k, dim=dim).select("query_id", "neighbor_id")
+
+
 def _ann_contract(
     out: DataFrame,
     emb: DataFrame,
@@ -486,6 +516,7 @@ def _ann_contract(
     recall_floor: float | None = None,
     n_recall_sample: int = 32,
     queries: DataFrame | None = None,
+    truth: DataFrame | None = None,
 ) -> DataFrame:
     """Per-query contract projection for approximate top-k operators.
 
@@ -557,20 +588,8 @@ def _ann_contract(
     )
     if recall_floor is None:
         return result
-    from mlops_pipelines_featurestore_gcp_spark.functions.text import md5_long
-    from mlops_pipelines_featurestore_gcp_spark.operators.similarity import brute_force_topk
-
-    sampled = (
-        queries.select("vec_id", "embedding")
-        .withColumn(
-            "__h",
-            md5_long(F.concat(F.lit("recall|"), F.col("vec_id").cast("string")), bits=60),
-        )
-        .orderBy("__h", "vec_id")
-        .limit(n_recall_sample)
-        .drop("__h")
-    )
-    truth = brute_force_topk(emb, sampled, k=k, dim=dim).select("query_id", "neighbor_id")
+    if truth is None:
+        truth = _recall_truth(emb, queries, dim=dim, k=k, n_recall_sample=n_recall_sample)
     hit = (
         truth.join(
             out.select("query_id", "neighbor_id").withColumn("__hit", one),
@@ -632,8 +651,12 @@ def s03_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the former s02_ann_lsh_topk."""
     emb, queries, ivf_out = s03_operator_parts(spark, sf_dir)
     _, _, lsh_out = s02_operator_parts(spark, sf_dir)
-    ivf = _ann_contract(ivf_out, emb, dim=64, k=5, recall_floor=0.7, queries=queries)
-    lsh = _ann_contract(lsh_out, emb, dim=64, k=5, recall_floor=0.7, queries=queries)
+    # ONE exact ground-truth scan shared by both tiers' recall verifiers
+    # (the truth depends only on (emb, queries, k, dim)); materialized so
+    # the two hit-joins read rows, not a replayed brute-force lineage.
+    truth = _recall_truth(emb, queries, dim=64, k=5).localCheckpoint(eager=False)
+    ivf = _ann_contract(ivf_out, emb, dim=64, k=5, recall_floor=0.7, queries=queries, truth=truth)
+    lsh = _ann_contract(lsh_out, emb, dim=64, k=5, recall_floor=0.7, queries=queries, truth=truth)
     return ivf.select(F.lit("ivf").alias("op"), "*").unionByName(
         lsh.select(F.lit("lsh").alias("op"), "*")
     )
@@ -1791,7 +1814,8 @@ def t10_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     augmented with deterministic doc_id-derived structure (bullet lines,
     ellipsis lines, symbol runs) — the synthetic single-line documents would
     otherwise make the line-shape rules trivially vacuous, like t01's PII
-    augmentation. Map-only codegen pass, no shuffle. Round-7 consolidation:
+    augmentation — the rule columns are one map-only codegen pass.
+    Round-7 consolidation:
     the former t11_unigram_lm_score (CCNet-style perplexity from a
     self-trained add-1 unigram LM, operators/lm_score.py) rides this query
     as four LEFT-JOINed columns on the same per-doc row set — per-token
