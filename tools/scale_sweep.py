@@ -309,6 +309,12 @@ def _swept_df(name: str, spark, sf_dir: str):
         from mlops_pipelines_featurestore_gcp_spark.plans import llm_data
 
         return llm_data.s08_operator_parts(spark, sf_dir)[2]
+    if name == "s03_ann_ivf_topk":
+        # the registered query is the MERGED two-tier contract form since
+        # r7 s3 (ivf+lsh, two recall verifiers) — sweep the IVF operator
+        from mlops_pipelines_featurestore_gcp_spark.plans import llm_data
+
+        return llm_data.s03_operator_parts(spark, sf_dir)[2]
     return plans.QUERIES[name].fn(spark, sf_dir)
 
 
