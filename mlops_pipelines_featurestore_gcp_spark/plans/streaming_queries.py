@@ -225,20 +225,24 @@ def st06_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # HLL estimate VALUES are sketch-implementation-specific (Apache
     # DataSketches, no DuckDB twin), but the maintenance contract is
     # stateable: per (hour bucket, event_type) — a row set plain SQL can
-    # derive — the 3-batch incremental store's estimate must MATCH a
-    # one-shot full rebuild's within a tight epsilon, the row counts must
-    # be exact, and the estimate must sit within the HLL error band of
-    # the true distinct count. Driver hash-checks all three. (The r4
-    # flag demanded exact estimate equality; the round-5 10× gate proved
-    # ADVICE r4's prediction that merge-chain vs one-shot sketches drift
-    # at higher per-bucket cardinality — a sketch-behavior fact, not
-    # store corruption — so the flag is now the epsilon form.)
+    # derive — BOTH the 3-batch incremental store's estimate AND the
+    # one-shot full rebuild's must sit within the HLL error band (5% ≈
+    # 3·RSE at lgK=12) of the true distinct count, the row counts must
+    # be exact, and the two estimates must agree within the band the
+    # truth bands IMPLY (triangle inequality: |inc−full| ≤ |inc−true| +
+    # |full−true| ≤ 0.10·true). Band history: r4 demanded exact
+    # equality; the r5 10× gate found merge-chain drift and moved to a
+    # 2% epsilon; the r7s3 100× gate found 2.75% drift at ~2.5k distinct
+    # per bucket (both estimates still inside their truth bands — pure
+    # sketch behavior, measured, not store corruption), so the mutual
+    # band is now DERIVED from the truth bands instead of tuned.
     oracle="""
     SELECT CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS bucket,
            event_type,
            COUNT(user_id) AS n_rows,
            CAST(1 AS INT) AS incremental_matches_full_eps,
-           CAST(1 AS INT) AS estimate_within_band
+           CAST(1 AS INT) AS estimate_within_band,
+           CAST(1 AS INT) AS full_within_band
     FROM events
     GROUP BY bucket, event_type
     """,
@@ -291,14 +295,20 @@ def st07_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bucket",
             "event_type",
             "n_rows",
+            # derived band, not tuned: both estimates within 0.05·true ⇒
+            # their difference is within 0.10·true (triangle inequality)
             (
                 F.abs(F.col("approx_distinct") - F.col("__full"))
-                <= F.greatest(F.col("__full") * 0.02, F.lit(2.0))
+                <= F.greatest(F.col("__true") * 0.10, F.lit(2.0))
             ).cast("int").alias("incremental_matches_full_eps"),
             (
                 F.abs(F.col("approx_distinct") - F.col("__true"))
                 <= F.greatest(F.col("__true") * 0.05, F.lit(2.0))
             ).cast("int").alias("estimate_within_band"),
+            (
+                F.abs(F.col("__full") - F.col("__true"))
+                <= F.greatest(F.col("__true") * 0.05, F.lit(2.0))
+            ).cast("int").alias("full_within_band"),
         )
     )
 

@@ -68,11 +68,14 @@ class DistinctCountRollup:
         # (with parquet round-trips between them) tracks a one-shot
         # hll_sketch_agg closely but NOT byte-exactly at every
         # cardinality: the round-5 10× gate observed last-digit estimate
-        # drift at higher per-bucket cardinalities, empirically confirming
-        # ADVICE r4's prediction about sparse-mode promotion differences.
-        # The st07 contract flag therefore checks incremental-vs-full
-        # within a 2% epsilon (byte-exact at fixture scales), and drift
-        # inside that band is sketch behavior — not store corruption.
+        # drift at higher per-bucket cardinalities, and the round-7 100×
+        # gate measured up to 2.75% relative drift at ~2.5k distinct per
+        # bucket — both estimates still inside their 5% truth bands, so
+        # it is sketch behavior (sparse→dense promotion differences), not
+        # store corruption. The st07 contract therefore checks EACH
+        # estimate against the true distinct within 5% (≈3·RSE at
+        # lgK=12) and incremental-vs-full within the 10%-of-true band
+        # those two imply by triangle inequality.
         self.lg_config_k = int(lg_config_k)
 
     # --- layout (mirrors rollup.ContinuousAggregate) ----------------------
