@@ -234,20 +234,72 @@ GATE100 = [
     # grouping-sets over the 60M fact; q32's sketch error bands (HLL/GK)
     # against 100x distinct counts — the approx family's scale probe; the
     # events trio (funnel / sessionize / cohorts) is user-space linear.
-    # All six hash-matched on first run (timings in LOCAL_GATE.md).
-    # st03_session_window also hash-matched at 100x (689.7s — the
-    # 9.5M-session output through the pandas compare dominates) but stays
-    # OUT of the standing list: q35 already covers the identical output
-    # shape (same 9.5M rows) at 297s, and the standing gate should stay
-    # re-runnable per round.
+    # All six hash-matched on first run (timings in LOCAL_GATE.md);
+    # q35 and st03 later moved to GATE100_HEAVY (multi-minute verify
+    # side) when the second wave split the list.
     "q17_date_conditional_agg", "q27_grouping_sets", "q32_approx_aggregates",
-    "q34_window_funnel", "q35_sessionize_stats", "q36_retention_cohorts",
+    "q34_window_funnel", "q36_retention_cohorts",
     # q40: the compaction/clustered-layout maintenance pass — IO-shaped
     # (fragment 48 files -> bin-pack+recluster -> footer-stats disjointness
     # -> monthly rollup off the compacted table), 44.6s at the 60M-row
     # 100x lineitem.
     "q40_clustered_layout",
+    # round 7 session 3, second wave: the 100x sweep over every remaining
+    # linear-shaped family — relational joins/set-ops/windows/scalar
+    # surfaces on the 60M fact, the feature-store family (f02's 748k-row
+    # point-in-time read, f04's 4.5M-row melt), the ML family, nested
+    # reshapes, BPE/CMS/contamination, c02's 148k-row snapshot diff, the
+    # TFRecord round-trip at 500k docs. ALL hash-matched on first run
+    # except st07 (a REAL finding — see the derived-band commit) and the
+    # documented exclusions below. Cheap ones (<~2 min each) join this
+    # standing list; the heavy tail lives in GATE100_HEAVY.
+    "q02_filter_project_topk", "q03_shipping_priority",
+    "q04_order_priority_semi", "q06_forecast_revenue",
+    "q08_outer_join_counts", "q15_set_ops", "q16_scalar_funcs",
+    "q20_range_join_latency", "q21_in_and_scalar_subquery",
+    "q25_json_and_case", "q29_null_semantics", "q30_ordered_string_agg",
+    "q31_bucketed_colocated_join",
+    "st02_sliding_window", "st04_stream_dedup", "st06_continuous_rollup",
+    "st07_distinct_rollup",
+    "f02_point_in_time_read", "f04_feature_import_melt",
+    "f05_latest_wide_pivot", "f06_feature_drift",
+    "ml01_rating_matrix_pivot", "ml02_reward_lookup_join",
+    "ml03_linucb_policy", "ml04_als_trajectories", "ml05_linucb_suffstats",
+    "n01_array_build_transform", "n04_explode_roundtrip",
+    "n05_depth3_trajectory_shape",
+    "t06_contamination_check", "t07_hashed_embeddings", "t12_bpe_subwords",
+    "t16_bloom_contamination", "t18_heavy_hitters_cms",
+    "d05_embedding_neardup", "s04_training_mix", "s06_leakage_safe_split",
+    "c02_corpus_diff", "q39_tfrecord_roundtrip", "mm03_frame_sample",
 ]
+
+# Hash-matched at 100x but too heavy for the per-round standing run —
+# re-run on demand; timings + run dates in LOCAL_GATE.md. The cost is
+# the VERIFY side (multi-million-row outputs through the pandas
+# compare, or a pair-shaped fixture), not the operator.
+GATE100_HEAVY = [
+    "q09_window_navigation",    # 4.5M-row window output, 229.8s
+    "q35_sessionize_stats",     # 9.5M-row session output, 296.7s
+    "st03_session_window",      # same 9.5M-row shape, 689.7s
+    "d04_simhash_neardup",      # 18M pair rows (pair-emitting form), 324.1s
+    "d06_exact_substring_spans",  # 446k span rows, 238.2s
+    "t13_bm25_relevance",       # 13.1M (doc,term) tfidf rows, 271.9s
+]
+
+# Excluded from 100x BY DESIGN (each documented):
+# - q33_binned_range_join: the WORKLOAD is quadratic in uniform scale-up —
+#   sampled-interval count x100 AND per-interval point density x100 means
+#   ~10,000x the joined rows (~300B); both engines would grind identically.
+#   The operator's bin plan is the scale story (PLANS.md); gated at 10x.
+# - c01_prepare_corpus: its stitched oracle embeds the d02 MinHash-LSH SQL
+#   replay — DuckDB's shingle-explode spill exceeded the box's disk at
+#   500k docs (the d02/d09 quadratic-verifier-side class). Gated at 10x.
+# - d02/d03/d09: quadratic oracle-verifier side (r5/r7 decisions).
+# - s01/s03/s05/s08/s09/s10/d07/c03/mm04-leg-of-mm06 etc.: run on the
+#   embeddings table, which the 100x corpus does NOT replicate (its 100x
+#   axis is documents; ANN scale evidence is the 10x corpus + SCALING.md).
+# - mm05/mm06/mm08: pair-emitting / fixture-shaped multimodal forms
+#   (documented since r6; the LINEAR mm07 form is in the standing list).
 
 
 def build_sf100(spark) -> None:
