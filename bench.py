@@ -93,6 +93,13 @@ HEADLINE2 = [
     "st09_quantile_rollup",
     "q38_data_expectations",
     "ml06_ranking_metrics",
+    # q39_tfrecord_roundtrip and q40_clustered_layout are EXCLUDED by
+    # decision: both are IO-shaped (q39 writes+rereads a TFRecord dir,
+    # q40 compacts/clusters/z-orders parquet layouts), so their wall time
+    # tracks /tmp filesystem throughput and job-scheduling overhead of
+    # dozens of small write jobs, not engine operator cost — the series
+    # would be fs-noise. Their perf evidence is LOCAL_GATE.md per-scale
+    # timings and the layout-contrast flags hashed inside q40 itself.
     # d09_incremental_dedup is EXCLUDED by decision, not oversight: its
     # registered form runs three sequential ingests + a one-shot rebuild
     # (dozens of store-write jobs), ~15s of Spark wall at sf0.1 dominated
@@ -195,35 +202,63 @@ def main() -> None:
         }
         print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
 
-    # "value" stays the STABLE 24-query total (cross-round comparability);
-    # the post-r4 set reports its own total + per-query times in the same
-    # JSON line under *_new_ops keys.
+    line, detail = build_outputs(
+        timings, spreads, sf, repeats, load_before, os.getloadavg()
+    )
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+    print(f"# detail (spreads, per-query new-ops) -> {detail_path}", file=sys.stderr)
+    print(line)
+
+
+def build_outputs(
+    timings: dict[str, float],
+    spreads: dict[str, dict[str, float]],
+    sf: float,
+    repeats: int,
+    load_before,
+    load_after,
+) -> tuple[str, dict]:
+    """Build (stdout JSON line, BENCH_DETAIL.json payload).
+
+    The driver captures only the last ~2000 chars of stdout; round 7's
+    line carried per-query min/median/max ``spreads`` for ~32 queries and
+    grew past the capture window, so the driver recorded ``parsed: null``
+    (VERDICT r7 #1). The stdout line therefore keeps ONLY the driver
+    contract plus small scalar context — stable-24 ``queries``, totals,
+    loadavg — and everything bulky (``spreads``, ``queries_new_ops``)
+    goes to BENCH_DETAIL.json beside the round artifacts. A unit test
+    pins the line length (tests/test_bench_contract.py).
+    """
     stable = {n: t for n, t in timings.items() if n in HEADLINE}
     new_ops = {n: t for n, t in timings.items() if n in HEADLINE2}
-    # Noise armor (VERDICT r6 #5): the reported MIN carries its own run
-    # conditions — box load average before/after the run plus each query's
-    # min/median/max across the repeats — so a future reader can tell a
-    # contention artifact (wide spreads, high loadavg, as in round 6's
-    # phantom 1.03× "regression") from a real one, without re-running.
-    # Additive keys only: the driver contract (stable `value` series, one
-    # JSON line) is untouched.
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": round(sum(stable.values()), 4),
-                "unit": "sec",
-                "queries": stable,
-                "sf": sf,
-                "value_new_ops": round(sum(new_ops.values()), 4),
-                "queries_new_ops": new_ops,
-                "repeats": repeats,
-                "loadavg_before": [round(x, 2) for x in load_before],
-                "loadavg_after": [round(x, 2) for x in os.getloadavg()],
-                "spreads": spreads,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_wall",
+            "value": round(sum(stable.values()), 4),
+            "unit": "sec",
+            "queries": stable,
+            "sf": sf,
+            "value_new_ops": round(sum(new_ops.values()), 4),
+            "repeats": repeats,
+            "loadavg_before": [round(x, 2) for x in load_before],
+            "loadavg_after": [round(x, 2) for x in load_after],
+        },
+        separators=(",", ":"),
     )
+    detail = {
+        "metric": "headline_queries_detail",
+        "sf": sf,
+        "repeats": repeats,
+        "queries_new_ops": new_ops,
+        "spreads": spreads,
+        "loadavg_before": [round(x, 2) for x in load_before],
+        "loadavg_after": [round(x, 2) for x in load_after],
+    }
+    return line, detail
 
 
 if __name__ == "__main__":

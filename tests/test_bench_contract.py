@@ -1,0 +1,61 @@
+"""Contract tests for bench.py's stdout JSON line.
+
+The driver captures only the last ~2000 characters of bench stdout; if the
+final JSON line grows past that window the driver records ``parsed: null``
+and the round loses its official bench number (this happened in round 7 —
+VERDICT r7 #1). These tests pin the line's size and shape against the worst
+realistic registry width so the regression can't silently recur.
+"""
+
+from __future__ import annotations
+
+import json
+
+import bench
+
+
+def _fake_run(n_stable: int, n_new: int):
+    timings: dict[str, float] = {}
+    spreads: dict[str, dict[str, float]] = {}
+    stable_names = bench.HEADLINE[:n_stable]
+    new_names = bench.HEADLINE2[:n_new]
+    for name in stable_names + new_names:
+        timings[name] = 12.3456
+        spreads[name] = {"min": 12.3456, "median": 13.4567, "max": 14.5678}
+    return timings, spreads
+
+
+def test_stdout_line_fits_driver_capture():
+    # 40 queries — wider than the real 24+20 registry headline split — with
+    # worst-case 7-char timings must still leave slack inside the 2000-char
+    # driver tail capture.
+    timings, spreads = _fake_run(len(bench.HEADLINE), len(bench.HEADLINE2))
+    line, _ = bench.build_outputs(
+        timings, spreads, 0.1, 4, (12.34, 11.22, 10.11), (13.45, 12.33, 11.22)
+    )
+    assert len(line) < 1800, f"stdout line {len(line)} chars risks driver truncation"
+
+
+def test_stdout_line_parses_and_keeps_driver_contract():
+    timings, spreads = _fake_run(5, 3)
+    line, detail = bench.build_outputs(
+        timings, spreads, 0.1, 4, (1.0, 1.0, 1.0), (2.0, 2.0, 2.0)
+    )
+    obj = json.loads(line)
+    assert obj["metric"] == "headline_queries_total_wall"
+    assert obj["unit"] == "sec"
+    assert obj["sf"] == 0.1
+    assert set(obj["queries"]) == set(bench.HEADLINE[:5])
+    assert obj["value"] == round(sum(obj["queries"].values()), 4)
+    # bulky keys live in the detail payload, never on the line
+    assert "spreads" not in obj and "queries_new_ops" not in obj
+    assert set(detail["spreads"]) == set(bench.HEADLINE[:5]) | set(bench.HEADLINE2[:3])
+    assert set(detail["queries_new_ops"]) == set(bench.HEADLINE2[:3])
+
+
+def test_stable_series_value_excludes_new_ops():
+    timings, spreads = _fake_run(3, 2)
+    line, _ = bench.build_outputs(timings, spreads, 0.01, 1, (0,) * 3, (0,) * 3)
+    obj = json.loads(line)
+    assert obj["value"] == round(12.3456 * 3, 4)
+    assert obj["value_new_ops"] == round(12.3456 * 2, 4)
