@@ -34,6 +34,13 @@ def rmse(scored: DataFrame, *, label_col: str, pred_col: str, quant: int | None 
     sensitive in the last ulp once enough rows sum (the class every 10×
     gate keeps finding). The result then derives from one exact rational
     + one sqrt, both IEEE-deterministic.
+
+    The PER-ROW quantized value must fit int64 (|err|²·quant < 2⁶³ —
+    ample for any real label domain); the SUM accumulates in
+    decimal(38,0) like the rollup stores, so n·quant·max(err)² has no
+    2⁶³ ceiling — at the 100× events gate a long-accumulated sum had
+    only ~3× headroom left (ADVICE r7), and overflow there fails
+    asymmetrically (Spark wraps or ANSI-throws, DuckDB HUGEINT errors).
     """
     err = F.col(pred_col) - F.col(label_col)
     if quant is None:
@@ -42,17 +49,20 @@ def rmse(scored: DataFrame, *, label_col: str, pred_col: str, quant: int | None 
             raise ValueError("rmse: no scored rows (empty prediction⋈label join?)")
         return float(row["v"])
     se_q = F.floor(err * err * F.lit(float(quant)) + F.lit(0.5)).cast("long")
-    row = scored.agg(F.sum(se_q).alias("s"), F.count(F.lit(1)).alias("n")).collect()[0]
+    row = scored.agg(
+        F.sum(se_q.cast("decimal(38,0)")).alias("s"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
     if not row["n"]:
         raise ValueError("rmse: no scored rows (empty prediction⋈label join?)")
     import math
 
-    return math.sqrt(row["s"] / (row["n"] * float(quant)))
+    return math.sqrt(int(row["s"]) / (row["n"] * float(quant)))
 
 
 def mae(scored: DataFrame, *, label_col: str, pred_col: str, quant: int | None = None) -> float:
     """Mean absolute error over all scored pairs. ``quant`` as in ``rmse``:
-    integer-exact absolute errors, order-proof sum."""
+    integer-exact absolute errors, order-proof decimal(38,0) sum (the
+    per-row int64 bound and overflow rationale are documented there)."""
     err = F.abs(F.col(pred_col) - F.col(label_col))
     if quant is None:
         row = scored.agg(F.avg(err).alias("v")).collect()[0]
@@ -60,10 +70,12 @@ def mae(scored: DataFrame, *, label_col: str, pred_col: str, quant: int | None =
             raise ValueError("mae: no scored rows (empty prediction⋈label join?)")
         return float(row["v"])
     ae_q = F.floor(err * F.lit(float(quant)) + F.lit(0.5)).cast("long")
-    row = scored.agg(F.sum(ae_q).alias("s"), F.count(F.lit(1)).alias("n")).collect()[0]
+    row = scored.agg(
+        F.sum(ae_q.cast("decimal(38,0)")).alias("s"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
     if not row["n"]:
         raise ValueError("mae: no scored rows (empty prediction⋈label join?)")
-    return row["s"] / (row["n"] * float(quant))
+    return int(row["s"]) / (row["n"] * float(quant))
 
 
 def regression_metrics(
@@ -71,20 +83,25 @@ def regression_metrics(
 ) -> tuple[float, float]:
     """(rmse, mae) from ONE aggregate scan in the order-proof quantized
     posture — callers needing both metrics should not pay two corpus
-    passes (``rmse``/``mae`` each run their own job)."""
+    passes (``rmse``/``mae`` each run their own job). Sums accumulate in
+    decimal(38,0) — see ``rmse`` for the per-row int64 bound."""
     import math
 
     err = F.col(pred_col) - F.col(label_col)
     q = F.lit(float(quant))
     row = scored.agg(
-        F.sum(F.floor(err * err * q + F.lit(0.5)).cast("long")).alias("se"),
-        F.sum(F.floor(F.abs(err) * q + F.lit(0.5)).cast("long")).alias("ae"),
+        F.sum(
+            F.floor(err * err * q + F.lit(0.5)).cast("long").cast("decimal(38,0)")
+        ).alias("se"),
+        F.sum(
+            F.floor(F.abs(err) * q + F.lit(0.5)).cast("long").cast("decimal(38,0)")
+        ).alias("ae"),
         F.count(F.lit(1)).alias("n"),
     ).collect()[0]
     if not row["n"]:
         raise ValueError("regression_metrics: no scored rows")
     denom = row["n"] * float(quant)
-    return math.sqrt(row["se"] / denom), row["ae"] / denom
+    return math.sqrt(int(row["se"]) / denom), int(row["ae"]) / denom
 
 
 def precision_at_k(

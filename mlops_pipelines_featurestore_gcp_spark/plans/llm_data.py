@@ -865,8 +865,10 @@ def s10_ann_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     # v2: the vectorized Lloyd kernel (r7 perf) can differ from v1's
     # centroids in the last ulp — the tag bump forces a rebuild so the
     # persisted index always comes from the same kernel as the in-call twin.
+    from mlops_pipelines_featurestore_gcp_spark.sources.scratch import scratch_dir
+
     tag = hashlib.md5(f"ivfpq-v2|{sf_dir}".encode()).hexdigest()[:8]
-    path = f"/tmp/spark_graft_ivfpq_{tag}"
+    path = scratch_dir(f"ivfpq_{tag}")  # content-addressed REUSE by design
     import os
 
     if not os.path.exists(f"{path}/codes"):
@@ -2565,9 +2567,10 @@ def d09_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     The per-doc reports are pinned against eagerly-materialized layer
     snapshots inside ingest(), so unioning the three reports after all
     ingests reads each batch's verdicts AT ITS OWN ingest time."""
-    import tempfile
+    import hashlib
 
     from mlops_pipelines_featurestore_gcp_spark.operators.incremental import IncrementalDedupIndex
+    from mlops_pipelines_featurestore_gcp_spark.sources.scratch import scratch_dir
 
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
     m = F.col("doc_id") % 40
@@ -2589,8 +2592,15 @@ def d09_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # n_buckets sized to the fixture corpus (the knob scales with corpus
     # size in production; 32 buckets over <=1250 docs is write overhead)
+    # FRESH store each run (batch-id replay protection would no-op the
+    # staged ingests on a reused index), content-addressed + per-process
+    # so repeated gate/driver runs overwrite one copy instead of leaking
+    # a quarter-corpus store into /tmp per execution (ADVICE r7).
+    _t = hashlib.md5(f"incdedup-d09|{sf_dir}".encode()).hexdigest()[:8]
     idx = IncrementalDedupIndex(
-        spark, tempfile.mkdtemp(prefix="spark_graft_incdedup_"), n_buckets=8
+        spark,
+        scratch_dir(f"incdedup_{_t}", fresh=True, per_process=True),
+        n_buckets=8,
     )
     reps = [
         idx.ingest(staged.where(F.col("doc_id") % 3 == b), "doc_id", "text")
@@ -2629,10 +2639,11 @@ def q39_tfrecord_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sources/tfrecord.py write_tfrecords/read_tfrecords; reference
     feature_description analog trainer_component.py:32-40), value-hashed
     against the source rows."""
-    import tempfile
+    import hashlib
 
     from pyspark.sql import types as T
 
+    from mlops_pipelines_featurestore_gcp_spark.sources.scratch import scratch_dir
     from mlops_pipelines_featurestore_gcp_spark.sources.tfrecord import (
         read_tfrecords,
         write_tfrecords,
@@ -2643,7 +2654,8 @@ def q39_tfrecord_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("doc_id") % 5 == 0)
         .select("doc_id", "text", "n_chars")
     )
-    out = tempfile.mkdtemp(prefix="spark_graft_tfrec_q39_")
+    _t = hashlib.md5(f"tfrec-q39|{sf_dir}".encode()).hexdigest()[:8]
+    out = scratch_dir(f"tfrec_q39_{_t}", fresh=True, per_process=True)
     write_tfrecords(docs.repartition(8), out)
     schema = T.StructType(
         [

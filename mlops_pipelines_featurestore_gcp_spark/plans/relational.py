@@ -1355,17 +1355,18 @@ def q40_clustered_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     repartitionByRange, so file ranges can touch only at distinct
     boundaries — measured overlap count must be 0), (5) the monthly
     rollup over ``read_clustered`` must match the source table
-    value-for-value, (6) ``save_zordered`` on a deterministic 1/16 subset
-    (the rank-normalize step is a global sort — the operator's documented
-    write-side cost) must keep BOTH dimensions' mean per-file footer
-    width under 0.6x their span (the Morton-interleave property the
+    value-for-value, (6) ``save_zordered`` on the FULL two-key projection
+    (the normalize step is sampled-quantile + map-side bucketing since
+    round 8 — no global sort, so no subset workaround is needed) must
+    keep BOTH dimensions' mean per-file footer width under 0.6x their
+    span (the Morton-interleave property the
     pytest pins on a synthetic grid, here on real keys), while the
     single-key clustered layout leaves the OTHER dimension wide (>0.5x
     span) — the measured contrast that justifies z-ordering at all."""
     import hashlib
-    import os
 
     from mlops_pipelines_featurestore_gcp_spark.sources import layout
+    from mlops_pipelines_featurestore_gcp_spark.sources.scratch import scratch_dir
 
     li = load_table(spark, "lineitem", sf_dir).select(
         "l_orderkey", "l_linenumber", "l_partkey", "l_shipdate", "l_quantity"
@@ -1373,10 +1374,9 @@ def q40_clustered_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_src = li.count()
     # content-addressed reusable dirs (the s10 pattern): repeated gate/
     # driver/audit runs overwrite the same two paths instead of leaking a
-    # fresh lineitem copy into /tmp per execution
+    # fresh lineitem copy per execution
     tag = hashlib.md5(f"layout-q40-v1|{sf_dir}".encode()).hexdigest()[:8]
-    path = f"/tmp/spark_graft_layout_q40_{tag}"
-    os.makedirs(path, exist_ok=True)
+    path = scratch_dir(f"layout_q40_{tag}")
     li.repartition(48).write.mode("overwrite").parquet(path)
     total = sum(
         f.stat().st_size
@@ -1409,12 +1409,12 @@ def q40_clustered_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = layout.layout_stats(spark, p, col).collect()  # <= num_files rows
         return sum(int(r["c_max"]) - int(r["c_min"]) for r in rows) / max(1, len(rows))
 
-    zsub = li.where(F.col("l_orderkey") % 16 == 0).select("l_orderkey", "l_partkey")
+    zsub = li.select("l_orderkey", "l_partkey")
     spans = zsub.agg(
         (F.max("l_orderkey") - F.min("l_orderkey")).alias("so"),
         (F.max("l_partkey") - F.min("l_partkey")).alias("sp"),
     ).first()
-    zpath = f"/tmp/spark_graft_layout_q40z_{tag}"
+    zpath = scratch_dir(f"layout_q40z_{tag}")
     layout.save_zordered(zsub, zpath, zorder_by=["l_orderkey", "l_partkey"], num_files=16)
     z_narrow = int(
         _mean_width(zpath, "l_orderkey") < 0.6 * spans["so"]

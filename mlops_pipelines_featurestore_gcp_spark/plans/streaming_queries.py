@@ -13,8 +13,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+import hashlib
+
 from mlops_pipelines_featurestore_gcp_spark.plans.registry import register
 from mlops_pipelines_featurestore_gcp_spark.sources.catalog import load_table
+from mlops_pipelines_featurestore_gcp_spark.sources.scratch import scratch_dir
 from mlops_pipelines_featurestore_gcp_spark.streaming.windows import (
     session_window_agg,
     sliding_window_agg,
@@ -202,7 +205,6 @@ def st06_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit, because the partials are exact and associative. Deferred
     oracle: the driver window is capped at 50; the local gate hash-checks
     it."""
-    import tempfile
 
     from mlops_pipelines_featurestore_gcp_spark.streaming.rollup import ContinuousAggregate
 
@@ -214,7 +216,10 @@ def st06_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # store lives in the session temp area; reads stay lazy so it must
     # outlive this function (OS tmp reaping handles cleanup)
-    path = tempfile.mkdtemp(prefix="spark_graft_rollup_")
+    path = scratch_dir(
+        f"rollup_st06_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+        fresh=True, per_process=True,
+    )
     ca = ContinuousAggregate(
         path, time_col="t", value_col="v", keys=["event_type"], bucket_width=3600 * 1_000_000
     )
@@ -259,7 +264,6 @@ def st07_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (exact distinct state grows with cardinality; sketches are KBs and
     union associatively, so day/month/all-time re-aggregate from the same
     hour store)."""
-    import tempfile
 
     from mlops_pipelines_featurestore_gcp_spark.streaming.distinct_rollup import DistinctCountRollup
 
@@ -269,7 +273,10 @@ def st07_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "user_id",
     )
-    path = tempfile.mkdtemp(prefix="spark_graft_distinct_rollup_")
+    path = scratch_dir(
+        f"distinct_rollup_st07_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+        fresh=True, per_process=True,
+    )
     dr = DistinctCountRollup(
         path, time_col="t", item_col="user_id", keys=["event_type"],
         bucket_width=3600 * 1_000_000,
@@ -277,7 +284,10 @@ def st07_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i in range(3):
         dr.refresh(ev.where(F.col("event_id") % 3 == i).drop("event_id"), batch_id=i)
     full = DistinctCountRollup(
-        tempfile.mkdtemp(prefix="spark_graft_distinct_full_"),
+        scratch_dir(
+            f"distinct_full_st07_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+            fresh=True, per_process=True,
+        ),
         time_col="t", item_col="user_id", keys=["event_type"],
         bucket_width=3600 * 1_000_000,
     )
@@ -422,7 +432,6 @@ def st09_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     form of quantiles at 100 TB: per-refresh cost is batch-proportional,
     state is 256 ints per (bucket, key), and day/month re-aggregations
     sum the same histograms — raw values are never re-sorted."""
-    import tempfile
 
     from mlops_pipelines_featurestore_gcp_spark.streaming.quantile_rollup import QuantileRollup
 
@@ -436,7 +445,10 @@ def st09_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _mk(tag: str) -> QuantileRollup:
         return QuantileRollup(
-            tempfile.mkdtemp(prefix=f"spark_graft_qtile_{tag}_"),
+            scratch_dir(
+                f"qtile_st09_{tag}_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+                fresh=True, per_process=True,
+            ),
             time_col="t", value_col="v", keys=["event_type"],
             bucket_width=WIDTH, lo=0.0, hi=1024.0, bins=256,
         )
@@ -488,9 +500,13 @@ def st09_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "bucket", "event_type", "n_rows", "p50_est", "p95_est",
             "incremental_matches_full",
-            (F.abs(F.col("p50_est") - F.col("true50")) <= F.lit(2.0))
+            # band = bin_width/2, DERIVED from the rollup config (ADVICE
+            # r7): hardcoding 2.0 would silently desync the check if
+            # lo/hi/bins ever change. (The oracle SQL's midpoint literals
+            # `* 4.0` are the same config — keep them in step.)
+            (F.abs(F.col("p50_est") - F.col("true50")) <= F.lit(inc.bin_width / 2))
             .cast("int").alias("p50_within_band"),
-            (F.abs(F.col("p95_est") - F.col("true95")) <= F.lit(2.0))
+            (F.abs(F.col("p95_est") - F.col("true95")) <= F.lit(inc.bin_width / 2))
             .cast("int").alias("p95_within_band"),
         )
     )
