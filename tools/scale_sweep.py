@@ -123,29 +123,38 @@ def build_sf1(spark) -> None:
     )
     _replicate_events_userspace(spark, DST, COPIES)
     _replicate_documents(spark, DST, COPIES)
-    emb_out = os.path.join(DST, "embeddings.parquet")
-    if not os.path.exists(emb_out):
-        emb = spark.read.parquet(os.path.join(SRC, "embeddings.parquet"))
-        n = emb.agg(F.max("vec_id")).first()[0] + 1
-        copies = spark.range(COPIES).select(F.col("id").alias("__copy"))
-        big = (
-            emb.crossJoin(F.broadcast(copies))
-            .select(
-                (F.col("vec_id") + F.col("__copy") * n).alias("vec_id"),
-                # deterministic per-(row, copy) epsilon keeps copies apart
-                # in cosine space without changing the overall distribution
-                F.transform(
-                    F.col("embedding"),
-                    lambda x, i: (
-                        x
-                        + (F.pmod(F.hash(F.col("vec_id"), F.col("__copy"), i), F.lit(1000))
-                           - 500).cast("float") / 2500.0
-                    ).cast("float"),
-                ).alias("embedding"),
-                "label",
-            )
+    _replicate_embeddings(spark, DST, COPIES)
+
+
+def _replicate_embeddings(spark, dst: str, copies_n: int) -> None:
+    """Write a ``copies_n``x perturbed copy of embeddings into ``dst``:
+    deterministic per-(row, copy) epsilon (hash-derived, +-0.2/component)
+    keeps copies apart in cosine space without changing the overall
+    distribution, so replicas do NOT form synthetic near-dup clusters and
+    candidate-list sizes stay realistic (validated at 10x in r3; the 100x
+    build reuses the same construction for the ANN decade gate, r8)."""
+    emb_out = os.path.join(dst, "embeddings.parquet")
+    if os.path.exists(emb_out):
+        return
+    emb = spark.read.parquet(os.path.join(SRC, "embeddings.parquet"))
+    n = emb.agg(F.max("vec_id")).first()[0] + 1
+    copies = spark.range(copies_n).select(F.col("id").alias("__copy"))
+    big = (
+        emb.crossJoin(F.broadcast(copies))
+        .select(
+            (F.col("vec_id") + F.col("__copy") * n).alias("vec_id"),
+            F.transform(
+                F.col("embedding"),
+                lambda x, i: (
+                    x
+                    + (F.pmod(F.hash(F.col("vec_id"), F.col("__copy"), i), F.lit(1000))
+                       - 500).cast("float") / 2500.0
+                ).cast("float"),
+            ).alias("embedding"),
+            "label",
         )
-        big.repartition(32).write.mode("overwrite").parquet(emb_out)
+    )
+    big.repartition(32).write.mode("overwrite").parquet(emb_out)
 
 
 def _replicate_documents(spark, dst: str, copies_n: int) -> None:
@@ -295,9 +304,7 @@ GATE100_HEAVY = [
 #   replay — DuckDB's shingle-explode spill exceeded the box's disk at
 #   500k docs (the d02/d09 quadratic-verifier-side class). Gated at 10x.
 # - d02/d03/d09: quadratic oracle-verifier side (r5/r7 decisions).
-# - s01/s03/s05/s08/s09/s10/d07/c03/mm04-leg-of-mm06 etc.: run on the
-#   embeddings table, which the 100x corpus does NOT replicate (its 100x
-#   axis is documents; ANN scale evidence is the 10x corpus + SCALING.md).
+# - mm06's mm04 leg: pair-emitting on the %97-bucket fixture (see below).
 # - mm05/mm06/mm08: pair-emitting / fixture-shaped multimodal forms
 #   (documented since r6; the LINEAR mm07 form is in the standing list).
 
@@ -306,13 +313,15 @@ def build_sf100(spark) -> None:
     """The 100× corpus at ``DST100``: documents replicated 100× (≈500k
     docs, per-copy perturbed), the TPC-H fact side (customer/orders/
     lineitem) replicated 100× with consistent key offsets (~60M-row
-    lineitem), events replicated 100× in user space; part/supplier/
-    nation/region/embeddings symlink to sf0.1 (dimensions don't grow with
-    the fact side; embeddings' 100× story is the documents axis). Gate
-    with ``python tools/verify_local.py /tmp/spark_graft_sf10 <GATE100>``.
+    lineitem), events replicated 100× in user space, embeddings
+    replicated 100× with per-copy epsilon (~200k vectors — the ANN decade
+    gate, r8); part/supplier/nation/region symlink to sf0.1 (dimensions
+    don't grow with the fact side). Gate with
+    ``python tools/verify_local.py /tmp/spark_graft_sf10 <GATE100>``.
     """
     os.makedirs(DST100, exist_ok=True)
-    replicated = ("documents", "customer", "orders", "lineitem", "events")
+    replicated = ("documents", "customer", "orders", "lineitem", "events",
+                  "embeddings")
     for t in TABLE_NAMES:
         link = os.path.join(DST100, f"{t}.parquet")
         if t in replicated:
@@ -338,14 +347,18 @@ def build_sf100(spark) -> None:
         dst=DST100, copies_n=COPIES100,
     )
     _replicate_events_userspace(spark, DST100, COPIES100)
+    _replicate_embeddings(spark, DST100, COPIES100)
 
 
-def _materialize(df) -> None:
+def _materialize(df) -> int:
     """Full materialization without driver transfer (bench.py's trick):
     hash-aggregate over every output column — collect() would add
     driver-side row shipping to the timing and can OOM on pair-heavy
-    outputs at the synthetic 10× scale."""
-    df.agg(F.count(F.lit(1)), F.sum(F.hash(*df.columns).cast("long"))).collect()
+    outputs at the synthetic 10× scale. Returns the output row count."""
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.hash(*df.columns).cast("long"))
+    ).collect()[0]
+    return row["n"]
 
 
 def _swept_df(name: str, spark, sf_dir: str):
@@ -379,7 +392,71 @@ def time_query(spark, name: str, sf_dir: str, runs: int = 2) -> float:
     return best
 
 
+# Operator-only 100× evidence (VERDICT r7 #7): these four are excluded
+# from GATE100 because their ORACLES are quadratic (DuckDB shingle-
+# explode replays), not the operators — so the decade evidence here is
+# the Spark side alone: wall time AND output cardinality at sf0.1 vs the
+# 100× corpus, with the growth exponent log(ratio)/log(100) per row
+# (1.0 = linear). Output-cardinality exponents near 1.0 demonstrate the
+# linear-output property directly (the pair stages stay inside the
+# max_df-capped Σdf² bound); results land in LOCAL_GATE.md's appendix.
+OPS100 = [
+    "d02_minhash_lsh_neardup",
+    "d03_ngram_jaccard_neardup",
+    "d09_incremental_dedup",
+    "c01_prepare_corpus",
+]
+
+# The ANN ladder's 100× decade evidence (VERDICT r7 #4), operator-only
+# for the same reason as OPS100: every tier's ORACLE-side exact replay
+# is quadratic at 100× BY WORKLOAD SHAPE — the registered query
+# population is `vec_id % 50 = 0`, a FRACTION of N, so queries ×100 and
+# corpus ×100 mean 10,000× the scored pairs on the DuckDB side (s01
+# alone is 800M unrolled-SQL cosines; the q33 class). The Spark side
+# batches all queries through one BLAS/probe pass and stays tractable —
+# which is exactly the measurement: per-tier wall at 2000 vs 200k
+# vectors, with contract verifiers (32-query absolute samples) riding
+# along where the registered form carries them. The exponent column
+# shows which tier breaks first as both axes grow.
+ANN100 = [
+    "s01_ann_bruteforce_topk",
+    "s03_ann_ivf_topk",
+    "s05_ann_quantized_topk",
+    "s08_ann_pq_topk",
+    "s09_ann_ivfpq_topk",
+    "s10_ann_ivfpq_persisted",
+    "d07_semantic_dedup",
+]
+
+
+def ops100(names: list[str]) -> int:
+    spark = get_spark("scale-sweep-ops100")
+    spark.sparkContext.setLogLevel("ERROR")
+    build_sf100(spark)
+    print(f"{'query':30s} {'t@0.1':>8s} {'t@100x':>9s} {'texp':>5s} "
+          f"{'rows@0.1':>9s} {'rows@100x':>10s} {'nexp':>5s}")
+    worst = 0.0
+    for name in names:
+        t0 = time.time()
+        n0 = _materialize(_swept_df(name, spark, SRC))
+        w0 = time.time() - t0
+        t1 = time.time()
+        n1 = _materialize(_swept_df(name, spark, DST100))
+        w1 = time.time() - t1
+        texp = math.log(max(w1 / w0, 1e-9)) / math.log(COPIES100)
+        nexp = math.log(max(n1 / max(n0, 1), 1e-9)) / math.log(COPIES100)
+        worst = max(worst, texp)
+        print(f"{name:30s} {w0:8.1f} {w1:9.1f} {texp:5.2f} "
+              f"{n0:9d} {n1:10d} {nexp:5.2f}")
+    print(f"\nworst time exponent: {worst:.2f} (1.0 = linear over 2 decades)")
+    return 0
+
+
 def main() -> int:
+    if sys.argv[1:2] == ["ops100"]:
+        return ops100(sys.argv[2:] or OPS100)
+    if sys.argv[1:2] == ["ann100"]:
+        return ops100(sys.argv[2:] or ANN100)
     if sys.argv[1:2] == ["build100"]:
         spark = get_spark("scale-sweep")
         build_sf100(spark)
