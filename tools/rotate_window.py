@@ -15,6 +15,10 @@ Usage:
       Flip the defer flags in the plans/ sources (textual edit of the
       @register blocks), then regenerate the ledger entry for round_no
       from the live registry. Run the contract tests afterwards.
+      Refuses if the IN list omits any contract-mandated query.
+  python tools/rotate_window.py apply <round_no> --auto
+      Compute the swap (IN = all must-ins; OUT = most-evidenced
+      current-window queries) and apply it in one step.
 
 The edit is textual on purpose: defer flags are declarative source, and
 the flip must survive review like any other diff.
@@ -145,7 +149,45 @@ def plan(round_no: int) -> int:
     return 0
 
 
+def compute_auto_swap(round_no: int) -> tuple[list[str], list[str]]:
+    """The rotation the contract test will demand for ``round_no``:
+    IN = every oracle query absent from both the current window and the
+    NEWEST recorded ledger window; OUT = enough current-window queries to
+    make room, preferring those with the MOST recorded green windows
+    (evidence balance — recent additions with one window stay in)."""
+    plans = _registry()
+    ledger = json.loads(LEDGER.read_text())
+    rounds = sorted(ledger, key=int)
+    recent = set(ledger[rounds[-1]]) if rounds else set()
+    current = list(plans.queries_map())[:WINDOW]
+    oracle = {n for n, s in plans.QUERIES.items() if s.oracle is not None}
+    must_in = sorted(oracle - set(current) - recent)
+    counts = {n: sum(n in ledger[r] for r in rounds) for n in current}
+    keep = sorted(current, key=lambda n: (counts[n], n))[: WINDOW - len(must_in)]
+    outs = [n for n in current if n not in keep]
+    not_contract_safe = [n for n in outs if n not in recent]
+    if not_contract_safe:
+        raise SystemExit(
+            f"auto swap needs to rotate out {not_contract_safe}, which are "
+            "NOT in the newest ledger window — merge or extend the registry"
+        )
+    return must_in, outs
+
+
 def apply(round_no: int, ins: list[str], outs: list[str]) -> int:
+    # Refuse a silent no-op: `apply N` with no IN/OUT used to just
+    # rewrite ledger[N] from the unchanged registry, recording a window
+    # that fails the 2-round contract while LOOKING like a rotation
+    # (round-8 near-miss). Demand explicit lists or --auto.
+    required, _ = compute_auto_swap(round_no)
+    missing = [n for n in required if n not in ins]
+    if missing:
+        print(
+            f"ERROR: round {round_no} must rotate IN {len(required)} queries "
+            f"but the IN list omits {len(missing)}: {missing[:6]}{'…' if len(missing) > 6 else ''}\n"
+            "Use `apply <round> --auto` or pass complete IN:/OUT: lists."
+        )
+        return 1
     for n in ins:
         changed = set_defer(n, False)
         print(f"IN  {n}: {'flipped' if changed else 'already primary'}")
@@ -179,6 +221,10 @@ def main() -> int:
         rn = int(sys.argv[2]) if len(sys.argv) > 2 else max(int(k) for k in ledger) + 1
         return plan(rn)
     rn = int(sys.argv[2])
+    if sys.argv[3:4] == ["--auto"]:
+        ins, outs = compute_auto_swap(rn)
+        print(f"auto swap: {len(ins)} IN, {len(outs)} OUT")
+        return apply(rn, ins, outs)
     ins: list[str] = []
     outs: list[str] = []
     for arg in sys.argv[3:]:
