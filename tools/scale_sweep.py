@@ -157,23 +157,57 @@ def _replicate_embeddings(spark, dst: str, copies_n: int) -> None:
     big.repartition(32).write.mode("overwrite").parquet(emb_out)
 
 
-def _replicate_documents(spark, dst: str, copies_n: int) -> None:
-    """Write a ``copies_n``× perturbed copy of documents into ``dst``
-    (copy-specific token at the front: shingle/gram/simhash signatures
-    diverge per copy → no synthetic dup clusters)."""
+def _replicate_documents(
+    spark, dst: str, copies_n: int, *, interleave: bool = False
+) -> None:
+    """Write a ``copies_n``× perturbed copy of documents into ``dst``.
+
+    Default perturbation: a copy-specific token at the front and back.
+    That is enough for EXACT-dup and fingerprint families, but at high
+    copy counts it does NOT break shingle-level similarity — a long
+    document's 4-5-token shingle set changes by only ~8 shingles, so all
+    ``copies_n`` copies of a base are mutual near-dups under MinHash /
+    n-gram Jaccard. Measured at 100×: d02 emitted 26.8M pairs ≈ 5000
+    bases × C(100,2) — exactly the Σcopy² bound — and d03's per-pair
+    gram intersection OOM'd (r8 ops100 run). Real corpora have bounded
+    duplicate multiplicity; 100-copy clusters × every base is fixture
+    artifact, not workload.
+
+    ``interleave=True`` (the 100× build) therefore ALSO splices the copy
+    tag into every 6th token: ~5/6 of all 5-token shingles then contain a
+    copy-specific token, pushing cross-copy Jaccard ≈ 0.03 — far below
+    every dedup threshold — while keeping the token distribution
+    otherwise unchanged. The 10× build keeps the light perturbation:
+    10-copy near-dup families are a REALISTIC pair workload and the
+    recorded 10× pair-family evidence (d04 18M pairs etc.) stands on it.
+    """
     docs_out = os.path.join(dst, "documents.parquet")
     if os.path.exists(docs_out):
         return
     docs = spark.read.parquet(os.path.join(SRC, "documents.parquet"))
     n = docs.agg(F.max("doc_id")).first()[0] + 1
     copies = spark.range(copies_n).select(F.col("id").alias("__copy"))
+    body = F.col("text")
+    if interleave:
+        # one-time corpus build: the interpreted transform lambda is fine
+        # here (this is fixture construction, not an operator under test)
+        tag = F.format_string("c%dp", F.col("__copy"))
+        body = F.array_join(
+            F.transform(
+                F.split(F.col("text"), " "),
+                lambda t, i: F.when(
+                    (i % 6 == 5) & (F.col("__copy") > 0), F.concat(t, F.lit(" "), tag)
+                ).otherwise(t),
+            ),
+            " ",
+        )
     big = (
         docs.crossJoin(F.broadcast(copies))
         .select(
             (F.col("doc_id") + F.col("__copy") * n).alias("doc_id"),
             F.when(F.col("__copy") == 0, F.col("text"))
             .otherwise(F.concat(F.format_string("cp%d ", F.col("__copy")),
-                                F.col("text"), F.format_string(" z%dq", F.col("__copy"))))
+                                body, F.format_string(" z%dq", F.col("__copy"))))
             .alias("text"),
             *[c for c in docs.columns if c not in ("doc_id", "text")],
         )
@@ -331,7 +365,7 @@ def build_sf100(spark) -> None:
                 os.remove(link)
         elif not os.path.exists(link):
             os.symlink(os.path.join(SRC, f"{t}.parquet"), link)
-    _replicate_documents(spark, DST100, COPIES100)
+    _replicate_documents(spark, DST100, COPIES100, interleave=True)
     _replicate_keyed(
         spark, "customer", {"c_custkey": "customer.c_custkey"},
         dst=DST100, copies_n=COPIES100,
