@@ -128,11 +128,18 @@ def build_sf1(spark) -> None:
 
 def _replicate_embeddings(spark, dst: str, copies_n: int) -> None:
     """Write a ``copies_n``x perturbed copy of embeddings into ``dst``:
-    deterministic per-(row, copy) epsilon (hash-derived, +-0.2/component)
-    keeps copies apart in cosine space without changing the overall
-    distribution, so replicas do NOT form synthetic near-dup clusters and
-    candidate-list sizes stay realistic (validated at 10x in r3; the 100x
-    build reuses the same construction for the ANN decade gate, r8)."""
+    deterministic per-(row, copy) epsilon (hash-derived, +-0.2/component).
+
+    MEASURED cross-copy geometry (r8; the bases are unit-norm, component
+    std 0.125, so the noise norm is ~0.92): copies of one base land at
+    cosine ~0.54 (p5 0.41, p95 0.66). That is the right shape for the
+    ANN top-k tiers — each query gains a ~copies_n-member near-neighbor
+    family with graded similarity, the realistic duplicate structure a
+    production corpus has — but it sits ABOVE the 0.45 pair-dedup
+    threshold for ~86% of copy pairs, so the pair-EMITTING embedding
+    dedups (d05/d07) have fixture-quadratic output at high copy counts
+    (d07 measured 4.4M pairs at 100x, nexp 2.34): the mm04/mm05
+    exclusion class, documented where those queries are gated."""
     emb_out = os.path.join(dst, "embeddings.parquet")
     if os.path.exists(emb_out):
         return
@@ -158,7 +165,7 @@ def _replicate_embeddings(spark, dst: str, copies_n: int) -> None:
 
 
 def _replicate_documents(
-    spark, dst: str, copies_n: int, *, interleave: bool = False
+    spark, dst: str, copies_n: int, *, mutate: bool = False
 ) -> None:
     """Write a ``copies_n``× perturbed copy of documents into ``dst``.
 
@@ -173,11 +180,19 @@ def _replicate_documents(
     duplicate multiplicity; 100-copy clusters × every base is fixture
     artifact, not workload.
 
-    ``interleave=True`` (the 100× build) therefore ALSO splices the copy
-    tag into every 6th token: ~5/6 of all 5-token shingles then contain a
-    copy-specific token, pushing cross-copy Jaccard ≈ 0.03 — far below
-    every dedup threshold — while keeping the token distribution
-    otherwise unchanged. The 10× build keeps the light perturbation:
+    ``mutate=True`` (the 100× build) therefore REPLACES ~40% of each
+    copy's tokens (position+copy-hash selected) with copy-specific hash
+    tokens. Substitution — not insertion — is what breaks CHAR-level
+    shingle similarity too: an inserted tag only ADDS a few distinct
+    char-5-grams while every base gram survives (measured: cross-copy
+    char-shingle Jaccard stayed ≈ 0.9 under insertion and d02's
+    candidate join spilled 65 GB before dying), whereas replacing a
+    token destroys every char window crossing it on both sides. At 40%
+    replacement cross-copy word-5-gram survival is ~0.6¹⁰ ≈ 0.006 and
+    char-5-gram Jaccard ≈ 0.2, below every dedup/LSH band threshold —
+    copies model DISTINCT documents; duplicate-cluster workloads are
+    separately owned by the dup-family fixtures (d01/d08 exact clusters,
+    mm07's %97 buckets). The 10× build keeps the light perturbation:
     10-copy near-dup families are a REALISTIC pair workload and the
     recorded 10× pair-family evidence (d04 18M pairs etc.) stands on it.
     """
@@ -188,15 +203,19 @@ def _replicate_documents(
     n = docs.agg(F.max("doc_id")).first()[0] + 1
     copies = spark.range(copies_n).select(F.col("id").alias("__copy"))
     body = F.col("text")
-    if interleave:
+    if mutate:
         # one-time corpus build: the interpreted transform lambda is fine
         # here (this is fixture construction, not an operator under test)
-        tag = F.format_string("c%dp", F.col("__copy"))
         body = F.array_join(
             F.transform(
                 F.split(F.col("text"), " "),
                 lambda t, i: F.when(
-                    (i % 6 == 5) & (F.col("__copy") > 0), F.concat(t, F.lit(" "), tag)
+                    (F.col("__copy") > 0)
+                    & (F.pmod(i.cast("long") * 2654435761 + F.col("__copy"), 5) < 2),
+                    F.concat(
+                        F.lit("w"),
+                        F.pmod(F.xxhash64(t, F.col("__copy"), i), F.lit(99991)).cast("string"),
+                    ),
                 ).otherwise(t),
             ),
             " ",
@@ -365,7 +384,7 @@ def build_sf100(spark) -> None:
                 os.remove(link)
         elif not os.path.exists(link):
             os.symlink(os.path.join(SRC, f"{t}.parquet"), link)
-    _replicate_documents(spark, DST100, COPIES100, interleave=True)
+    _replicate_documents(spark, DST100, COPIES100, mutate=True)
     _replicate_keyed(
         spark, "customer", {"c_custkey": "customer.c_custkey"},
         dst=DST100, copies_n=COPIES100,
