@@ -331,7 +331,7 @@ GATE100 = [
     "n05_depth3_trajectory_shape",
     "t06_contamination_check", "t07_hashed_embeddings", "t12_bpe_subwords",
     "t16_bloom_contamination", "t18_heavy_hitters_cms",
-    "d05_embedding_neardup", "s04_training_mix", "s06_leakage_safe_split",
+    "s04_training_mix", "s06_leakage_safe_split",
     "c02_corpus_diff", "q39_tfrecord_roundtrip", "mm03_frame_sample",
 ]
 
@@ -346,6 +346,12 @@ GATE100_HEAVY = [
     "d04_simhash_neardup",      # 18M pair rows (pair-emitting form), 324.1s
     "d06_exact_substring_spans",  # 446k span rows, 238.2s
     "t13_bm25_relevance",       # 13.1M (doc,term) tfidf rows, 271.9s
+    # d05 at the REAL 100x embeddings (r8; before r8 the 100x corpus
+    # symlinked 1x embeddings, so its earlier standing-row ran at 1x):
+    # hash-matched, 3.92M pairs in 1660s — the pair mass is the
+    # fixture's near-dup families (copies at cosine ~0.54, see
+    # _replicate_embeddings), so it is a heavy row, not a standing one.
+    "d05_embedding_neardup",    # 3.92M pair rows at 200k vectors, 1660s
 ]
 
 # Excluded from 100x BY DESIGN (each documented):
