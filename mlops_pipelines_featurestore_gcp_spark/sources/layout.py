@@ -111,8 +111,18 @@ def z_value(df: DataFrame, cols: list[str], *, bits: int = 16) -> DataFrame:
         splitsArray=splits_arr,
     )
     out = bk.transform(out).drop(*in_cols)
-    for nc in norm_cols:
-        out = out.withColumn(nc, F.col(f"{nc}_raw").cast("long")).drop(f"{nc}_raw")
+    for nc, splits in zip(norm_cols, splits_arr):
+        # SCALE the bucket index to fill [0, 2^qbits-1]: a low-cardinality
+        # column dedupes to few edges, and an unscaled index would leave
+        # its high Morton bits always zero — the interleave then degrades
+        # to single-key ordering and the other dimension goes wide (the
+        # exact property percent_rank's *(2^bits-1) multiply guaranteed).
+        n_buckets = len(splits) - 1
+        out = out.withColumn(
+            nc,
+            (F.col(f"{nc}_raw").cast("long") * ((1 << qbits) - 1) / F.lit(n_buckets))
+            .cast("long"),
+        ).drop(f"{nc}_raw")
     z = F.lit(0).cast("long")
     for j in range(qbits):
         for i, nc in enumerate(norm_cols):
