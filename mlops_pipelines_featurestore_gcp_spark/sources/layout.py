@@ -165,6 +165,7 @@ def compact_table(
     *,
     target_bytes: int = 128 << 20,
     cluster_by: str | list[str] | None = None,
+    zorder_by: list[str] | None = None,
 ) -> dict:
     """Bin-pack a directory of small parquet files into ~``target_bytes``
     files — the standard fix for the small-file problem streaming appends
@@ -178,7 +179,12 @@ def compact_table(
     that few files the rewrite is SKIPPED (idempotent, safe in a cron
     loop). ``cluster_by`` re-clusters while compacting
     (:func:`save_clustered` — compaction is the natural time to restore
-    layout); otherwise a plain ``repartition`` round-robins rows evenly.
+    layout); ``zorder_by`` (mutually exclusive) restores MULTI-dimensional
+    clustering via :func:`save_zordered` — since r8 the z-order normalize
+    is sampled+map-side, so the z-ordered rewrite costs the same one range
+    shuffle as the single-key form (this is what Delta's OPTIMIZE ZORDER
+    BY amounts to). Otherwise a plain ``repartition`` round-robins rows
+    evenly.
 
     The frame is eagerly ``localCheckpoint``-ed before the dynamic
     self-overwrite — the same crash-safety barrier as the rollup/upsert
@@ -204,8 +210,12 @@ def compact_table(
     n_out = max(1, math.ceil(total / target_bytes))
     if n_files <= n_out:
         return {"files_before": n_files, "files_after": n_files, "bytes": total, "skipped": True}
+    if cluster_by is not None and zorder_by is not None:
+        raise ValueError("compact_table: cluster_by and zorder_by are mutually exclusive")
     df = spark.read.parquet(path).localCheckpoint(eager=True)
-    if cluster_by is not None:
+    if zorder_by is not None:
+        save_zordered(df, path, zorder_by=zorder_by, num_files=n_out)
+    elif cluster_by is not None:
         save_clustered(df, path, cluster_by=cluster_by, num_files=n_out)
     else:
         df.repartition(n_out).write.mode("overwrite").parquet(path)

@@ -126,3 +126,44 @@ def test_compact_table_can_recluster(spark, tmp_path):
     spans = sorted((r.c_min, r.c_max) for r in st)
     for (a_min, a_max), (b_min, b_max) in zip(spans, spans[1:]):
         assert a_max <= b_min  # disjoint intervals
+
+
+def test_compact_table_can_zorder(spark, tmp_path):
+    import pytest
+
+    from mlops_pipelines_featurestore_gcp_spark.sources.layout import (
+        compact_table,
+        layout_stats,
+    )
+
+    n, side = 40_000, 200
+    path = str(tmp_path / "frag3")
+    df = spark.range(0, n).select(
+        (F.col("id") % side).alias("x"),
+        (F.col("id") / side).cast("long").alias("y"),
+    )
+    df.repartition(40).write.parquet(path)  # 40 scattered files
+    before = spark.read.parquet(path).agg(F.sum("x"), F.sum("y")).collect()[0]
+    import glob
+    import os
+
+    total = sum(os.path.getsize(f) for f in glob.glob(f"{path}/*.parquet"))
+    # target exactly 16 output files (matches the save_zordered property
+    # test's geometry — the 0.6-span bound assumes ~4x4 z cells per dim)
+    stats = compact_table(
+        spark, path, target_bytes=-(-total // 16), zorder_by=["x", "y"]
+    )
+    assert not stats["skipped"] and stats["files_after"] == 16
+
+    def mean_width(col):
+        st = layout_stats(spark, path, col).collect()
+        return sum(int(r.c_max) - int(r.c_min) for r in st) / len(st)
+
+    # the compacted rewrite restored MULTI-dimensional clustering
+    assert mean_width("x") < side * 0.6
+    assert mean_width("y") < side * 0.6
+    after = spark.read.parquet(path)
+    assert after.count() == n
+    assert after.agg(F.sum("x"), F.sum("y")).collect()[0] == before
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        compact_table(spark, path, cluster_by="x", zorder_by=["x", "y"])
