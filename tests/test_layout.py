@@ -167,3 +167,37 @@ def test_compact_table_can_zorder(spark, tmp_path):
     assert after.agg(F.sum("x"), F.sum("y")).collect()[0] == before
     with pytest.raises(ValueError, match="mutually exclusive"):
         compact_table(spark, path, cluster_by="x", zorder_by=["x", "y"])
+
+
+def test_z_value_nulls_and_constant_column(spark):
+    from mlops_pipelines_featurestore_gcp_spark.sources.layout import z_value
+
+    df = spark.createDataFrame(
+        [(None, 5), (1, 5), (100, 5), (50, 5)], "a int, b int"
+    )
+    out = z_value(df, ["a", "b"]).collect()
+    by_a = {r["a"]: r["__z"] for r in out}
+    # NULL sorts first: its z-value must not exceed any non-null row's
+    assert by_a[None] <= min(v for k, v in by_a.items() if k is not None)
+    # constant column b dedupes to one edge and merely offsets bits;
+    # ordering by z still follows a
+    assert by_a[1] <= by_a[50] <= by_a[100]
+
+
+def test_z_value_low_cardinality_fills_bit_range(spark):
+    # the q40-at-sf0.001 regression: a low-cardinality column must still
+    # use HIGH Morton bits, or the interleave degenerates to single-key
+    # ordering (zorder_both_dims_narrow went 0 at sf0.001's l_partkey)
+    from pyspark.sql import functions as F
+
+    from mlops_pipelines_featurestore_gcp_spark.sources.layout import z_value
+
+    df = spark.range(0, 4_000).select(
+        (F.col("id") % 4).alias("x"),       # 4 distinct values
+        (F.col("id") % 1000).alias("y"),    # 1000 distinct values
+    )
+    norm = z_value(df, ["x", "y"])
+    # x's top Morton bit position is 2*9+0 = 18 for qbits=10; rows with
+    # the max x must set a bit at least that high
+    top = norm.where(F.col("x") == 3).agg(F.max("__z")).collect()[0][0]
+    assert top >= (1 << 18), f"high Morton bits unused: max z for x=3 is {top}"
