@@ -102,8 +102,12 @@ def z_value(df: DataFrame, cols: list[str], *, bits: int = 16) -> DataFrame:
     for c, col_edges in zip(cols, edges):
         distinct = sorted(set(float(e) for e in col_edges))
         splits_arr.append([ninf] + distinct + [float("inf")])
-        # NULL → -inf → bucket 0 (Bucketizer itself rejects nulls)
-        out = out.withColumn(f"__d_{c}", F.coalesce(F.col(c).cast("double"), F.lit(ninf)))
+        # NULL/NaN → -inf → bucket 0 (Bucketizer itself rejects both;
+        # sorted-first matches the old window's null ordering)
+        out = out.withColumn(
+            f"__d_{c}",
+            F.nanvl(F.coalesce(F.col(c).cast("double"), F.lit(ninf)), F.lit(ninf)),
+        )
         in_cols.append(f"__d_{c}")
         norm_cols.append(f"__n_{c}")
     bk = Bucketizer(
@@ -207,11 +211,13 @@ def compact_table(
         if st.getPath().getName().endswith(".parquet"):
             n_files += 1
             total += st.getLen()
+    if cluster_by is not None and zorder_by is not None:
+        # raise BEFORE the idempotent-skip return so conflicting args
+        # fail loudly even on an already-compact directory
+        raise ValueError("compact_table: cluster_by and zorder_by are mutually exclusive")
     n_out = max(1, math.ceil(total / target_bytes))
     if n_files <= n_out:
         return {"files_before": n_files, "files_after": n_files, "bytes": total, "skipped": True}
-    if cluster_by is not None and zorder_by is not None:
-        raise ValueError("compact_table: cluster_by and zorder_by are mutually exclusive")
     df = spark.read.parquet(path).localCheckpoint(eager=True)
     if zorder_by is not None:
         save_zordered(df, path, zorder_by=zorder_by, num_files=n_out)
