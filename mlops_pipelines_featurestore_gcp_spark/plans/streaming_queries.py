@@ -214,8 +214,9 @@ def st06_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("value").alias("v"),
     )
-    # store lives in the session temp area; reads stay lazy so it must
-    # outlive this function (OS tmp reaping handles cleanup)
+    # FRESH store per run (a reused store's batch-id high-water mark
+    # would no-op the refreshes); content-addressed + per-process under
+    # the repo scratch tree, so repeated runs overwrite one copy
     path = scratch_dir(
         f"rollup_st06_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
         fresh=True, per_process=True,
