@@ -34,9 +34,17 @@ def scratch_dir(name: str, *, fresh: bool = False, per_process: bool = False) ->
     concurrent processes get disjoint fresh state; leakage stays bounded
     by the handful of distinct runner PIDs, all inside the gitignored
     warehouse tree.
+
+    Cluster deployments set ``SPARK_GRAFT_SCRATCH`` to a driver-local
+    staging directory (or mount shared storage there): every consumer
+    hands the returned path to Spark's Hadoop-FS writers, and the stores
+    built on it (rollups, ANN indexes, dedup indexes) take fully
+    qualified URIs in production — this helper only owns the LOCAL
+    fixture/test lifecycle.
     """
+    root = pathlib.Path(os.environ.get("SPARK_GRAFT_SCRATCH", _ROOT))
     leaf = f"{name}_{os.getpid()}" if per_process else name
-    path = _ROOT / leaf
+    path = root / leaf
     if fresh and path.exists():
         shutil.rmtree(path)
     path.mkdir(parents=True, exist_ok=True)
