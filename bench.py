@@ -93,6 +93,8 @@ HEADLINE2 = [
     "st09_quantile_rollup",
     "q38_data_expectations",
     "ml06_ranking_metrics",
+    # round 8 addition — same series rule as the r7 block above.
+    "d10_semantic_keep_star",
     # q39_tfrecord_roundtrip and q40_clustered_layout are EXCLUDED by
     # decision: both are IO-shaped (q39 writes+rereads a TFRecord dir,
     # q40 compacts/clusters/z-orders parquet layouts), so their wall time

@@ -406,6 +406,84 @@ def d05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "d10_semantic_keep_star",
+    # WHICH vectors each engine's KMeans cells group is engine-specific,
+    # but the star form's SAFETY property is stateable per vector and the
+    # driver hash-checks it over the FULL id set: exactly the rows that
+    # are dropped carry a witness (drop_iff_witness), every witness is
+    # itself KEPT (witness_kept — no chains, no orphaned drops), and the
+    # witness edge re-scores bit-exactly from the corpus at >= threshold
+    # (witness_exact, the d07 parity pattern). All three checks are O(N):
+    # two keyed equi-joins over the dropped rows only. vec_id coverage is
+    # the hash itself — one row per corpus vector, none lost, none
+    # invented.
+    oracle="""
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           CAST(1 AS INT) AS drop_iff_witness,
+           CAST(1 AS INT) AS witness_kept,
+           CAST(1 AS INT) AS witness_exact
+    FROM embeddings
+    """,
+    tags=("dedup", "similarity", "llm", "semantic", "linear"),
+)
+def d10_semantic_keep_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR-output semantic dedup (the mm07 lesson applied to
+    embeddings): KMeans cells, ONE hub per cell (most centroid-similar,
+    id tie-break), every member exactly scored against its hub only —
+    O(N) edges and output where d07's within-cell clique is Σ cell²
+    (measured 4.4M pairs / nexp 2.34 on the 100× corpus). Dropping is
+    witness-based: a vector is removed iff its exact cosine to the KEPT
+    hub is >= threshold, so the family is 100×-gateable where the
+    pair-emitting forms are fixture-quadratic
+    (operators/similarity.py semantic_dedup_keep_star)."""
+    from mlops_pipelines_featurestore_gcp_spark.functions.vectors import dot, norm_sq
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    out = similarity.semantic_dedup_keep_star(
+        emb, threshold=0.30, dim=64
+    ).localCheckpoint(eager=False)  # feeds both the flags and the witness joins
+    ev = emb.select(
+        F.col("vec_id").alias("__wid"), F.col("embedding").alias("__wv"),
+        norm_sq(F.col("embedding"), 64).alias("__wn"),
+    )
+    hubs_kept = out.select(F.col("vec_id").alias("dup_of"), F.col("kept").alias("__hk"))
+    dropped = (
+        out.where(F.col("dup_of").isNotNull())
+        .join(hubs_kept, "dup_of")
+        .join(ev.withColumnRenamed("__wid", "vec_id"), "vec_id")
+        .join(
+            ev.select(
+                F.col("__wid").alias("dup_of"),
+                F.col("__wv").alias("__hv"), F.col("__wn").alias("__hn"),
+            ),
+            "dup_of",
+        )
+        .select(
+            "vec_id",
+            F.col("__hk").alias("__witness_kept_raw"),
+            F.round(
+                dot(F.col("__wv"), F.col("__hv"), 64)
+                / F.sqrt(F.col("__wn") * F.col("__hn")),
+                6,
+            ).alias("__exact"),
+            "cos_to_hub",
+        )
+    )
+    return (
+        out.join(dropped.select("vec_id", "__witness_kept_raw", "__exact", F.col("cos_to_hub").alias("__ch")), "vec_id", "left")
+        .select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            ((F.col("kept") == 0) == F.col("dup_of").isNotNull()).cast("int").alias("drop_iff_witness"),
+            F.coalesce((F.col("__witness_kept_raw") == 1).cast("int"), F.lit(1)).alias("witness_kept"),
+            F.coalesce(
+                ((F.col("__exact") == F.col("__ch")) & (F.col("__exact") >= 0.30)).cast("int"),
+                F.lit(1),
+            ).alias("witness_exact"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
@@ -2632,6 +2710,7 @@ def d09_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents WHERE doc_id % 5 = 0
     """,
     tags=("tfrecord", "codec", "source", "sink"),
+    defer=True,
 )
 def q39_tfrecord_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write→read TFRecord round-trip over a documents subset: S6's

@@ -210,3 +210,73 @@ def test_semantic_dedup_auto_clusters_end_to_end(emb):
     rows = auto.select("id_a", "id_b").collect()
     exact = _pairs(similarity.cosine_neardup_pairs(emb, threshold=0.4, dim=64))
     assert all((r.id_a, r.id_b) in exact for r in rows)
+
+
+def test_keep_star_one_row_per_vector_and_witness_guarantee(emb, spark):
+    out = similarity.semantic_dedup_keep_star(
+        emb, n_clusters=8, threshold=0.3, dim=64
+    ).cache()
+    rows = out.collect()
+    ids = [r["vec_id"] for r in rows]
+    assert sorted(ids) == sorted(r.vec_id for r in emb.collect())  # coverage
+    kept = {r["vec_id"] for r in rows if r["kept"] == 1}
+    dropped = [r for r in rows if r["kept"] == 0]
+    assert dropped, "threshold 0.3 on the fixture should drop something"
+    exact = _pairs(similarity.cosine_neardup_pairs(emb, threshold=0.3, dim=64))
+    for r in dropped:
+        # witness is kept, edge score is the exact rounded cosine, >= tau
+        assert r["dup_of"] in kept
+        key = (min(r["vec_id"], r["dup_of"]), max(r["vec_id"], r["dup_of"]))
+        assert key in exact and exact[key] == r["cos_to_hub"] >= 0.3
+    # kept rows carry no witness
+    assert all(r["dup_of"] is None for r in rows if r["kept"] == 1)
+
+
+def test_keep_star_drops_subset_of_pair_clique_components(emb):
+    # every star drop corresponds to a within-cell pair the clique form
+    # would also surface (same cells, same threshold) — star is a
+    # recall-bounded subset, never an inventor
+    star = similarity.semantic_dedup_keep_star(emb, n_clusters=8, threshold=0.3, dim=64)
+    pair_keys = set(
+        _pairs(
+            similarity.semantic_dedup_pairs(emb, n_clusters=8, threshold=0.3, dim=64)
+            .select("id_a", "id_b", "cos_sim")
+        )
+    )
+    for r in star.where(F.col("kept") == 0).collect():
+        a, b = sorted((r["vec_id"], r["dup_of"]))
+        assert (a, b) in pair_keys
+
+
+def test_keep_star_deterministic_across_runs(emb):
+    a = {r["vec_id"]: (r["kept"], r["dup_of"]) for r in
+         similarity.semantic_dedup_keep_star(emb, n_clusters=8, threshold=0.3, dim=64).collect()}
+    b = {r["vec_id"]: (r["kept"], r["dup_of"]) for r in
+         similarity.semantic_dedup_keep_star(emb, n_clusters=8, threshold=0.3, dim=64).collect()}
+    assert a == b
+
+
+def test_keep_star_synthetic_cluster_collapses_to_hub(spark):
+    # a tight synthetic family + far-away singles: the family collapses
+    # to exactly one kept row, the singles all survive
+    import math
+
+    base = [1.0] + [0.0] * 63
+    fam = []
+    for i in range(10):
+        v = list(base)
+        v[1] = 0.01 * i  # tiny perturbations: cos ~ 1
+        fam.append((i, [float(x) for x in v]))
+    singles = []
+    for j in range(5):
+        v = [0.0] * 64
+        v[j + 2] = 1.0  # orthogonal unit vectors
+        singles.append((100 + j, v))
+    df = spark.createDataFrame(fam + singles, "vec_id long, embedding array<float>")
+    out = similarity.semantic_dedup_keep_star(
+        df, n_clusters=6, threshold=0.9, dim=64
+    ).collect()
+    fam_rows = [r for r in out if r["vec_id"] < 100]
+    single_rows = [r for r in out if r["vec_id"] >= 100]
+    assert sum(r["kept"] for r in fam_rows) == 1
+    assert all(r["kept"] == 1 for r in single_rows)

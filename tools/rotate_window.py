@@ -121,12 +121,13 @@ def set_defer(name: str, defer: bool) -> bool:
 def plan(round_no: int) -> int:
     plans = _registry()
     ledger = json.loads(LEDGER.read_text())
-    rounds = sorted(ledger, key=int)
-    # After round_no's rotation the contract test reads rounds
-    # [round_no-1, round_no] — so only the NEWEST recorded window keeps a
-    # query compliant without entering round_no. Unioning two ledger
-    # rounds here (the pre-r7s3 behavior) under-reported must-ins by
-    # exactly the set deferred in the newest round.
+    # Rounds BEFORE round_no (a re-planned round's own entry must not
+    # count as history). After round_no's rotation the contract test
+    # reads rounds [round_no-1, round_no] — so only the NEWEST prior
+    # window keeps a query compliant without entering round_no. Unioning
+    # two ledger rounds here (the pre-r7s3 behavior) under-reported
+    # must-ins by exactly the set deferred in the newest round.
+    rounds = sorted((r for r in ledger if int(r) < round_no), key=int)
     recent = set(ledger[rounds[-1]]) if rounds else set()
     current = set(list(plans.queries_map())[:WINDOW])
     oracle = {n for n, s in plans.QUERIES.items() if s.oracle is not None}
@@ -157,7 +158,11 @@ def compute_auto_swap(round_no: int) -> tuple[list[str], list[str]]:
     (evidence balance — recent additions with one window stay in)."""
     plans = _registry()
     ledger = json.loads(LEDGER.read_text())
-    rounds = sorted(ledger, key=int)
+    # "recent" = the newest ledger round BEFORE round_no: when round_no's
+    # own entry already exists (re-applying after a mid-round registry
+    # change), using rounds[-1] would read the window being replaced and
+    # demand rotating every deferred query back in.
+    rounds = sorted((r for r in ledger if int(r) < round_no), key=int)
     recent = set(ledger[rounds[-1]]) if rounds else set()
     current = list(plans.queries_map())[:WINDOW]
     oracle = {n for n, s in plans.QUERIES.items() if s.oracle is not None}

@@ -333,6 +333,11 @@ GATE100 = [
     "t16_bloom_contamination", "t18_heavy_hitters_cms",
     "s04_training_mix", "s06_leakage_safe_split",
     "c02_corpus_diff", "q39_tfrecord_roundtrip", "mm03_frame_sample",
+    # round 8: the LINEAR embedding-dedup form — one hub edge per vector,
+    # O(N) output/intermediates where d05/d07's pair forms are
+    # fixture-quadratic at the 100x embeddings (200k rows, 23.9s,
+    # witness-based contract hashed over the full id set)
+    "d10_semantic_keep_star",
 ]
 
 # Hash-matched at 100x but too heavy for the per-round standing run —
