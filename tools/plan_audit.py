@@ -75,6 +75,8 @@ EXTRA = [
     "q37_skew_salted_topk",
     "st08_interval_join",
     "st09_quantile_rollup",
+    # round 8 additions
+    "d10_semantic_keep_star",
     "q38_data_expectations",
     "ml06_ranking_metrics",
     "d09_incremental_dedup",
