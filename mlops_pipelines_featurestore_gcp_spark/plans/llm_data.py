@@ -915,8 +915,9 @@ def s09_operator_parts(spark: SparkSession, sf_dir: str):
     # The persisted IVF-PQ path under the driver's hash (round 7 — the
     # build-once/search-many shape a 100 TB deployment runs; VERDICT r6
     # #3 built it, this query gives it driver evidence beyond pytest).
-    # The index is built ONCE per fixture dir (content-addressed /tmp
-    # path, the q31 bucketed-table pattern) and every subsequent call
+    # The index is built ONCE per fixture dir (content-addressed dir
+    # under spark-warehouse/scratch/ via sources/scratch.py, the q31
+    # bucketed-table pattern) and every subsequent call
     # searches the persisted cell-partitioned codes; the in-call twin
     # runs beside it and prebuilt_matches_incall asserts row-for-row
     # bit-parity per query (null-safe — a count mismatch fails the

@@ -121,10 +121,15 @@ def z_value(df: DataFrame, cols: list[str], *, bits: int = 16) -> DataFrame:
         # its high Morton bits always zero — the interleave then degrades
         # to single-key ordering and the other dimension goes wide (the
         # exact property percent_rank's *(2^bits-1) multiply guaranteed).
+        # Indexes run 0..n_buckets-1, so divide by n_buckets-1 (not
+        # n_buckets): the TOP bucket must land exactly on 2^qbits-1, or a
+        # 2-bucket column maps to {0, 2^qbits/2} and its high Morton bit
+        # stays permanently zero. Identity at full cardinality.
         n_buckets = len(splits) - 1
         out = out.withColumn(
             nc,
-            (F.col(f"{nc}_raw").cast("long") * ((1 << qbits) - 1) / F.lit(n_buckets))
+            (F.col(f"{nc}_raw").cast("long") * ((1 << qbits) - 1)
+             / F.lit(max(n_buckets - 1, 1)))
             .cast("long"),
         ).drop(f"{nc}_raw")
     z = F.lit(0).cast("long")

@@ -45,7 +45,37 @@ def scratch_dir(name: str, *, fresh: bool = False, per_process: bool = False) ->
     root = pathlib.Path(os.environ.get("SPARK_GRAFT_SCRATCH", _ROOT))
     leaf = f"{name}_{os.getpid()}" if per_process else name
     path = root / leaf
+    if per_process:
+        _reap_dead_siblings(root, name)
     if fresh and path.exists():
         shutil.rmtree(path)
     path.mkdir(parents=True, exist_ok=True)
     return str(path)
+
+
+def _reap_dead_siblings(root: pathlib.Path, name: str) -> None:
+    """Delete ``{name}_<pid>`` siblings whose PID is no longer alive.
+
+    Without this, every gate/driver/pytest process leaves one dir behind
+    (ADVICE r8): per-process dirs are only useful while their owner runs,
+    so acquisition-time reaping keeps the population bounded by the LIVE
+    runner count. ``kill(pid, 0)`` probes liveness without signalling;
+    EPERM means alive-but-foreign (keep). Races are benign — the owner
+    of a reaped dir is dead by definition, and two concurrent reapers
+    tolerate each other via ``ignore_errors``.
+    """
+    prefix = f"{name}_"
+    if not root.is_dir():
+        return
+    for sib in root.iterdir():
+        if not sib.name.startswith(prefix):
+            continue
+        suffix = sib.name[len(prefix):]
+        if not suffix.isdigit() or int(suffix) == os.getpid():
+            continue
+        try:
+            os.kill(int(suffix), 0)
+        except ProcessLookupError:
+            shutil.rmtree(sib, ignore_errors=True)
+        except PermissionError:
+            pass  # alive under another uid

@@ -201,3 +201,28 @@ def test_z_value_low_cardinality_fills_bit_range(spark):
     # the max x must set a bit at least that high
     top = norm.where(F.col("x") == 3).agg(F.max("__z")).collect()[0][0]
     assert top >= (1 << 18), f"high Morton bits unused: max z for x=3 is {top}"
+
+
+def test_z_value_binary_column_reaches_top_index(spark):
+    # the ADVICE r8 off-by-one: dividing by n_buckets instead of
+    # n_buckets-1 left a 2-bucket column at {0, 511} — the TOP normalized
+    # index must be exactly 2^qbits-1 so its top Morton bit is set
+    from pyspark.sql import functions as F
+
+    from mlops_pipelines_featurestore_gcp_spark.sources.layout import z_value
+
+    df = spark.range(0, 2_000).select(
+        (F.col("id") % 2).alias("x"),       # binary column
+        (F.col("id") % 500).alias("y"),
+    )
+    norm = z_value(df, ["x", "y"])
+    # x's bit 9 interleaves to position 2*9+0 = 18; x=1 rows must set it
+    x_mask = sum(1 << (2 * j) for j in range(10))
+    tops = (
+        norm.where(F.col("x") == 1)
+        .select(F.col("__z").bitwiseAND(F.lit(x_mask)).alias("xbits"))
+        .distinct()
+        .collect()
+    )
+    # top bucket maps to index 2^qbits-1 exactly → ALL x-bit positions set
+    assert {r["xbits"] for r in tops} == {x_mask}, tops[:5]

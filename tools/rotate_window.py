@@ -150,12 +150,12 @@ def plan(round_no: int) -> int:
     return 0
 
 
-def compute_auto_swap(round_no: int) -> tuple[list[str], list[str]]:
-    """The rotation the contract test will demand for ``round_no``:
-    IN = every oracle query absent from both the current window and the
-    NEWEST recorded ledger window; OUT = enough current-window queries to
-    make room, preferring those with the MOST recorded green windows
-    (evidence balance — recent additions with one window stay in)."""
+def compute_must_in(round_no: int) -> tuple[list[str], list[str], dict]:
+    """(must_in, current_window, ledger) for ``round_no``: must_in is
+    every oracle query absent from both the current window and the NEWEST
+    recorded ledger window. Factored out of the auto swap so a MANUAL
+    apply can validate against must_in without running (or raising from)
+    the auto OUT-selection (ADVICE r8)."""
     plans = _registry()
     ledger = json.loads(LEDGER.read_text())
     # "recent" = the newest ledger round BEFORE round_no: when round_no's
@@ -167,6 +167,18 @@ def compute_auto_swap(round_no: int) -> tuple[list[str], list[str]]:
     current = list(plans.queries_map())[:WINDOW]
     oracle = {n for n, s in plans.QUERIES.items() if s.oracle is not None}
     must_in = sorted(oracle - set(current) - recent)
+    return must_in, current, ledger
+
+
+def compute_auto_swap(round_no: int) -> tuple[list[str], list[str]]:
+    """The rotation the contract test will demand for ``round_no``:
+    IN = every oracle query absent from both the current window and the
+    NEWEST recorded ledger window; OUT = enough current-window queries to
+    make room, preferring those with the MOST recorded green windows
+    (evidence balance — recent additions with one window stay in)."""
+    must_in, current, ledger = compute_must_in(round_no)
+    rounds = sorted((r for r in ledger if int(r) < round_no), key=int)
+    recent = set(ledger[rounds[-1]]) if rounds else set()
     counts = {n: sum(n in ledger[r] for r in rounds) for n in current}
     keep = sorted(current, key=lambda n: (counts[n], n))[: WINDOW - len(must_in)]
     outs = [n for n in current if n not in keep]
@@ -183,8 +195,11 @@ def apply(round_no: int, ins: list[str], outs: list[str]) -> int:
     # Refuse a silent no-op: `apply N` with no IN/OUT used to just
     # rewrite ledger[N] from the unchanged registry, recording a window
     # that fails the 2-round contract while LOOKING like a rotation
-    # (round-8 near-miss). Demand explicit lists or --auto.
-    required, _ = compute_auto_swap(round_no)
+    # (round-8 near-miss). Demand explicit lists or --auto. Validation
+    # uses compute_must_in, NOT compute_auto_swap — the auto path's
+    # OUT-selection can legitimately fail (not_contract_safe) even when
+    # the manual lists form a valid rotation (ADVICE r8).
+    required, _, _ = compute_must_in(round_no)
     missing = [n for n in required if n not in ins]
     if missing:
         print(

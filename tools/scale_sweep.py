@@ -180,19 +180,29 @@ def _replicate_documents(
     duplicate multiplicity; 100-copy clusters × every base is fixture
     artifact, not workload.
 
-    ``mutate=True`` (the 100× build) therefore REPLACES ~40% of each
-    copy's tokens (position+copy-hash selected) with copy-specific hash
-    tokens. Substitution — not insertion — is what breaks CHAR-level
-    shingle similarity too: an inserted tag only ADDS a few distinct
-    char-5-grams while every base gram survives (measured: cross-copy
-    char-shingle Jaccard stayed ≈ 0.9 under insertion and d02's
-    candidate join spilled 65 GB before dying), whereas replacing a
-    token destroys every char window crossing it on both sides. At 40%
-    replacement cross-copy word-5-gram survival is ~0.6¹⁰ ≈ 0.006 and
-    char-5-gram Jaccard ≈ 0.2, below every dedup/LSH band threshold —
-    copies model DISTINCT documents; duplicate-cluster workloads are
-    separately owned by the dup-family fixtures (d01/d08 exact clusters,
-    mm07's %97 buckets). The 10× build keeps the light perturbation:
+    ``mutate=True`` (the 100× build) therefore REPLACES 40% of each
+    copy's tokens with copy-specific hash tokens. The selection is a
+    DETERMINISTIC STRIPE, not an independent draw: 2654435761 ≡ 1
+    (mod 5), so the predicate reduces to (i + copy) % 5 < 2 — positions
+    mutate in a repeating M M U U U pattern phase-shifted by copy id
+    (ADVICE r8 pinned this down). That is fine for the fixture's
+    purpose, and in fact STRONGER than an independent 40% draw: every
+    word-5-gram window covers ≥2 mutated positions, and the replacement
+    token at a mutated position hashes (token, copy, i) — distinct per
+    copy — so cross-copy word-5-gram overlap is exactly 0 (an
+    independent draw only gets ~0.6¹⁰ ≈ 0.006 survival). Substitution —
+    not insertion — is what breaks CHAR-level shingle similarity too:
+    an inserted tag only ADDS a few distinct char-5-grams while every
+    base gram survives (measured: cross-copy char-shingle Jaccard
+    stayed ≈ 0.9 under insertion and d02's candidate join spilled 65 GB
+    before dying), whereas replacing a token destroys every char window
+    crossing it on both sides; measured cross-copy char-5-gram Jaccard
+    ≈ 0.16, below every dedup/LSH band threshold — copies model
+    DISTINCT documents; duplicate-cluster workloads are separately
+    owned by the dup-family fixtures (d01/d08 exact clusters, mm07's
+    %97 buckets). The stripe is kept as-is rather than switched to a
+    hash draw because the recorded GATE100/ops100 evidence stands on
+    this exact corpus. The 10× build keeps the light perturbation:
     10-copy near-dup families are a REALISTIC pair workload and the
     recorded 10× pair-family evidence (d04 18M pairs etc.) stands on it.
     """
