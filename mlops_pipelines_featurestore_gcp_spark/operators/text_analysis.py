@@ -308,11 +308,28 @@ def token_vocab(
 
     Shape at 100 TB: one groupBy on the token (map-side combine collapses
     per-partition repeats, so the shuffle carries ≤ |vocab| rows per
-    partition, not the token stream), then rank + running coverage as
-    ordered windows over the AGGREGATED table — vocabulary cardinality is
-    ≪ corpus size, so the unpartitioned window runs on the reduced
-    relation, the standard small-after-aggregation case. Ties rank
-    deterministically by token text.
+    partition, not the token stream). The global rank + running coverage
+    are NOT an unpartitioned window (web-scale corpora hold 10⁸–10⁹
+    distinct tokens — one task sorting the whole vocabulary is the exact
+    single-task bottleneck r8 excised from ``save_zordered``). Instead,
+    the z-order lesson applied to ranking:
+
+      1. ``repartitionByRange`` on (tf desc, token) — partition i holds a
+         contiguous slice of the global order (ties impossible: token is
+         unique per row, so the result is boundary-placement invariant),
+      2. per-partition window (partitioned by the captured range-partition
+         id) for LOCAL row numbers and running tf sums — every task ranks
+         its own slice,
+      3. a per-partition aggregate (one row per range partition — bounded
+         by the session's shuffle-partition CONFIG, not by data) whose
+         exclusive prefix sums give each partition its global row/tf
+         offset; the only ordered-unbounded window runs over THIS
+         config-sized frame, then broadcast-joins back.
+
+    global rank = offset_rows + local row_number, and the coverage
+    numerator = offset_tf + local running tf — pure integer arithmetic,
+    bit-identical to the single-window form. Ties rank deterministically
+    by token text.
 
     Returns (token, tf, df_docs, rank, cum_coverage): term frequency,
     document frequency, 1-based frequency rank, and the fraction of all
@@ -325,17 +342,48 @@ def token_vocab(
     counts = toks.groupBy("token").agg(
         F.count("*").alias("tf"), F.count_distinct(F.col(id_col)).alias("df_docs")
     )
-    w_rank = Window.orderBy(F.col("tf").desc(), F.col("token"))
-    total = Window.partitionBy()
-    ranked = counts.select(
-        "token",
-        "tf",
-        "df_docs",
-        F.row_number().over(w_rank).cast("long").alias("rank"),
-        round6(
-            F.sum("tf").over(w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-            / F.sum("tf").over(total)
-        ).alias("cum_coverage"),
+    n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # localCheckpoint is LOAD-BEARING, not an optimization: the offsets
+    # branch and the ranking branch both read __pid, and RangePartitioner
+    # samples its bounds per physical execution — two re-executions of
+    # this subtree could place boundary rows in different partitions,
+    # desynchronizing the offsets from the local windows. Materializing
+    # the sliced vocab once (vocab-sized, ≪ corpus) pins one pid
+    # assignment for both consumers and stops the tokenize+groupBy from
+    # running twice.
+    sliced = (
+        counts.repartitionByRange(n_parts, F.col("tf").desc(), F.col("token"))
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    per_pid = sliced.groupBy("__pid").agg(
+        F.count("*").alias("__n_rows"), F.sum("tf").alias("__sum_tf")
+    )
+    w_prev = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = per_pid.select(
+        "__pid",
+        F.coalesce(F.sum("__n_rows").over(w_prev), F.lit(0)).alias("__row_off"),
+        F.coalesce(F.sum("__sum_tf").over(w_prev), F.lit(0)).alias("__tf_off"),
+        F.sum("__sum_tf").over(Window.partitionBy()).alias("__total_tf"),
+    )
+    w_local = Window.partitionBy("__pid").orderBy(F.col("tf").desc(), F.col("token"))
+    ranked = (
+        sliced.join(F.broadcast(offsets), "__pid")
+        .select(
+            "token",
+            "tf",
+            "df_docs",
+            (F.col("__row_off") + F.row_number().over(w_local)).cast("long").alias("rank"),
+            round6(
+                (
+                    F.col("__tf_off")
+                    + F.sum("tf").over(
+                        w_local.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                    )
+                )
+                / F.col("__total_tf")
+            ).alias("cum_coverage"),
+        )
     )
     # Filter AFTER ranking: coverage stays a fraction of the FULL token
     # stream (a truncated vocab covers less than 1.0 — that is the number

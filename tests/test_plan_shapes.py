@@ -120,6 +120,31 @@ def test_bloom_contamination_plan_broadcasts_filter(spark):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_token_vocab_has_no_unpartitioned_window_on_vocab_path(spark):
+    # r9: the global rank/coverage must come from per-partition windows +
+    # config-sized offsets, never a whole-vocabulary single-task sort
+    # (10⁸–10⁹ distinct tokens at web scale). The only windows with an
+    # EMPTY partition spec allowed are the offset prefix sums over the
+    # per-__pid aggregate (≤ shuffle-partitions rows, config-bounded).
+    import re
+
+    from mlops_pipelines_featurestore_gcp_spark.operators.text_analysis import token_vocab
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{(i * 7 + j) % 40}" for j in range(30))) for i in range(200)],
+        "doc_id long, text string",
+    )
+    out = token_vocab(docs, "doc_id", "text")
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        args = [a.strip() for a in spec.split(",")]
+        partition_or_order = [a for a in args if not a.startswith("specifiedwindowframe")]
+        if any("token" in a or a.startswith("tf#") for a in partition_or_order):
+            # a window touching vocab rows must be partitioned by __pid
+            assert any(a.startswith("__pid") for a in partition_or_order), plan
+
+
 def test_importance_sample_is_map_only(spark):
     from mlops_pipelines_featurestore_gcp_spark.operators.sampling import importance_sample
 
