@@ -144,9 +144,43 @@ def _mirror_multi_rowgroup(sf_dir: str, *, splits: int = 32) -> str:
     return dst
 
 
+def _wait_for_quiet(
+    threshold: float, max_wait: float, poll: float = 5.0
+) -> tuple[float, bool]:
+    """Bounded wait until the 1-min loadavg drops below ``threshold``.
+
+    The box shares CPUs with external load; r8's driver record (15.75s at
+    loadavg 2.9-6.9) vs the quiet-box 13.16s showed the series recording
+    a 1.14× "regression" that was entirely neighbor contention (VERDICT
+    r8 "what's wrong" #2). Waiting is best-effort — if the box never
+    quiets within ``max_wait`` the bench runs anyway and self-flags the
+    result ``contended`` so the series can filter on it.
+
+    Returns (seconds_waited, still_contended).
+    """
+    waited = 0.0
+    while os.getloadavg()[0] >= threshold and waited < max_wait:
+        time.sleep(poll)
+        waited += poll
+    return waited, os.getloadavg()[0] >= threshold
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    # quiet-box guard BEFORE the JVM starts (our own startup inflates the
+    # 1-min window). Tunables: SPARK_GRAFT_BENCH_QUIET_LOAD (threshold,
+    # default 1.5; 0 disables), SPARK_GRAFT_BENCH_QUIET_WAIT (bound, s).
+    quiet_load = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_LOAD", "1.5"))
+    quiet_wait = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_WAIT", "180"))
+    waited, contended = (0.0, False)
+    if quiet_load > 0:
+        waited, contended = _wait_for_quiet(quiet_load, quiet_wait)
+        if waited:
+            print(
+                f"# waited {waited:.0f}s for quiet box "
+                f"(still contended: {contended})", file=sys.stderr,
+            )
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     if os.environ.get("SPARK_GRAFT_BENCH_MIRROR", "1") != "0":
@@ -205,7 +239,8 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
 
     line, detail = build_outputs(
-        timings, spreads, sf, repeats, load_before, os.getloadavg()
+        timings, spreads, sf, repeats, load_before, os.getloadavg(),
+        contended=contended, quiet_wait_s=waited,
     )
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
@@ -223,6 +258,9 @@ def build_outputs(
     repeats: int,
     load_before,
     load_after,
+    *,
+    contended: bool = False,
+    quiet_wait_s: float = 0.0,
 ) -> tuple[str, dict]:
     """Build (stdout JSON line, BENCH_DETAIL.json payload).
 
@@ -248,6 +286,10 @@ def build_outputs(
             "repeats": repeats,
             "loadavg_before": [round(x, 2) for x in load_before],
             "loadavg_after": [round(x, 2) for x in load_after],
+            # self-flag for the series: true = the quiet-box wait timed
+            # out and the number likely carries neighbor contention
+            "contended": contended,
+            "quiet_wait_s": round(quiet_wait_s, 1),
         },
         separators=(",", ":"),
     )
@@ -259,6 +301,8 @@ def build_outputs(
         "spreads": spreads,
         "loadavg_before": [round(x, 2) for x in load_before],
         "loadavg_after": [round(x, 2) for x in load_after],
+        "contended": contended,
+        "quiet_wait_s": round(quiet_wait_s, 1),
     }
     return line, detail
 

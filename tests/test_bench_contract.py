@@ -53,6 +53,23 @@ def test_stdout_line_parses_and_keeps_driver_contract():
     assert set(detail["queries_new_ops"]) == set(bench.HEADLINE2[:3])
 
 
+def test_contended_flag_rides_the_line_and_detail():
+    # r9: the series needs a self-flag for box contention (VERDICT r8) —
+    # it must appear on BOTH outputs and default to the un-contended state
+    timings, spreads = _fake_run(3, 2)
+    line, detail = bench.build_outputs(
+        timings, spreads, 0.1, 4, (9.0, 8.0, 7.0), (9.5, 8.5, 7.5),
+        contended=True, quiet_wait_s=180.0,
+    )
+    obj = json.loads(line)
+    assert obj["contended"] is True and obj["quiet_wait_s"] == 180.0
+    assert detail["contended"] is True
+    line2, _ = bench.build_outputs(
+        timings, spreads, 0.1, 4, (0.1,) * 3, (0.2,) * 3
+    )
+    assert json.loads(line2)["contended"] is False
+
+
 def test_stable_series_value_excludes_new_ops():
     timings, spreads = _fake_run(3, 2)
     line, _ = bench.build_outputs(timings, spreads, 0.01, 1, (0,) * 3, (0,) * 3)
