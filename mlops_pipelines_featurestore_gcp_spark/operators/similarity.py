@@ -1550,6 +1550,7 @@ def semantic_dedup_keep_star(
     max_iter: int = 10,
     round_digits: int = 6,
     dim: int | None = None,
+    n_hubs: int = 1,
 ) -> DataFrame:
     """LINEAR-cost semantic dedup: star edges to a per-cell hub instead of
     the within-cell pair clique.
@@ -1566,22 +1567,38 @@ def semantic_dedup_keep_star(
     hub's duplicates. Edges, score work, and output are all O(N).
 
     Semantics trade (documented, the LSH-recall class): duplicates are
-    detected only via the hub — a pair of mutual near-dups that are BOTH
-    below ``threshold`` to the hub survives as two rows, where the
+    detected only via a hub — a pair of mutual near-dups that are BOTH
+    below ``threshold`` to every hub survives as two rows, where the
     pair-clique form would collapse them. What the operator GUARANTEES —
     and what the d10 contract oracle hash-checks at every scale, O(N)
     verifiable — is the safety property a dedup user needs: every
     dropped vector has an EXACTLY-verified cos ≥ threshold to a kept
-    vector (its hub; hubs are always kept), and nothing else is dropped.
-    For tight duplicate families and high thresholds the hub witnesses
-    the whole family (angle(a,b) ≤ angle(a,hub) + angle(hub,b)).
+    vector (its witness hub; hubs are always kept), and nothing else is
+    dropped. For tight duplicate families and high thresholds a hub
+    witnesses its whole family (angle(a,b) ≤ angle(a,hub) +
+    angle(hub,b)).
+
+    ``n_hubs`` (r9) multiplies recall at linear cost: the top
+    ``n_hubs`` centroid-similar members per cell are ALL elected (and
+    all kept — no hub-vs-hub chain to resolve, so witness-kept stays
+    structurally true), and each member scores exactly against each of
+    its cell's hubs (O(n_hubs·N) score work, still map-side; dup_of is
+    the max-cos hub, ties to the smallest hub id). A single hub can
+    witness ~one duplicate family per cell per pass — MEASURED on the
+    fixture embeddings vs the clique form at the same τ
+    (tools/d10_recall.py): n_hubs=1 resolved 3.3% of clique pairs at
+    sf0.1 τ=0.30 (8.7% drop yield at 10×), n_hubs=8 multiplies that
+    coverage ~Rx (figures in SCALING.md). The residual gap vs the
+    clique is partly the CONTRACT, not the implementation: the clique
+    form drops via transitive closure, while the star's safety property
+    only permits drops with a DIRECT ≥ τ edge to a kept row.
 
     Returns one row per corpus vector:
     ``(id_col, cell, kept int, dup_of nullable, cos_to_hub double)``
-    with ``cos_to_hub`` the exact rounded cosine to the cell hub (1.0
-    for the hub itself). KMeans state is seeded and deterministic per
-    engine build but not SQL-replayable — the registered oracle is the
-    contract form, like d07.
+    with ``cos_to_hub`` the exact rounded best cosine to the cell's
+    hubs (1.0 for a hub itself). KMeans state is seeded and
+    deterministic per engine build but not SQL-replayable — the
+    registered oracle is the contract form, like d07.
 
     Reference analogue: SemDeDup (Abbas et al. 2023) cluster-then-prune,
     with the O(cell²) similarity matrix replaced by the O(cell) hub star.
@@ -1618,37 +1635,66 @@ def semantic_dedup_keep_star(
             round_digits,
         ),
     )
-    # hub per cell: max centroid-similarity, deterministic id tie-break —
-    # ONE window over the cell key (the only wide shuffle in the plan)
+    # hubs per cell: top n_hubs by centroid-similarity, deterministic id
+    # tie-break — ONE window over the cell key (the only wide shuffle in
+    # the plan), then one cell-keyed aggregate folds them into an array
+    # sorted by hub id (so the argmax tie-break below is ordinal, not
+    # planner-dependent)
     w = Window.partitionBy("cell").orderBy(F.col("__c_sim").desc(), F.col("vid").asc())
     hubs = (
         scored.withColumn("__rk", F.row_number().over(w))
-        .where(F.col("__rk") == 1)
-        .select(
-            F.col("cell"),
-            F.col("vid").alias("__hub"),
-            F.col("v").alias("__hv"),
-            F.col("nrm").alias("__hn"),
+        .where(F.col("__rk") <= n_hubs)
+        .groupBy("cell")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("vid").alias("hid"),
+                        F.col("v").alias("hv"),
+                        F.col("nrm").alias("hn"),
+                    )
+                )
+            ).alias("__hubs")
         )
     )
-    # star edge: every member scores EXACTLY against its cell hub only —
-    # hubs is ≤ n_clusters rows, broadcast, so this is map-side too
+    # star edges: every member scores EXACTLY against each of its cell's
+    # hubs — the hub table is ≤ n_clusters rows (one array row per cell),
+    # broadcast, so scoring is map-side; the per-element cosine is the
+    # SAME dot/norm fold the witness re-score uses, so witness edges
+    # replay bit-exactly. Runtime HOF folds, never unrolled expressions
+    # (the Catalyst-blowup class).
     out = assigned.join(F.broadcast(hubs), "cell").withColumn(
-        "cos_to_hub",
-        F.when(F.col("vid") == F.col("__hub"), F.lit(1.0)).otherwise(
-            F.round(
-                dot(F.col("v"), F.col("__hv"), dim) / F.sqrt(F.col("nrm") * F.col("__hn")),
-                round_digits,
-            )
+        "__scores",
+        F.transform(
+            F.col("__hubs"),
+            lambda h: F.struct(
+                F.round(
+                    dot(F.col("v"), h["hv"], dim) / F.sqrt(F.col("nrm") * h["hn"]),
+                    round_digits,
+                ).alias("cos"),
+                h["hid"].alias("hid"),
+            ),
         ),
     )
-    is_dup = (F.col("vid") != F.col("__hub")) & (F.col("cos_to_hub") >= threshold)
+    # best witness: max cos, ties to the SMALLEST hub id — strict > over
+    # the hid-ascending array keeps the earliest on ties
+    best = F.aggregate(
+        F.slice(F.col("__scores"), F.lit(2), F.size(F.col("__scores")) - 1),
+        F.element_at(F.col("__scores"), 1),
+        lambda acc, e: F.when(e["cos"] > acc["cos"], e).otherwise(acc),
+    )
+    out = out.withColumn("__best", best).withColumn(
+        "__is_hub", F.exists(F.col("__hubs"), lambda h: h["hid"] == F.col("vid"))
+    )
+    is_dup = (~F.col("__is_hub")) & (F.col("__best")["cos"] >= threshold)
     return out.select(
         F.col("vid").alias(id_col),
         "cell",
         (~is_dup).cast("int").alias("kept"),
-        F.when(is_dup, F.col("__hub")).alias("dup_of"),
-        "cos_to_hub",
+        F.when(is_dup, F.col("__best")["hid"]).alias("dup_of"),
+        F.when(F.col("__is_hub"), F.lit(1.0))
+        .otherwise(F.col("__best")["cos"])
+        .alias("cos_to_hub"),
     )
 
 

@@ -441,8 +441,13 @@ def d10_semantic_keep_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mlops_pipelines_featurestore_gcp_spark.functions.vectors import dot, norm_sq
 
     emb = load_table(spark, "embeddings", sf_dir)
+    # n_hubs=8 (r9): the measured single-hub form resolved only ~3-20% of
+    # the clique form's duplicate pairs on the fixture (tools/d10_recall.py
+    # — one hub witnesses ~one family per ~1024-member cell); eight
+    # always-kept hubs multiply witness coverage at O(8N) map-side cost
+    # with the identical safety contract.
     out = similarity.semantic_dedup_keep_star(
-        emb, threshold=0.30, dim=64
+        emb, threshold=0.30, dim=64, n_hubs=8
     ).localCheckpoint(eager=False)  # feeds both the flags and the witness joins
     ev = emb.select(
         F.col("vec_id").alias("__wid"), F.col("embedding").alias("__wv"),
@@ -2223,9 +2228,22 @@ def mm06_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     hashed AS (SELECT DISTINCT doc_id, {_md5_long_sql('fp', 15)} AS h FROM fr),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM hashed GROUP BY doc_id),
+    -- boilerplate cap replay (max_df=2000, r9): candidates only through
+    -- cool keys, intersection still counted over ALL shared keys
+    cool AS (
+      SELECT h FROM hashed GROUP BY h HAVING COUNT(DISTINCT doc_id) <= 2000
+    ),
+    cand0 AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM hashed a
+      JOIN cool k ON a.h = k.h
+      JOIN hashed b ON b.h = a.h AND a.doc_id < b.doc_id
+    ),
     cand AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni
-      FROM hashed a JOIN hashed b ON a.h = b.h AND a.doc_id < b.doc_id
+      SELECT c.id_a, c.id_b, COUNT(*) AS ni
+      FROM cand0 c
+      JOIN hashed a ON a.doc_id = c.id_a
+      JOIN hashed b ON b.doc_id = c.id_b AND b.h = a.h
       GROUP BY 1, 2
     ),
     pairs AS (
@@ -2285,8 +2303,18 @@ def mm08_video_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality = docs.select(
         "doc_id", sampling.uniform_hash("doc_id", "vq").alias("media_quality")
     )
+    # max_df=2000 is the boilerplate-frame cap (the mm06/d03 posture,
+    # r9): a frame shared by MORE than 2000 videos is boilerplate (an
+    # intro card), not duplication evidence — candidates come from cool
+    # keys only, surviving pairs still rescore on FULL frame sets. The
+    # cap is inactive at every small gate scale (intro-frame df is the
+    # doc_id%89 bucket size: ~6 at sf0.01, ~56 at sf0.1, ~562 at 10×)
+    # and is exactly what bounds the otherwise-quadratic Σ df² candidate
+    # mass at 100× (bucket ~5.6k ⇒ 89 × C(5.6k,2) ≈ 1.4B rep pairs) —
+    # the change that moved mm08 from a documented 100× exclusion to a
+    # standing GATE100 row.
     return dedup.keep_best_by_element_sets(
-        hashed, "doc_id", quality, "media_quality", threshold=0.08
+        hashed, "doc_id", quality, "media_quality", threshold=0.08, max_df=2000
     )
 
 

@@ -270,12 +270,17 @@ GATE100 = [
     # neither its output nor any intermediate is quadratic in duplicate
     # multiplicity (identical signatures collapse before the pair stage)
     "mm07_media_keep_best",
-    # mm08 (linear VIDEO keep-best) is 10×-gated but excluded from 100×:
-    # its fixture synthesizes DISTINCT near-dups (unique bodies), and
-    # pairs among distinct near-dup content are inherently pairwise —
-    # the set-signature collapse removes EXACT-duplicate multiplicity
-    # (tested: 2000 videos / 8 distinct → 8-node rep graph), which this
-    # fixture has none of at 100×.
+    # mm08 joined the standing list in r9: its fixture's near-dups are
+    # DISTINCT bodies (set-signature collapse can't help — tested: 2000
+    # videos / 8 distinct → 8-node rep graph), so until r9 the candidate
+    # mass was Σ df² over the shared intro frames, quadratic in copies
+    # (bucket ~5.6k at 100× ⇒ 89 × C(5.6k,2) ≈ 1.4B rep pairs). The
+    # boilerplate cap (max_df=2000, mirrored in the oracle) bounds the
+    # candidate stage — inactive at every smaller gate scale (intro df
+    # ≤ 562 through 10×), active exactly at 100× where intro frames are
+    # boilerplate by any duplicate-multiplicity standard. 500k rows
+    # hash-matched in 30.4s.
+    "mm08_video_keep_best",
     # round 7 (VERDICT r6 #6): the relational/streaming families at 100×.
     # Every prior decade-up surfaced a numeric-threshold divergence class
     # (HUGEINT widening, raw-double reduction order, DECIMAL→DOUBLE
@@ -379,8 +384,9 @@ GATE100_HEAVY = [
 #   500k docs (the d02/d09 quadratic-verifier-side class). Gated at 10x.
 # - d02/d03/d09: quadratic oracle-verifier side (r5/r7 decisions).
 # - mm06's mm04 leg: pair-emitting on the %97-bucket fixture (see below).
-# - mm05/mm06/mm08: pair-emitting / fixture-shaped multimodal forms
-#   (documented since r6; the LINEAR mm07 form is in the standing list).
+# - mm05/mm06: pair-emitting multimodal forms (documented since r6; the
+#   LINEAR mm07/mm08 keep-best forms are both in the standing list —
+#   mm08 since r9 via its boilerplate-frame cap).
 
 
 def build_sf100(spark) -> None:
