@@ -77,6 +77,8 @@ EXTRA = [
     "st09_quantile_rollup",
     # round 8 additions
     "d10_semantic_keep_star",
+    # round 9: audited since the map-side rank/coverage rewrite
+    "t09_token_vocab",
     "q38_data_expectations",
     "ml06_ranking_metrics",
     "d09_incremental_dedup",
@@ -101,6 +103,12 @@ def audit(df) -> dict[str, object]:
         "pushed": "PushedFilters: [" in plan and not re.search(r"PushedFilters: \[\]", plan),
         # executedPlan.toString marks codegen stages with the *(n) prefix
         "codegen_ids": len(set(re.findall(r"\*\((\d+)\)", plan))),
+        # single-task stages (r9): every `Exchange SinglePartition` moves
+        # its input through ONE task. Contract-flag scalar aggregates and
+        # config-bounded offset frames are fine; a count that JUMPS on a
+        # data-path query is the save_zordered/token_vocab failure class —
+        # this column makes the posture reviewable without plan greps.
+        "single_part": len(re.findall(r"Exchange SinglePartition", plan)),
     }
 
 
@@ -125,8 +133,8 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     print(f"# Physical-plan audit @ {sf_dir}\n")
-    print("| query | exchanges | broadcast joins | sort-merge joins | cartesian | filters pushed | codegen spans |")
-    print("|---|---|---|---|---|---|---|")
+    print("| query | exchanges | broadcast joins | sort-merge joins | cartesian | filters pushed | codegen spans | 1-task exch |")
+    print("|---|---|---|---|---|---|---|---|")
     details: list[tuple[str, str]] = []
     operator_only = _operator_only_frames(spark, sf_dir)
     for name in HEADLINE + EXTRA + list(operator_only):
@@ -146,7 +154,7 @@ def main() -> None:
         flag = " (by design: broadcast query set)" if a["cartesian"] and expected_cartesian else (" ⚠" if a["cartesian"] else "")
         print(
             f"| {name} | {a['exchanges']} | {a['bhj']} | {a['smj']} | {a['cartesian']}{flag} "
-            f"| {'yes' if a['pushed'] else '—'} | {a['codegen_ids']} |"
+            f"| {'yes' if a['pushed'] else '—'} | {a['codegen_ids']} | {a['single_part']} |"
         )
         import contextlib
         import io
