@@ -1658,12 +1658,15 @@ def semantic_dedup_keep_star(
         )
     )
     # star edges: every member scores EXACTLY against each of its cell's
-    # hubs — the hub table is ≤ n_clusters rows (one array row per cell),
-    # broadcast, so scoring is map-side; the per-element cosine is the
-    # SAME dot/norm fold the witness re-score uses, so witness edges
-    # replay bit-exactly. Runtime HOF folds, never unrolled expressions
-    # (the Catalyst-blowup class).
-    out = assigned.join(F.broadcast(hubs), "cell").withColumn(
+    # hubs — the hub table is ≤ n_clusters rows (one array row per cell).
+    # NO forced broadcast hint (r9): at N=10⁹ with cell size ~1024 the
+    # hub table is ~10⁶ rows × n_hubs×(dim·8)B ≈ GBs — past any sane
+    # broadcast; AQE broadcasts it while small and falls back to a
+    # cell-keyed shuffle join at scale, which is the correct plan there.
+    # The per-element cosine is the SAME dot/norm fold the witness
+    # re-score uses, so witness edges replay bit-exactly. Runtime HOF
+    # folds, never unrolled expressions (the Catalyst-blowup class).
+    out = assigned.join(hubs, "cell").withColumn(
         "__scores",
         F.transform(
             F.col("__hubs"),
