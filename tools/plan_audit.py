@@ -133,6 +133,15 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     print(f"# Physical-plan audit @ {sf_dir}\n")
+    print(
+        "**1-task exch** counts `Exchange SinglePartition` nodes. Non-zero is\n"
+        "EXPECTED on contract-flag scalar aggregates, report-sized stat frames\n"
+        "(f06's drift scalars, t10's vocab stats, the ANN recall verifiers) and\n"
+        "config-bounded offset frames (t09's per-range-partition prefix sums);\n"
+        "the failure class this column exists to catch is a count that JUMPS on\n"
+        "a DATA-path query — whole-table sorts/windows through one task (the\n"
+        "r7 save_zordered / r8 token_vocab bugs).\n"
+    )
     print("| query | exchanges | broadcast joins | sort-merge joins | cartesian | filters pushed | codegen spans | 1-task exch |")
     print("|---|---|---|---|---|---|---|---|")
     details: list[tuple[str, str]] = []
