@@ -95,6 +95,9 @@ HEADLINE2 = [
     "ml06_ranking_metrics",
     # round 8 addition — same series rule as the r7 block above.
     "d10_semantic_keep_star",
+    # round 9 addition: PCA-rotation fit (one constant-width DECIMAL
+    # aggregate) + map-side projection + flag verification.
+    "s11_embedding_whitening",
     # q39_tfrecord_roundtrip and q40_clustered_layout are EXCLUDED by
     # decision: both are IO-shaped (q39 writes+rereads a TFRecord dir,
     # q40 compacts/clusters/z-orders parquet layouts), so their wall time

@@ -986,6 +986,108 @@ def s10_ann_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "s11_embedding_whitening",
+    # The fitted rotation is a deterministic function of the corpus
+    # (DECIMAL-accumulated gram, canonical eigenvector signs) but not
+    # SQL-replayable (a 64×64 eigendecomposition), so the oracle is the
+    # CONTRACT form (the d10/ml03 pattern): the driver hashes, per vector,
+    # that the rotation preserved the centered norm (orthonormality applied
+    # row-by-row), that the projection is exactly invertible back to the
+    # input (reconstruction ≤ 1e-9), plus two eagerly-verified global
+    # flags — WᵀW = I at 1e-9 (numpy, driver-side on the 64×64) and the
+    # EMPIRICAL per-component variance matching the gram's eigenvalue at
+    # 1e-6 relative (the realized data agreeing with the fitted spectrum —
+    # a full end-to-end parity between the one-pass DECIMAL gram and a
+    # second independent aggregation of the projected output). vec_id
+    # coverage is the hash itself.
+    oracle="""
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           CAST(1 AS INT) AS norm_ok,
+           CAST(1 AS INT) AS recon_ok,
+           CAST(1 AS INT) AS var_parity,
+           CAST(1 AS INT) AS rot_orthonormal
+    FROM embeddings
+    """,
+    tags=("similarity", "embedding", "whitening", "pca", "llm"),
+)
+def s11_embedding_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA rotation fit + map-side projection over the embeddings table —
+    the OPQ preprocessing step for the PQ tiers (operators/whitening.py;
+    Ge 2013). Fit is ONE constant-width aggregate (2145 partial rows per
+    partition after map-side combine, DECIMAL-accumulated), the 64×64
+    eigh runs driver-side, and projection/flag verification are pure
+    map-side HOF folds."""
+    import numpy as np
+
+    from mlops_pipelines_featurestore_gcp_spark.operators import whitening
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    mean, rot, lam = whitening.fit_whitening(emb, dim=64)
+    # global flag 1: rotation orthonormality (driver-side, 64×64)
+    W = np.array(rot).T  # columns = principal components
+    rot_on = int(bool(np.abs(W.T @ W - np.eye(64)).max() < 1e-9))
+    out = whitening.apply_whitening(emb, mean, rot, vec_col="embedding")
+    # global flag 2: realized per-component variance == fitted eigenvalue.
+    # An independent second aggregation over the PROJECTED data (decimal
+    # accumulation again); compare at 1e-6 relative driver-side.
+    y = F.col("whitened")
+    stats = (
+        out.select(F.posexplode(y).alias("k", "yk"))
+        .groupBy("k")
+        .agg(
+            F.sum(F.col("yk").cast("decimal(38,18)")).cast("double").alias("s1"),
+            F.sum((F.col("yk") * F.col("yk")).cast("decimal(38,18)")).cast("double").alias("s2"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    )
+    var_ok = 1
+    for r in stats:
+        var_k = r["s2"] / r["n"] - (r["s1"] / r["n"]) ** 2
+        if abs(var_k - lam[r["k"]]) > 1e-6 * max(1.0, abs(lam[r["k"]])):
+            var_ok = 0
+    # per-row flags: norm preservation + exact reconstruction, computed
+    # with the same HOF folds as the projection (map-side, no shuffle)
+    mu = F.col("__mu")
+    wt_rows = F.col("__wt")  # input-dim-indexed rows of the rotation
+    params = spark.createDataFrame(
+        [(mean, [[rot[k][j] for k in range(64)] for j in range(64)])],
+        "__mu array<double>, __wt array<array<double>>",
+    )
+    centered = F.zip_with(F.col("embedding").cast("array<double>"), mu, lambda a, b: a - b)
+    sq = lambda arr: F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x * x)  # noqa: E731
+    recon = F.transform(
+        wt_rows,
+        lambda row: F.aggregate(
+            F.zip_with(y, row, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+        ),
+    )
+    return (
+        out.crossJoin(F.broadcast(params))
+        .select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            (F.abs(sq(y) - sq(centered)) <= F.lit(1e-6)).cast("int").alias("norm_ok"),
+            (
+                F.aggregate(
+                    F.zip_with(
+                        F.zip_with(recon, mu, lambda a, b: a + b),
+                        F.col("embedding").cast("array<double>"),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                <= F.lit(1e-9)
+            )
+            .cast("int")
+            .alias("recon_ok"),
+            F.lit(var_ok).cast("int").alias("var_parity"),
+            F.lit(rot_on).cast("int").alias("rot_orthonormal"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
@@ -2015,6 +2117,7 @@ def t12_bpe_subwords(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY 1, 2
     """,
     tags=("multimodal", "dedup", "audio"),
+    defer=True,
 )
 def mm05_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio near-dup over the multimodal payload column: chromaprint-style

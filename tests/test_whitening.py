@@ -1,0 +1,74 @@
+"""operators/whitening.py: PCA rotation / whitening fit + apply.
+
+Parity is asserted against numpy's own covariance + eigh on the same
+rows — the operator's distributed DECIMAL-accumulated gram must agree
+with the single-machine ground truth, and the projection must be the
+exact matrix product.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from mlops_pipelines_featurestore_gcp_spark.operators.whitening import (
+    apply_whitening,
+    fit_whitening,
+)
+
+DIM = 8
+
+
+@pytest.fixture(scope="module")
+def xdf(spark):
+    rng = np.random.RandomState(7)
+    x = rng.randn(400, DIM) @ rng.randn(DIM, DIM)  # correlated coordinates
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<float>",
+    ).cache()
+    # float32 storage: numpy reference must see the same rounded values
+    xf = np.array(df.toPandas().sort_values("vec_id")["embedding"].tolist(), dtype=np.float64)
+    return df, xf
+
+
+def test_fit_matches_numpy_cov_eigh(xdf):
+    df, x = xdf
+    mean, rot, lam = fit_whitening(df, dim=DIM)
+    assert np.abs(np.array(mean) - x.mean(axis=0)).max() < 1e-12
+    w_np = np.linalg.eigh(np.cov(x.T, bias=True))[0]
+    assert np.abs(np.sort(lam) - np.sort(w_np)).max() < 1e-9
+    assert lam == sorted(lam, reverse=True)  # components ordered by variance
+
+
+def test_apply_is_exact_matrix_product_and_orthonormal(xdf):
+    df, x = xdf
+    mean, rot, lam = fit_whitening(df, dim=DIM)
+    w = np.array(rot).T  # columns = components
+    assert np.abs(w.T @ w - np.eye(DIM)).max() < 1e-9  # orthonormal rotation
+    out = apply_whitening(df, mean, rot).toPandas().sort_values("vec_id")
+    y = np.array(out["whitened"].tolist())
+    yref = (x - np.array(mean)) @ w
+    # same left-to-right fold order as numpy's small-dim dot → tight bound
+    assert np.abs(y - yref).max() < 1e-9
+    # realized variances match the fitted spectrum, descending
+    assert np.abs(y.var(axis=0) - np.array(lam)).max() < 1e-9
+    assert np.all(np.diff(y.var(axis=0)) <= 1e-9)
+
+
+def test_whiten_scales_to_unit_variance(xdf):
+    df, x = xdf
+    mean, rot, lam = fit_whitening(df, dim=DIM, whiten=True, eps=0.0)
+    y = np.array(
+        apply_whitening(df, mean, rot).toPandas().sort_values("vec_id")["whitened"].tolist()
+    )
+    assert np.abs(y.var(axis=0) - 1.0).max() < 1e-6
+
+
+def test_fit_deterministic_across_runs(xdf):
+    # DECIMAL gram accumulation + canonical eigenvector signs → the fitted
+    # rotation is bit-identical run to run (no partitioning sensitivity)
+    df, _ = xdf
+    a = fit_whitening(df.repartition(3), dim=DIM)
+    b = fit_whitening(df.repartition(11), dim=DIM)
+    assert a == b

@@ -40,6 +40,7 @@ EXPECTED_CARTESIAN = {
     "t10_gopher_quality",                # size-1 vocab-stat crossJoin (t11 LM columns, r7 merge)
     "st02_sliding_window",               # size-1 broadcast of the global max ts (r7 merge)
     "s10_ann_ivfpq_persisted",           # contract form: 32-query recall verifier (s09 twin)
+    "s11_embedding_whitening",           # one-row (mean, rotation) param-table crossJoin
 }
 
 # Deferred/new queries worth auditing beyond the bench set — same table,
@@ -79,6 +80,8 @@ EXTRA = [
     "d10_semantic_keep_star",
     # round 9: audited since the map-side rank/coverage rewrite
     "t09_token_vocab",
+    # round 9 addition
+    "s11_embedding_whitening",
     "q38_data_expectations",
     "ml06_ranking_metrics",
     "d09_incremental_dedup",

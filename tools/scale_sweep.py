@@ -353,6 +353,11 @@ GATE100 = [
     # fixture-quadratic at the 100x embeddings (200k rows, 23.9s,
     # witness-based contract hashed over the full id set)
     "d10_semantic_keep_star",
+    # round 9: PCA rotation/whitening — fit is one constant-width DECIMAL
+    # aggregate (2145 partial rows/partition after map-side combine),
+    # projection+flags map-side; 200k vectors hash-matched in 125.5s
+    # (texp ~0.31 over the 0.1→100x decades)
+    "s11_embedding_whitening",
 ]
 
 # Hash-matched at 100x but too heavy for the per-round standing run —
