@@ -105,6 +105,15 @@ HEADLINE2 = [
     # dozens of small write jobs, not engine operator cost — the series
     # would be fs-noise. Their perf evidence is LOCAL_GATE.md per-scale
     # timings and the layout-contrast flags hashed inside q40 itself.
+    # ml07_quality_classifier is EXCLUDED by the same decision class as
+    # d09 below: its registered form is a sequential driver loop (12 GD
+    # steps + 2 gradient-parity passes + 2 AUC scans, each a tiny
+    # driver-roundtrip job over a checkpointed feature frame), so 4 timed
+    # reps would track job-scheduling latency (~25-35s/rep, >2x the
+    # heaviest real entry) rather than operator cost. Its perf evidence is
+    # the per-scale LOCAL_GATE.md timings and the 100x scale-sweep
+    # exponent; the per-iteration aggregate is ONE constant-width pass by
+    # construction (ml/classifier.py docstring).
     # d09_incremental_dedup is EXCLUDED by decision, not oversight: its
     # registered form runs three sequential ingests + a one-shot rebuild
     # (dozens of store-write jobs), ~15s of Spark wall at sf0.1 dominated

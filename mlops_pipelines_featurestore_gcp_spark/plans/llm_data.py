@@ -1088,6 +1088,97 @@ def s11_embedding_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ml07_quality_classifier",
+    # Distillation-shaped model-based quality filtering (ml/classifier.py):
+    # teacher = the oracle-verified composite quality heuristic, student =
+    # logistic regression on hashed-BOW + length features, trained with
+    # integer-micro-quantized full-batch GD (bit-deterministic at any
+    # parallelism). The VALUE columns (label from the replayed quality
+    # formula at a fixed micro-integer threshold; the md5-uniform holdout
+    # split; n_tokens) are full SQL twins; the learned weights are not
+    # SQL-expressible (12 driver-side GD steps), so the model-dependent
+    # assertions ride as eagerly-verified CONTRACT flags (the d10/s11
+    # pattern): strict per-iteration loss descent, gradient equality under
+    # repartition(7) at the TRAINED weights, and binned-AUC floors on
+    # train (0.85) and holdout (0.80) — measured 0.98+/0.98+ at
+    # sf0.001/0.01/0.1. Registered in llm_data.py (not ml_queries.py) for
+    # the shared quality/holdout SQL fragments.
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, text, {_TOKS.format(col='text')} AS t,
+             len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id,
+             CAST(len(t) AS BIGINT) AS n_tokens,
+             CAST(floor((least(len(t), 100) / 100.0 * 0.4
+                   + (len(list_filter(t, x -> list_contains(['the','a','of','to','and','in','is','it','that','for'], x)))
+                      / greatest(len(t), 1)) * 0.2
+                   + (len(list_distinct(t)) / greatest(len(t), 1)) * 0.3
+                   + (1.0 - n_punct / greatest(len(text), 1)) * 0.1) * 1000000.0 + 0.5) AS BIGINT) AS qmicro
+      FROM base
+    )
+    SELECT doc_id, n_tokens,
+           CAST(qmicro >= 470000 AS INT) AS label,
+           CAST({_UHASH_SRC.format(salt='qclf')} < 0.2 AS INT) AS is_holdout,
+           CAST(1 AS INT) AS score_in_unit,
+           CAST(1 AS INT) AS loss_monotone,
+           CAST(1 AS INT) AS grad_partition_invariant,
+           CAST(1 AS INT) AS train_auc_ok,
+           CAST(1 AS INT) AS holdout_auc_ok
+    FROM feats
+    """,
+    tags=("ml", "llm", "quality", "classifier"),
+)
+def ml07_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (ml/classifier.py) in the FineWeb-Edu
+    distillation shape: label = composite_quality ≥ 0.47 (the teacher the
+    s04/t01 oracles already verify, compared as micro integers so the
+    threshold can't straddle a double boundary), features = hashed BOW +
+    capped length + bias, student = logistic regression fit by 12
+    full-batch GD steps whose gradient sums are exact BIGINT micro-unit
+    additions. Holdout = md5-uniform 20% the SQL twin replays. The corpus
+    is then scored map-side and the per-row flags + eager global flags
+    (loss descent, gradient partition-invariance at the trained weights,
+    train/holdout AUC floors) go under the driver hash."""
+    from mlops_pipelines_featurestore_gcp_spark.ml import classifier
+
+    docs = load_table(spark, "documents", sf_dir)
+    prof = text_analysis.quality_score(docs, "doc_id", "text").select(
+        "doc_id",
+        "n_tokens",
+        (F.floor(F.col("quality") * 1_000_000 + F.lit(0.5)).cast("long") >= 470_000)
+        .cast("int")
+        .alias("label"),
+        (sampling.uniform_hash("doc_id", "qclf") < 0.2).cast("int").alias("is_holdout"),
+    )
+    feats = classifier.featurize(docs, "doc_id", "text")
+    data = prof.join(feats, "doc_id").localCheckpoint(eager=False)
+    train = data.where(F.col("is_holdout") == 0)
+    model = classifier.fit_quality_classifier(train, iters=12, lr=1.0)
+    # eager flag: the quantized gradient is an exact integer sum, so a
+    # different partitioning must reproduce it BIT-equal (at the trained
+    # weights — nontrivial doubles, unlike the symmetric w=0 start)
+    g_a, _, _ = classifier.gradient_micro(train, model.weights)
+    g_b, _, _ = classifier.gradient_micro(train.repartition(7), model.weights)
+    scored = classifier.score(data, model.weights).localCheckpoint(eager=False)
+    train_auc = classifier.binned_auc(scored.where(F.col("is_holdout") == 0))
+    hold_auc = classifier.binned_auc(scored.where(F.col("is_holdout") == 1))
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "label",
+        "is_holdout",
+        ((F.col("score") > 0) & (F.col("score") < 1)).cast("int").alias("score_in_unit"),
+        F.lit(int(model.loss_monotone)).cast("int").alias("loss_monotone"),
+        F.lit(int(g_a == g_b)).cast("int").alias("grad_partition_invariant"),
+        F.lit(int(train_auc >= 0.85)).cast("int").alias("train_auc_ok"),
+        F.lit(int(hold_auc >= 0.80)).cast("int").alias("holdout_auc_ok"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

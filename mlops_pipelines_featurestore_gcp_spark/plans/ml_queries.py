@@ -263,6 +263,7 @@ _DISC_CASE_SQL = "CASE {r} " + 'WHEN 1 THEN 1.0 WHEN 2 THEN 0.6309297535714575 W
     FROM per_user p CROSS JOIN gstats g
     """,
     tags=("ml", "metrics", "ranking"),
+    defer=True,
 )
 def ml06_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recommender-evaluation metrics under the driver hash

@@ -80,8 +80,9 @@ EXTRA = [
     "d10_semantic_keep_star",
     # round 9: audited since the map-side rank/coverage rewrite
     "t09_token_vocab",
-    # round 9 addition
+    # round 9 additions
     "s11_embedding_whitening",
+    "ml07_quality_classifier",
     "q38_data_expectations",
     "ml06_ranking_metrics",
     "d09_incremental_dedup",
