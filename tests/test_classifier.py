@@ -129,6 +129,34 @@ def test_featurize_shape_and_length_feature(spark):
     assert abs(sum(v * v for v in out[1][:DIM]) - 1.0) < 1e-9
 
 
+def test_score_sink_streaming(spark, tmp_path, toy):
+    df, _, _ = toy
+    model = classifier.fit_quality_classifier(df, dim=DIM, iters=3, lr=1.0)
+    src = tmp_path / "src"
+    docs = spark.createDataFrame(
+        [(1, "the quick fox"), (2, "of and to the"), (3, "")],
+        "doc_id long, text string",
+    )
+    docs.write.parquet(str(src))
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+    q = classifier.score_sink(
+        stream,
+        # model was fit at DIM; featurize in the sink uses model.dim
+        model,
+        str(tmp_path / "scores"),
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    rows = {r.doc_id: r for r in spark.read.parquet(str(tmp_path / "scores")).collect()}
+    assert set(rows) == {1, 2}  # zero-token doc 3 produces no row
+    for r in rows.values():
+        assert 0.0 < r.score < 1.0
+        assert r.pred == int(r.score >= 0.5)
+        assert r.batch_id == 0
+    # batch-replay posture: appends carry batch_id lineage for dedup
+    assert "batch_id" in spark.read.parquet(str(tmp_path / "scores")).columns
+
+
 def test_model_save_load_roundtrip(spark, tmp_path, toy):
     df, _, _ = toy
     model = classifier.fit_quality_classifier(df, dim=DIM, iters=3, lr=1.0)

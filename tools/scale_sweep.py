@@ -358,6 +358,13 @@ GATE100 = [
     # projection+flags map-side; 200k vectors hash-matched in 125.5s
     # (texp ~0.31 over the 0.1→100x decades)
     "s11_embedding_whitening",
+    # round 9: trained quality classifier — featurize is the t07
+    # aggregate, each GD step one constant-width integer-sum pass over
+    # the cached 500k-row feature frame, AUC a 10k-bin histogram; the
+    # mutated corpus shifts the label balance to 88% positive and the
+    # floors still hold (sampled-training AUC 0.944 measured offline
+    # before gating). 500k rows hash-matched in 161.2s.
+    "ml07_quality_classifier",
 ]
 
 # Hash-matched at 100x but too heavy for the per-round standing run —
