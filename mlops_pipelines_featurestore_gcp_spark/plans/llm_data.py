@@ -1155,7 +1155,16 @@ def ml07_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (sampling.uniform_hash("doc_id", "qclf") < 0.2).cast("int").alias("is_holdout"),
     )
     feats = classifier.featurize(docs, "doc_id", "text")
-    data = prof.join(feats, "doc_id").localCheckpoint(eager=False)
+    # LEFT join + bias-only default x: featurize drops zero-token docs by
+    # contract, but the oracle emits every documents row — a degenerate
+    # doc must stay in the row set (it still has a quality label, and
+    # σ(w_bias) is a legitimate score for a featureless row).
+    x_default = F.array(*([F.lit(0.0)] * 65 + [F.lit(1.0)]))
+    data = (
+        prof.join(feats, "doc_id", "left")
+        .withColumn("x", F.coalesce(F.col("x"), x_default))
+        .localCheckpoint(eager=False)
+    )
     train = data.where(F.col("is_holdout") == 0)
     model = classifier.fit_quality_classifier(train, iters=12, lr=1.0)
     # eager flag: the quantized gradient is an exact integer sum, so a

@@ -10,6 +10,7 @@ against the exact rank-statistic AUC.
 from __future__ import annotations
 
 import math
+import os
 
 import numpy as np
 import pytest
@@ -155,6 +156,33 @@ def test_score_sink_streaming(spark, tmp_path, toy):
         assert r.batch_id == 0
     # batch-replay posture: appends carry batch_id lineage for dedup
     assert "batch_id" in spark.read.parquet(str(tmp_path / "scores")).columns
+
+
+def test_ml07_keeps_zero_token_docs(spark, tmp_path):
+    """The registered query's row set must equal `documents` even when a
+    doc has no tokens (featurize drops it; the LEFT join + bias-only
+    default x puts it back — the oracle emits every documents row)."""
+    import shutil
+
+    from mlops_pipelines_featurestore_gcp_spark import plans
+
+    sf = str(tmp_path / "sf")
+    shutil.copytree("/root/testdata/sf0.001", sf, symlinks=False)
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    extra = spark.createDataFrame(
+        [(999_999, "   ", "en", "srcX", 3)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    merged = docs.unionByName(extra).localCheckpoint(eager=True)
+    path = f"{sf}/documents.parquet"
+    shutil.rmtree(path) if os.path.isdir(path) else os.remove(path)
+    merged.write.parquet(path)
+    out = plans.QUERIES["ml07_quality_classifier"].fn(spark, sf)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert len(rows) == merged.count()
+    blank = rows[999_999]
+    assert blank.n_tokens == 0
+    assert blank.score_in_unit == 1  # σ(w_bias) ∈ (0,1) for the default x
 
 
 def test_model_save_load_roundtrip(spark, tmp_path, toy):
