@@ -11,10 +11,11 @@ in the distillation shape: teacher = the oracle-verified composite quality
 heuristic (operators/text_analysis.composite_quality), student = logistic
 regression on hashed bag-of-words + length features, scored corpus-wide.
 
-The reference has no in-engine training at all — it delegates every model
-step to a managed service (``pipeline.py:56-107``, Vertex AI training /
-deployment LROs); this, like ALS (``ml/factorization.py``) and LinUCB
-(``ml/linucb.py``), is the engine-native re-expression of that stage.
+The reference has no in-engine training at all — its training step runs
+a TF-Agents loop inside a Vertex pipeline component and ships the policy
+out as a SavedModel (``trainer_component.py:94-135``); this, like ALS
+(``ml/factorization.py``) and LinUCB (``ml/linucb.py``), is the
+engine-native re-expression of that stage.
 
 Scale shape (what survives 100 TB):
 
@@ -180,10 +181,13 @@ def fit_quality_classifier(
     """Full-batch GD from w = 0. Caller provides ``(x, label)`` rows and
     should cache/checkpoint them — the loop scans ``iters`` times.
 
-    lr default 1.0 is inside the guaranteed-descent bound for these
-    features (max ‖x‖² ≤ 1 + (len_cap/len_scale)² + 1; L = max‖x‖²/4 →
-    lr < 1/L ≈ 4/6), and descent is re-asserted per fit by
-    ``loss_monotone``.
+    The worst-case guaranteed-descent bound for these features is
+    lr < 1/L ≈ 0.67 (max ‖x‖² ≤ 1 + (len_cap/len_scale)² + 1 = 6;
+    L = max‖x‖²/4). The default 1.0 deliberately exceeds that
+    conservative bound — the bound assumes every row sits at max norm —
+    and descent is therefore RE-ASSERTED per fit by ``loss_monotone``
+    (hashed into ml07's contract); drop lr to 0.67 if a caller needs
+    the a-priori guarantee instead of the per-fit check.
     """
     n_feat = dim + 2
     w = [0.0] * n_feat
@@ -263,10 +267,10 @@ def score_sink(
     cost is featurize's one aggregate over BATCH rows — batch-
     proportional, never corpus-proportional) and ``(id, score, pred,
     batch_id)`` appends to ``report_path``. This is the online half of
-    the reference's predict path (``prediction_container/main.py:38-58``
-    serves Vertex endpoint predictions; here the model is the
-    driver-sized artifact from :func:`save_model` and scoring stays
-    inside the engine).
+    the reference's predict path (``prediction_container/main.py:60-89``
+    serves per-request endpoint predictions from the reloaded policy;
+    here the model is the driver-sized artifact from :func:`save_model`
+    and scoring stays inside the engine, batched instead of per-request).
 
     Append-only with the batch id as lineage — a replayed batch rewrites
     the same (batch_id, id) rows, which downstream consumers dedup on
@@ -299,7 +303,7 @@ def score_sink(
 
 def save_model(spark: SparkSession, model: QualityClassifierModel, path: str) -> None:
     """Persist the driver-sized artifact as one parquet row (the S11
-    model-artifact surface, like ml/linucb.save_policy)."""
+    model-artifact surface, like ml/linucb's ``LinUCBModel.save``)."""
     row = [
         (
             list(model.weights),
