@@ -33,8 +33,9 @@ Scale shape (what survives 100 TB):
   micro-integer sums; the model is driver-sized by construction.
   T scans of an O(N·dim) cached frame is the honest distributed cost of
   full-batch GD — the same per-iteration shape as ALS.
-- **score** — learned weights broadcast as literals, one HOF fold per row:
-  map-only, no shuffle, whole-stage codegen.
+- **score** — learned weights as literals, the dot product UNROLLED as a
+  Σ x[j]·w[j] codegen expression (never a zip_with/aggregate HOF — those
+  are CodegenFallback, interpreted per element): map-only, no shuffle.
 - **binned_auc** — AUC from a (score-bin, label) count aggregate at 1e-4
   bin width: ≤10k + 1 rows reach the driver regardless of corpus size.
   NEVER a global rank window (the repo-banned single-task stage); the bin
@@ -112,17 +113,21 @@ def featurize(
     return emb.select(F.col(id_col), x.alias("x"))
 
 
-def _w_col(weights) -> Column:
-    return F.array(*[F.lit(float(w)) for w in weights])
+def _logit(x_col: Column, w_terms: list[Column]) -> Column:
+    """w·x unrolled as Σ_j x[j]·w[j] — plain codegen binary adds, NOT a
+    zip_with/aggregate HOF (those are CodegenFallback, interpreted per
+    element — the repo's documented hot-path smell; at dim+2 = 66 terms
+    the unrolled expression is well inside Catalyst's comfort zone, and
+    the left-associated add order is bit-identical to the fold's)."""
+    terms = [F.element_at(x_col, j + 1) * w for j, w in enumerate(w_terms)]
+    z = terms[0]
+    for t in terms[1:]:
+        z = z + t
+    return z
 
 
-def _logit(x_col: Column, w_col: Column) -> Column:
-    """w·x as a row-local fold — map-side, no shuffle."""
-    return F.aggregate(
-        F.zip_with(x_col, w_col, lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+def _w_lits(weights) -> list[Column]:
+    return [F.lit(float(w)) for w in weights]
 
 
 def _micro(col: Column) -> Column:
@@ -149,7 +154,7 @@ def gradient_micro(features: DataFrame, weights, *, x_col: str = "x", label_col:
     params = spark.createDataFrame(
         [([float(w) for w in weights],)], "__w array<double>"
     )
-    z = _logit(F.col(x_col), F.col("__w"))
+    z = _logit(F.col(x_col), [F.element_at(F.col("__w"), j + 1) for j in range(n_feat)])
     y = F.col(label_col).cast("double")
     d = (F.lit(1.0) / (F.lit(1.0) + F.exp(-z)) - y).alias("__d")
     # numerically stable logloss: log1p(e^-|z|) + max(z,0) - z·y
@@ -164,6 +169,10 @@ def gradient_micro(features: DataFrame, weights, *, x_col: str = "x", label_col:
         F.sum(_micro(F.col("__l"))).alias("loss"),
         F.count("*").alias("n"),
     ).first()
+    if int(agg["n"]) == 0:
+        # the F.sum aggregates are NULL on an empty frame — fail with the
+        # real cause, not an int(None) TypeError
+        raise ValueError("gradient_micro: empty training frame")
     return [int(agg[f"g{j}"]) for j in range(n_feat)], int(agg["loss"]), int(agg["n"])
 
 
@@ -194,10 +203,9 @@ def fit_quality_classifier(
     losses: list[int] = []
     n = 0
     for _ in range(iters):
+        # gradient_micro raises ValueError on an empty frame
         g, loss, n = gradient_micro(features, w, x_col=x_col, label_col=label_col)
         losses.append(loss)
-        if n == 0:
-            raise ValueError("fit_quality_classifier: empty training frame")
         w = [wj - lr * (gj / MICRO) / n for wj, gj in zip(w, g)]
     return QualityClassifierModel(
         weights=tuple(w),
@@ -214,7 +222,7 @@ def score(
 ) -> DataFrame:
     """σ(w·x) per row — literal weights (one-shot call: a single compile),
     map-only codegen."""
-    z = _logit(F.col(x_col), _w_col(weights))
+    z = _logit(F.col(x_col), _w_lits(weights))
     return df.withColumn(out_col, F.lit(1.0) / (F.lit(1.0) + F.exp(-z)))
 
 

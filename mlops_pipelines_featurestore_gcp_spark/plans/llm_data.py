@@ -1154,19 +1154,20 @@ def ml07_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("label"),
         (sampling.uniform_hash("doc_id", "qclf") < 0.2).cast("int").alias("is_holdout"),
     )
-    feats = classifier.featurize(docs, "doc_id", "text")
+    qdim = 64  # ONE dim for featurize, the default row, and the fit
+    feats = classifier.featurize(docs, "doc_id", "text", dim=qdim)
     # LEFT join + bias-only default x: featurize drops zero-token docs by
     # contract, but the oracle emits every documents row — a degenerate
     # doc must stay in the row set (it still has a quality label, and
     # σ(w_bias) is a legitimate score for a featureless row).
-    x_default = F.array(*([F.lit(0.0)] * 65 + [F.lit(1.0)]))
+    x_default = F.array(*([F.lit(0.0)] * (qdim + 1) + [F.lit(1.0)]))
     data = (
         prof.join(feats, "doc_id", "left")
         .withColumn("x", F.coalesce(F.col("x"), x_default))
         .localCheckpoint(eager=False)
     )
     train = data.where(F.col("is_holdout") == 0)
-    model = classifier.fit_quality_classifier(train, iters=12, lr=1.0)
+    model = classifier.fit_quality_classifier(train, dim=qdim, iters=12, lr=1.0)
     # eager flag: the quantized gradient is an exact integer sum, so a
     # different partitioning must reproduce it BIT-equal (at the trained
     # weights — nontrivial doubles, unlike the symmetric w=0 start)
@@ -1180,7 +1181,12 @@ def ml07_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         "label",
         "is_holdout",
-        ((F.col("score") > 0) & (F.col("score") < 1)).cast("int").alias("score_in_unit"),
+        # inclusive bounds + NaN guard: σ legitimately saturates to an
+        # exact 0.0/1.0 in double once |w·x| > ~36.7 (a highly-separable
+        # corpus could get there) — saturation is fine, NaN/NULL is not
+        ((F.col("score") >= 0) & (F.col("score") <= 1) & ~F.isnan(F.col("score")))
+        .cast("int")
+        .alias("score_in_unit"),
         F.lit(int(model.loss_monotone)).cast("int").alias("loss_monotone"),
         F.lit(int(g_a == g_b)).cast("int").alias("grad_partition_invariant"),
         F.lit(int(train_auc >= 0.85)).cast("int").alias("train_auc_ok"),
