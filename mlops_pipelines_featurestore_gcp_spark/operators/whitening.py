@@ -92,7 +92,9 @@ def fit_whitening(
         )
         .collect()
     )
-    n = next(r["n"] for r in agg)
+    if not agg:
+        raise ValueError("fit_whitening: empty corpus — nothing to fit")
+    n = agg[0]["n"]
     mean = np.zeros(dim)
     m2 = np.zeros((dim, dim))
     for r in agg:

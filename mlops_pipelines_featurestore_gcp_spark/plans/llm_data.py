@@ -1027,7 +1027,12 @@ def s11_embedding_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
     # global flag 1: rotation orthonormality (driver-side, 64×64)
     W = np.array(rot).T  # columns = principal components
     rot_on = int(bool(np.abs(W.T @ W - np.eye(64)).max() < 1e-9))
-    out = whitening.apply_whitening(emb, mean, rot, vec_col="embedding")
+    # localCheckpoint: `out` feeds BOTH the eager variance collect below
+    # and the returned hashed frame — without it the corpus-wide 64×64
+    # projection recomputes (the d10 pattern; review r9)
+    out = whitening.apply_whitening(emb, mean, rot, vec_col="embedding").localCheckpoint(
+        eager=False
+    )
     # global flag 2: realized per-component variance == fitted eigenvalue.
     # An independent second aggregation over the PROJECTED data (decimal
     # accumulation again); compare at 1e-6 relative driver-side.
@@ -1067,7 +1072,14 @@ def s11_embedding_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.crossJoin(F.broadcast(params))
         .select(
             F.col("vec_id").cast("long").alias("vec_id"),
-            (F.abs(sq(y) - sq(centered)) <= F.lit(1e-6)).cast("int").alias("norm_ok"),
+            # RELATIVE bands (review r9): both quantities scale with
+            # ‖v‖², so an absolute 1e-6/1e-9 would flip the flag on a
+            # legitimately large-magnitude corpus even though the
+            # rotation is numerically correct (identical to var_parity's
+            # own relative rule). Identity on the unit-norm fixture.
+            (F.abs(sq(y) - sq(centered)) <= F.lit(1e-6) * F.greatest(F.lit(1.0), sq(centered)))
+            .cast("int")
+            .alias("norm_ok"),
             (
                 F.aggregate(
                     F.zip_with(
@@ -1078,7 +1090,7 @@ def s11_embedding_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.lit(0.0),
                     lambda acc, x: acc + x,
                 )
-                <= F.lit(1e-9)
+                <= F.lit(1e-9) * F.greatest(F.lit(1.0), sq(centered))
             )
             .cast("int")
             .alias("recon_ok"),

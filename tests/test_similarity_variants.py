@@ -271,9 +271,12 @@ def test_keep_star_multi_hub_same_contract_more_coverage(emb):
         emb, n_clusters=8, threshold=0.3, dim=64, n_hubs=8
     ).collect()
     assert sorted(r["vec_id"] for r in multi) == sorted(r["vec_id"] for r in single)
-    n_drop_1 = sum(1 for r in single if r["kept"] == 0)
-    n_drop_8 = sum(1 for r in multi if r["kept"] == 0)
-    assert n_drop_8 >= n_drop_1, (n_drop_1, n_drop_8)
+    # NOTE deliberately NOT asserted: n_drop_8 >= n_drop_1. Coverage
+    # growth in n_hubs is an empirical fixture fact (measured in
+    # tools/d10_recall.py), not an operator invariant — a single-hub
+    # drop can be elected hub at R=8 and become kept, so a fixture/seed
+    # change could legitimately shrink the drop count. The contract
+    # invariants below are what the operator guarantees.
     kept = {r["vec_id"] for r in multi if r["kept"] == 1}
     exact = _pairs(similarity.cosine_neardup_pairs(emb, threshold=0.3, dim=64))
     for r in multi:

@@ -23,7 +23,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from mlops_pipelines_featurestore_gcp_spark import get_spark, plans  # noqa: E402
-from bench import HEADLINE  # noqa: E402  (audit the same set the bench times)
+from bench import HEADLINE, HEADLINE2  # noqa: E402  (audit the same set the bench times)
 
 # Rows where a CartesianProduct/BroadcastNestedLoopJoin in the audited plan
 # is the documented design (broadcast query set / size-1 stat table), keyed
@@ -44,7 +44,10 @@ EXPECTED_CARTESIAN = {
 }
 
 # Deferred/new queries worth auditing beyond the bench set — same table,
-# separate section so the bench headline set stays stable.
+# separate section so the bench headline set stays stable. HEADLINE2 is
+# imported directly (r9), so entries here that also appear there are
+# redundant-but-harmless (the audit loop dedups); only NON-bench queries
+# (bench-excluded or deferred) need a row here.
 EXTRA = [
     "d08_keep_best_exact",
     "t17_soft_dedup_weights",
@@ -150,7 +153,12 @@ def main() -> None:
     print("|---|---|---|---|---|---|---|---|")
     details: list[tuple[str, str]] = []
     operator_only = _operator_only_frames(spark, sf_dir)
-    for name in HEADLINE + EXTRA + list(operator_only):
+    # Audit set = EVERYTHING the bench times (HEADLINE + HEADLINE2 —
+    # imported, not hand-mirrored: st06/mm05 escaped the audit for two
+    # rounds because EXTRA duplicated HEADLINE2 by hand; review r9) plus
+    # the non-bench EXTRA list, deduped order-preserving.
+    audit_names = list(dict.fromkeys(HEADLINE + HEADLINE2 + EXTRA))
+    for name in audit_names + list(operator_only):
         if name in operator_only:
             df = operator_only[name]()
         else:

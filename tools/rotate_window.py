@@ -150,12 +150,16 @@ def plan(round_no: int) -> int:
     return 0
 
 
-def compute_must_in(round_no: int) -> tuple[list[str], list[str], dict]:
-    """(must_in, current_window, ledger) for ``round_no``: must_in is
-    every oracle query absent from both the current window and the NEWEST
-    recorded ledger window. Factored out of the auto swap so a MANUAL
-    apply can validate against must_in without running (or raising from)
-    the auto OUT-selection (ADVICE r8)."""
+def compute_must_in(round_no: int) -> tuple[list[str], list[str], dict, set[str], list[str]]:
+    """(must_in, current_window, ledger, recent, prior_rounds) for
+    ``round_no``: must_in is every oracle query absent from both the
+    current window and the NEWEST recorded ledger window. Factored out of
+    the auto swap so a MANUAL apply can validate against must_in without
+    running (or raising from) the auto OUT-selection (ADVICE r8); the
+    recency rule lives HERE and only here — compute_auto_swap consumes
+    the returned recent/rounds instead of re-deriving them (review r9:
+    two copies of the rule would let a future edge-case fix diverge the
+    validation window from the OUT-selection window)."""
     plans = _registry()
     ledger = json.loads(LEDGER.read_text())
     # "recent" = the newest ledger round BEFORE round_no: when round_no's
@@ -167,7 +171,7 @@ def compute_must_in(round_no: int) -> tuple[list[str], list[str], dict]:
     current = list(plans.queries_map())[:WINDOW]
     oracle = {n for n, s in plans.QUERIES.items() if s.oracle is not None}
     must_in = sorted(oracle - set(current) - recent)
-    return must_in, current, ledger
+    return must_in, current, ledger, recent, rounds
 
 
 def compute_auto_swap(round_no: int) -> tuple[list[str], list[str]]:
@@ -176,9 +180,7 @@ def compute_auto_swap(round_no: int) -> tuple[list[str], list[str]]:
     NEWEST recorded ledger window; OUT = enough current-window queries to
     make room, preferring those with the MOST recorded green windows
     (evidence balance — recent additions with one window stay in)."""
-    must_in, current, ledger = compute_must_in(round_no)
-    rounds = sorted((r for r in ledger if int(r) < round_no), key=int)
-    recent = set(ledger[rounds[-1]]) if rounds else set()
+    must_in, current, ledger, recent, rounds = compute_must_in(round_no)
     counts = {n: sum(n in ledger[r] for r in rounds) for n in current}
     keep = sorted(current, key=lambda n: (counts[n], n))[: WINDOW - len(must_in)]
     outs = [n for n in current if n not in keep]
@@ -199,7 +201,7 @@ def apply(round_no: int, ins: list[str], outs: list[str]) -> int:
     # uses compute_must_in, NOT compute_auto_swap — the auto path's
     # OUT-selection can legitimately fail (not_contract_safe) even when
     # the manual lists form a valid rotation (ADVICE r8).
-    required, _, _ = compute_must_in(round_no)
+    required = compute_must_in(round_no)[0]
     missing = [n for n in required if n not in ins]
     if missing:
         print(
