@@ -1112,7 +1112,9 @@ def s11_embedding_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SQL-expressible (12 driver-side GD steps), so the model-dependent
     # assertions ride as eagerly-verified CONTRACT flags (the d10/s11
     # pattern): strict per-iteration loss descent, gradient equality under
-    # repartition(7) at the TRAINED weights, and binned-AUC floors on
+    # repartition(7) at the TRAINED weights, exact save/load round-trip of
+    # the model artifact (scoring runs off the RELOADED weights — the s10
+    # prebuilt-parity posture), and binned-AUC floors on
     # train (0.85) and holdout (0.80) — measured 0.98+/0.98+ at
     # sf0.001/0.01/0.1. Registered in llm_data.py (not ml_queries.py) for
     # the shared quality/holdout SQL fragments.
@@ -1139,7 +1141,8 @@ def s11_embedding_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(1 AS INT) AS loss_monotone,
            CAST(1 AS INT) AS grad_partition_invariant,
            CAST(1 AS INT) AS train_auc_ok,
-           CAST(1 AS INT) AS holdout_auc_ok
+           CAST(1 AS INT) AS holdout_auc_ok,
+           CAST(1 AS INT) AS artifact_roundtrip_ok
     FROM feats
     """,
     tags=("ml", "llm", "quality", "classifier"),
@@ -1152,9 +1155,11 @@ def ml07_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     capped length + bias, student = logistic regression fit by 12
     full-batch GD steps whose gradient sums are exact BIGINT micro-unit
     additions. Holdout = md5-uniform 20% the SQL twin replays. The corpus
-    is then scored map-side and the per-row flags + eager global flags
-    (loss descent, gradient partition-invariance at the trained weights,
-    train/holdout AUC floors) go under the driver hash."""
+    is then scored map-side FROM THE RELOADED ARTIFACT (saved to scratch,
+    read back, exact-equality flag) and the per-row flags + eager global
+    flags (loss descent, gradient partition-invariance at the trained
+    weights, artifact round-trip, train/holdout AUC floors) go under the
+    driver hash."""
     from mlops_pipelines_featurestore_gcp_spark.ml import classifier
 
     docs = load_table(spark, "documents", sf_dir)
@@ -1185,7 +1190,18 @@ def ml07_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # weights — nontrivial doubles, unlike the symmetric w=0 start)
     g_a, _, _ = classifier.gradient_micro(train, model.weights)
     g_b, _, _ = classifier.gradient_micro(train.repartition(7), model.weights)
-    scored = classifier.score(data, model.weights).localCheckpoint(eager=False)
+    # eager flag: the persisted artifact round-trips EXACTLY (doubles
+    # survive parquet bit-for-bit) — the s10 prebuilt-parity posture for
+    # the model-artifact surface, under the driver hash instead of
+    # pytest alone. fresh=True: a stale artifact from an earlier run
+    # must never satisfy the flag.
+    from mlops_pipelines_featurestore_gcp_spark.sources.scratch import scratch_dir
+
+    art_path = scratch_dir("qclf_model_ml07", fresh=True, per_process=True)
+    classifier.save_model(spark, model, art_path)
+    loaded = classifier.load_model(spark, art_path)
+    art_ok = int(loaded == model)
+    scored = classifier.score(data, loaded.weights).localCheckpoint(eager=False)
     train_auc = classifier.binned_auc(scored.where(F.col("is_holdout") == 0))
     hold_auc = classifier.binned_auc(scored.where(F.col("is_holdout") == 1))
     return scored.select(
@@ -1203,6 +1219,7 @@ def ml07_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(int(g_a == g_b)).cast("int").alias("grad_partition_invariant"),
         F.lit(int(train_auc >= 0.85)).cast("int").alias("train_auc_ok"),
         F.lit(int(hold_auc >= 0.80)).cast("int").alias("holdout_auc_ok"),
+        F.lit(art_ok).cast("int").alias("artifact_roundtrip_ok"),
     )
 
 
