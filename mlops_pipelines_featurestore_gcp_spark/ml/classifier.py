@@ -25,8 +25,9 @@ Scale shape (what survives 100 TB):
   row per doc ((dim+2) doubles), cached once for the training loop.
 - **fit** — full-batch gradient descent, ``iters`` passes over the cached
   feature frame. Each iteration is ONE wide aggregate: per-row sigmoid +
-  residual in codegen, every gradient term FLOOR-QUANTIZED to integer
-  micro-units BEFORE the sum (the lm_score/t10 trick) so the aggregation
+  residual in codegen, every gradient term ROUND-HALF-UP-quantized to
+  integer micro-units — ``floor(x*1e6 + 0.5)``, NOT a plain floor —
+  BEFORE the sum (the lm_score/t10 trick) so the aggregation
   is exact BIGINT addition — associative, commutative, and therefore
   **bit-deterministic under any partitioning, task retry, or AQE
   re-plan**. The (dim+2)-float weight update runs driver-side on the
@@ -58,6 +59,23 @@ from pyspark.sql import functions as F
 from mlops_pipelines_featurestore_gcp_spark.operators.embeddings import hashed_embedding
 
 MICRO = 1_000_000
+
+# _logit unrolls dim+2 element_at*weight terms into ONE expression and
+# gradient_micro builds n_feat parallel sums each embedding that tree; past
+# a few hundred terms the generated method would blow Janino's 64 KB limit
+# and Catalyst silently falls back to INTERPRETED evaluation — exactly the
+# hot-path smell the module docstring bans. Cap so the codegen claim stays
+# true by construction (dim=256 → 258 terms, comfortably inside the limit).
+MAX_DIM = 256
+
+
+def _check_dim(dim: int) -> None:
+    if dim > MAX_DIM:
+        raise ValueError(
+            f"quality classifier dim={dim} exceeds MAX_DIM={MAX_DIM}: the "
+            "unrolled w·x codegen expression would exceed Janino's method "
+            "limit and fall back to interpreted evaluation"
+        )
 
 
 @dataclass(frozen=True)
@@ -100,6 +118,7 @@ def featurize(
     Docs with zero tokens have no feature direction and produce no row
     (hashed_embedding's documented contract).
     """
+    _check_dim(dim)
     emb = hashed_embedding(df, id_col, text_col, dim=dim, salt=salt)
     x = F.concat(
         F.col("embedding"),
@@ -130,9 +149,12 @@ def _w_lits(weights) -> list[Column]:
     return [F.lit(float(w)) for w in weights]
 
 
-def _micro(col: Column) -> Column:
-    """Floor-quantize to integer micro-units BEFORE summation: the sum
-    becomes exact BIGINT addition → partitioning/retry/order-proof."""
+def _round_micro(col: Column) -> Column:
+    """Round-half-up to integer micro-units — ``floor(x*1e6 + 0.5)``, i.e.
+    nearest-integer with ties up, NOT a plain floor — BEFORE summation:
+    the sum becomes exact BIGINT addition → partitioning/retry/order-proof.
+    A replay or SQL twin MUST reproduce the ``+ 0.5`` or it diverges by
+    one micro-unit on exactly-representable halves."""
     return F.floor(col * MICRO + F.lit(0.5)).cast("long")
 
 
@@ -150,6 +172,7 @@ def gradient_micro(features: DataFrame, weights, *, x_col: str = "x", label_col:
     tree is iteration-invariant (the s11 broadcast-params pattern).
     """
     n_feat = len(weights)
+    _check_dim(n_feat - 2)
     spark = features.sparkSession
     params = spark.createDataFrame(
         [([float(w) for w in weights],)], "__w array<double>"
@@ -165,8 +188,8 @@ def gradient_micro(features: DataFrame, weights, *, x_col: str = "x", label_col:
     )
     row = features.crossJoin(F.broadcast(params)).select(F.col(x_col), d, loss)
     agg = row.agg(
-        *[F.sum(_micro(F.col("__d") * F.element_at(F.col(x_col), j + 1))).alias(f"g{j}") for j in range(n_feat)],
-        F.sum(_micro(F.col("__l"))).alias("loss"),
+        *[F.sum(_round_micro(F.col("__d") * F.element_at(F.col(x_col), j + 1))).alias(f"g{j}") for j in range(n_feat)],
+        F.sum(_round_micro(F.col("__l"))).alias("loss"),
         F.count("*").alias("n"),
     ).first()
     if int(agg["n"]) == 0:
@@ -198,6 +221,7 @@ def fit_quality_classifier(
     (hashed into ml07's contract); drop lr to 0.67 if a caller needs
     the a-priori guarantee instead of the per-fit check.
     """
+    _check_dim(dim)
     n_feat = dim + 2
     w = [0.0] * n_feat
     losses: list[int] = []
@@ -222,6 +246,7 @@ def score(
 ) -> DataFrame:
     """σ(w·x) per row — literal weights (one-shot call: a single compile),
     map-only codegen."""
+    _check_dim(len(weights) - 2)
     z = _logit(F.col(x_col), _w_lits(weights))
     return df.withColumn(out_col, F.lit(1.0) / (F.lit(1.0) + F.exp(-z)))
 
@@ -232,7 +257,13 @@ def binned_auc(
     """ROC-AUC from a (bin, label) histogram — one aggregate, ≤ bins+1
     rows to the driver at ANY corpus size; within-bin ties take the
     standard mid-rank (trapezoid) credit. With micro-quantized sigmoid
-    scores and bins=1e4 the bin error is ≤ ~1e-3 AUC."""
+    scores and bins=1e4 the bin error is ≤ ~1e-3 AUC.
+
+    Returns NaN when either class is absent (AUC is undefined on a
+    single-class frame). Callers gating on a floor must pair the gate
+    with a degenerate-split signal — NaN >= floor is False, which would
+    otherwise surface as a bare flag mismatch (ml07 emits
+    ``split_nondegenerate`` for exactly this)."""
     hist = (
         scored.groupBy(
             F.floor(F.col(score_col) * bins).cast("long").alias("__b"),
@@ -280,10 +311,15 @@ def score_sink(
     here the model is the driver-sized artifact from :func:`save_model`
     and scoring stays inside the engine, batched instead of per-request).
 
-    Append-only with the batch id as lineage — a replayed batch rewrites
-    the same (batch_id, id) rows, which downstream consumers dedup on
-    (the drift_sink/log_loop posture). Zero-token docs produce no row
-    (featurize's documented contract)."""
+    Exactly-once per batch WITHOUT downstream dedup: the sink writes
+    ``partitionBy(batch_id)`` with DYNAMIC partition overwrite, so a
+    replayed micro-batch rewrites ONLY its own ``batch_id=`` partition
+    in place instead of appending duplicate rows — idempotent under
+    foreachBatch's at-least-once replay, and untouched batches' output
+    is never dropped (static overwrite mode would truncate the whole
+    path). Note ``batch_id`` comes back as a partition column on read
+    (directory-derived, integer-inferred). Zero-token docs produce no
+    row (featurize's documented contract)."""
     w = list(model.weights)
     dim, len_cap, len_scale = model.dim, model.len_cap, model.len_scale
 
@@ -299,7 +335,12 @@ def score_sink(
             (F.col("score") >= threshold).cast("int").alias("pred"),
             F.lit(batch_id).cast("long").alias("batch_id"),
         )
-        out.write.mode("append").parquet(report_path)
+        (
+            out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(report_path)
+        )
 
     writer = stream.writeStream.foreachBatch(_score_batch).option(
         "checkpointLocation", checkpoint_dir

@@ -1130,10 +1130,16 @@ def s11_embedding_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
                    + (len(list_distinct(t)) / greatest(len(t), 1)) * 0.3
                    + (1.0 - n_punct / greatest(len(text), 1)) * 0.1) * 1000000.0 + 0.5) AS BIGINT) AS qmicro
       FROM base
+    ),
+    lab AS (
+      SELECT CAST(qmicro >= 470000 AS INT) AS l,
+             CAST({_UHASH_SRC.format(salt='qclf')} < 0.2 AS INT) AS h
+      FROM feats
     )
     SELECT doc_id, n_tokens,
            CAST(qmicro >= 470000 AS INT) AS label,
            CAST({_UHASH_SRC.format(salt='qclf')} < 0.2 AS INT) AS is_holdout,
+           CAST((SELECT COUNT(DISTINCT l * 2 + h) FROM lab) = 4 AS INT) AS split_nondegenerate,
            CAST(1 AS INT) AS score_in_unit,
            CAST(1 AS INT) AS loss_monotone,
            CAST(1 AS INT) AS grad_partition_invariant,
@@ -1167,6 +1173,18 @@ def ml07_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("label"),
         (sampling.uniform_hash("doc_id", "qclf") < 0.2).cast("int").alias("is_holdout"),
+    )
+    # Diagnosability (r9 ADVICE): binned_auc returns NaN when a split holds
+    # a single class, and NaN >= floor reads as a bare flag-0 with no hint
+    # of cause. split_nondegenerate is a FULL SQL twin (both classes present
+    # in both splits — label*2+is_holdout hits all four combos), so a red
+    # AUC flag next to a green-but-0 (or red) split flag immediately says
+    # "degenerate split", not "bad model".
+    nondeg = (
+        prof.select((F.col("label") * 2 + F.col("is_holdout")).alias("c"))
+        .distinct()
+        .count()
+        == 4
     )
     qdim = 64  # ONE dim for featurize, the default row, and the fit
     feats = classifier.featurize(docs, "doc_id", "text", dim=qdim)
@@ -1206,6 +1224,7 @@ def ml07_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         "label",
         "is_holdout",
+        F.lit(int(nondeg)).cast("int").alias("split_nondegenerate"),
         # inclusive bounds + NaN guard: σ legitimately saturates to an
         # exact 0.0/1.0 in double once |w·x| > ~36.7 (a highly-separable
         # corpus could get there) — saturation is fine, NaN/NULL is not
