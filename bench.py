@@ -177,6 +177,31 @@ def _wait_for_quiet(
     return waited, os.getloadavg()[0] >= threshold
 
 
+def _calibrate(reps: int = 3) -> float:
+    """Fixed synthetic CPU-bound calibration job: 256 MB through md5,
+    single-threaded, no IO, no fixtures, no JVM — min of ``reps`` runs.
+
+    The r9 bisect proved host-level slowdown INVISIBLE to guest loadavg
+    and steal counters: the unmodified r8 commit re-benched 17.87s against
+    its own recorded 13.16s on the same box (VERDICT r9 "what's wrong"
+    #2). ``calib_s`` makes the drift measurable in-band — cross-round
+    comparisons divide by it instead of trusting absolute seconds, so a
+    1.3× uptick on untouched queries with a 1.3× calib reads as host
+    drift, not regression, without a worktree bisect.
+    """
+    import hashlib
+
+    block = b"\x5a" * 65536
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        h = hashlib.md5()
+        for _ in range(4096):
+            h.update(block)
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -193,6 +218,10 @@ def main() -> None:
                 f"# waited {waited:.0f}s for quiet box "
                 f"(still contended: {contended})", file=sys.stderr,
             )
+    # host-speed calibration AFTER the quiet wait, BEFORE the JVM exists
+    # (no competing threads of our own): see _calibrate's docstring.
+    calib = _calibrate()
+    print(f"# calib_s: {calib:.4f}", file=sys.stderr)
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     if os.environ.get("SPARK_GRAFT_BENCH_MIRROR", "1") != "0":
@@ -252,7 +281,7 @@ def main() -> None:
 
     line, detail = build_outputs(
         timings, spreads, sf, repeats, load_before, os.getloadavg(),
-        contended=contended, quiet_wait_s=waited,
+        contended=contended, quiet_wait_s=waited, calib_s=calib,
     )
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
@@ -273,6 +302,7 @@ def build_outputs(
     *,
     contended: bool = False,
     quiet_wait_s: float = 0.0,
+    calib_s: float = 0.0,
 ) -> tuple[str, dict]:
     """Build (stdout JSON line, BENCH_DETAIL.json payload).
 
@@ -302,6 +332,9 @@ def build_outputs(
             # out and the number likely carries neighbor contention
             "contended": contended,
             "quiet_wait_s": round(quiet_wait_s, 1),
+            # single-core host-speed probe (md5, no IO/JVM): cross-round
+            # comparisons self-normalize on ratios of this (r9 host drift)
+            "calib_s": round(calib_s, 4),
         },
         separators=(",", ":"),
     )
@@ -315,6 +348,7 @@ def build_outputs(
         "loadavg_after": [round(x, 2) for x in load_after],
         "contended": contended,
         "quiet_wait_s": round(quiet_wait_s, 1),
+        "calib_s": round(calib_s, 4),
     }
     return line, detail
 

@@ -70,6 +70,27 @@ def test_contended_flag_rides_the_line_and_detail():
     assert json.loads(line2)["contended"] is False
 
 
+def test_calibration_rides_the_line_and_detail():
+    # r10: the r9 bisect proved host-level drift invisible to loadavg and
+    # steal counters — calib_s (fixed CPU-bound md5 probe) must ride BOTH
+    # outputs so cross-round comparisons can self-normalize on its ratio.
+    timings, spreads = _fake_run(3, 2)
+    line, detail = bench.build_outputs(
+        timings, spreads, 0.1, 4, (0,) * 3, (0,) * 3, calib_s=0.41237,
+    )
+    obj = json.loads(line)
+    assert obj["calib_s"] == 0.4124
+    assert detail["calib_s"] == 0.4124
+
+
+def test_calibrate_is_positive_and_repeatable():
+    a, b = bench._calibrate(reps=1), bench._calibrate(reps=1)
+    assert a > 0 and b > 0
+    # same fixed workload twice on the same box: within 5x of each other
+    # (a loose sanity band — the probe measures the HOST, not the code)
+    assert max(a, b) / min(a, b) < 5.0
+
+
 def test_stable_series_value_excludes_new_ops():
     timings, spreads = _fake_run(3, 2)
     line, _ = bench.build_outputs(timings, spreads, 0.01, 1, (0,) * 3, (0,) * 3)
