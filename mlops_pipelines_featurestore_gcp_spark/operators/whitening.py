@@ -21,10 +21,11 @@ Scale architecture:
   (report-sized: 2080 rows). Eigenvector signs are canonicalized (the
   largest-|component| entry made positive), so the fitted rotation is a
   pure deterministic function of the corpus.
-- **apply** is map-side: the (mean, rotation) ride a one-row broadcast
-  (the f06 stat-table pattern), projection is a runtime HOF fold per
-  output dimension (64×64 multiply-adds per row — the d05 scoring cost
-  class), never an unrolled Catalyst expression.
+- **apply** is map-side: one Arrow-batched ``(B, dim) @ (dim, dim)``
+  matmul per batch (r10 — the earlier HOF-fold form was CodegenFallback,
+  interpreted per element: dim² interpreted ops per row; a matrix
+  multiply belongs on the Arrow path like the PQ/ADC kernels), params in
+  the udf closure, never an unrolled Catalyst expression.
 
 Reference analogue: none (the reference delegates vector work to Vertex
 Matching Engine, SURVEY §0); engine-native feature.
@@ -32,7 +33,9 @@ Matching Engine, SURVEY §0); engine-native feature.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -51,8 +54,6 @@ def fit_whitening(
     the k-th principal COLUMN vector (components sorted by eigenvalue
     descending) — ``y_k = (v - mean) · rotation[k]``.
     """
-    import numpy as np
-
     v = F.col(vec_col).cast("array<double>")
     # one explode per vector: 64 first-moment + 2080 second-moment terms,
     # tagged (j, k) with k = -1 for the mean terms; map-side combine makes
@@ -119,17 +120,6 @@ def fit_whitening(
     return [float(x) for x in mean], rotation, [float(x) for x in w]
 
 
-def _project(centered: Column, rotation: Column) -> Column:
-    """``y_k = centered · rotation[k]`` — runtime HOF folds (left-to-right,
-    the same accumulation the similarity operators use)."""
-    return F.transform(
-        rotation,
-        lambda col: F.aggregate(
-            F.zip_with(centered, col, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
-        ),
-    )
-
-
 def apply_whitening(
     df: DataFrame,
     mean: list[float],
@@ -138,21 +128,33 @@ def apply_whitening(
     vec_col: str = "embedding",
     out_col: str = "whitened",
 ) -> DataFrame:
-    """Map-side projection: ``out_col[k] = (vec - mean) · rotation[k]``.
+    """Map-side projection ``out_col[k] = (vec - mean) · rotation[k]`` as
+    ONE Arrow-batched matmul: ``(B, dim) @ (dim, dim)`` BLAS per batch.
 
-    The (mean, rotation) table is ONE row (~dim² doubles), broadcast-
-    crossed into the frame — the f06 stat-table pattern, whitelisted as a
-    by-design broadcast cartesian in the plan audit.
+    r10: the original form was a runtime HOF fold per output dimension —
+    HOFs are CodegenFallback, interpreted per ELEMENT, which is dim² =
+    4096 interpreted ops per row (a d05-style 64-op dot fold is fine; a
+    full matrix multiply is not), and the OPQ index integration made this
+    projection a per-build/per-search cost. The (mean, rotation) params
+    ride in the udf closure (~dim² doubles ≈ 32 KB — task-shipped, no
+    broadcast join, no codegen at all).
+
+    Bit-parity caveat: BLAS accumulation order differs from the fold's
+    left-to-right order in the last ulp — consumers band-compare (the s11
+    contract's relative bands; the st07 epsilon rule), never byte-compare
+    across kernels. Within ONE build the projection is deterministic.
     """
-    spark = df.sparkSession
-    params = spark.createDataFrame(
-        [(mean, rotation)], "__mu array<double>, __w array<array<double>>"
-    )
-    centered = F.zip_with(
-        F.col(vec_col).cast("array<double>"), F.col("__mu"), lambda a, b: a - b
-    )
-    return (
-        df.crossJoin(F.broadcast(params))
-        .withColumn(out_col, _project(centered, F.col("__w")))
-        .drop("__mu", "__w")
-    )
+    from pyspark.sql.functions import pandas_udf
+
+    mu = np.asarray(mean, dtype=np.float64)
+    W = np.asarray(rotation, dtype=np.float64)  # rows = rotation[k]
+
+    @pandas_udf("array<double>")
+    def _proj(vs: pd.Series) -> pd.Series:
+        X = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
+        if X.size == 0:
+            return pd.Series([], dtype=object)
+        Y = (X - mu) @ W.T
+        return pd.Series(list(Y))
+
+    return df.withColumn(out_col, _proj(F.col(vec_col)))

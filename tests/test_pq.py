@@ -285,3 +285,105 @@ def test_ivfpq_upsert_appends_batch_and_search_sees_it(spark, tmp_path):
     assert any(n >= 1000 for n in found)
     top1 = {r.query_id: r.neighbor_id for r in out if r.rnk == 1}
     assert all(top1[q] == q + 1000 for q in top1)
+
+
+# ---------------------------------------------------------------------------
+# OPQ-rotated index option (r10: the s11 rotation wired INTO the index)
+# ---------------------------------------------------------------------------
+
+
+def test_opq_rotation_persists_and_clears(spark, tmp_path):
+    import os
+
+    emb = _emb(spark, n=60)
+    path = str(tmp_path / "pq_opq")
+    similarity.build_pq_index(emb, path, dim=DIM, m=M, sample=60, seed=7, opq=True)
+    rot = similarity._opq_read(spark, path)
+    assert rot is not None and len(rot) == DIM and len(rot[0]) == DIM
+    # the persisted rotation IS the s11 PCA basis (translation dropped)
+    from mlops_pipelines_featurestore_gcp_spark.operators.whitening import fit_whitening
+
+    _mu, expect, _w = fit_whitening(emb, dim=DIM, whiten=False)
+    assert rot == expect
+    # R orthonormal: R Rᵀ = I
+    R = np.asarray(rot)
+    assert np.allclose(R @ R.T, np.eye(DIM), atol=1e-9)
+    # rebuilding WITHOUT opq on the same path clears the stale rotation —
+    # otherwise searches would rotate queries against unrotated codes
+    similarity.build_pq_index(emb, path, dim=DIM, m=M, sample=60, seed=7)
+    assert similarity._opq_read(spark, path) is None
+    assert not os.path.exists(f"{path}/opq")
+
+
+def test_opq_pq_search_rescores_in_raw_space(spark, tmp_path):
+    emb = _emb(spark, n=60)
+    path = str(tmp_path / "pq_opq2")
+    similarity.build_pq_index(emb, path, dim=DIM, m=M, sample=60, seed=7, opq=True)
+    q = emb.where(F.col("vec_id") % 10 == 0)
+    out = similarity.pq_search(spark, path, emb, q, dim=DIM, k=3, shortlist=16).collect()
+    assert out
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in emb.collect()}
+    per_q = {}
+    for r in out:
+        # reported score is the exact rounded RAW-space cosine (rotation
+        # preserves the metric; rescore never touches the rotated basis)
+        a, b = vecs[r.query_id], vecs[r.neighbor_id]
+        expect = round(float(a @ b / np.sqrt((a @ a) * (b @ b))), 6)
+        assert abs(r.cos_sim - expect) < 1e-9
+        per_q.setdefault(r.query_id, []).append(r.rnk)
+    for ranks in per_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))  # contiguous
+        assert len(ranks) <= 3
+
+
+def test_opq_upsert_encodes_in_rotated_basis(spark, tmp_path):
+    # a vector upserted into an OPQ index must get the SAME codes the
+    # build-time encode gave it — the build/query consistency the wiring
+    # exists to guarantee
+    emb = _emb(spark, n=60)
+    base = emb.where(F.col("vec_id") % 2 == 0)
+    extra = emb.where(F.col("vec_id") % 2 == 1)
+    p_all = str(tmp_path / "pq_all")
+    p_ups = str(tmp_path / "pq_ups")
+    similarity.build_pq_index(emb, p_all, dim=DIM, m=M, sample=60, seed=7, opq=True)
+    # build the upsert index from the SAME fitted state: copy codebooks +
+    # rotation by building on the full corpus, then rewrite codes from base
+    similarity.build_pq_index(emb, p_ups, dim=DIM, m=M, sample=60, seed=7, opq=True)
+    import shutil
+
+    shutil.rmtree(f"{p_ups}/codes")
+    rot = similarity._opq_read(spark, p_ups)
+    books_rows = spark.read.parquet(f"{p_ups}/codebooks").collect()
+    mm = max(r["s"] for r in books_rows) + 1
+    ksub = max(r["j"] for r in books_rows) + 1
+    books = np.empty((mm, ksub, len(books_rows[0]["centroid"])))
+    for r in books_rows:
+        books[r["s"], r["j"]] = r["centroid"]
+    similarity.pq_encode(
+        similarity._opq_apply(base, rot, vec_col="embedding"), books
+    ).write.mode("overwrite").parquet(f"{p_ups}/codes")
+    similarity.pq_upsert(spark, p_ups, extra)
+    codes_all = {r.neighbor_id: list(r.codes) for r in spark.read.parquet(f"{p_all}/codes").collect()}
+    codes_ups = {r.neighbor_id: list(r.codes) for r in spark.read.parquet(f"{p_ups}/codes").collect()}
+    assert codes_ups == codes_all
+
+
+def test_opq_ivfpq_search_contract_and_recall(spark, tmp_path):
+    emb = _emb(spark, n=80)
+    path = str(tmp_path / "ivfpq_opq")
+    similarity.build_ivfpq_index(emb, path, dim=DIM, m=M, sample=80, seed=7, opq=True)
+    q = emb.where(F.col("vec_id") % 10 == 0)
+    out = similarity.ivfpq_search(spark, path, emb, q, dim=DIM, k=3, shortlist=24)
+    rows = out.collect()
+    assert rows
+    # raw-space rescore parity (as in the pq test)
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in emb.collect()}
+    for r in rows:
+        a, b = vecs[r.query_id], vecs[r.neighbor_id]
+        expect = round(float(a @ b / np.sqrt((a @ a) * (b @ b))), 6)
+        assert abs(r.cos_sim - expect) < 1e-9
+    # recall vs brute force on the clustered fixture stays useful
+    truth = similarity.brute_force_topk(emb, q, k=3)
+    tk = {(r.query_id, r.neighbor_id) for r in truth.collect()}
+    hit = sum(1 for r in rows if (r.query_id, r.neighbor_id) in tk)
+    assert hit / len(tk) >= 0.6

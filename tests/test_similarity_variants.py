@@ -382,3 +382,38 @@ def test_learn_cells_preserves_vector_bits(emb):
     for r in assigned.collect():
         v, nrm = orig[r["vid"]]
         assert r["v"] == v and r["nrm"] == nrm
+
+
+def test_keep_star_multi_round_contract_and_coverage(emb):
+    # r10: rounds=2 re-elects hubs among the still-unresolved members —
+    # the contract must be IDENTICAL (drop iff exact >= tau edge to a
+    # kept witness; one row per vector) and resolution must not shrink:
+    # round-1 hubs and round-1 drops are untouched by construction (later
+    # rounds only consume survivors), so drops can only be added.
+    one = similarity.semantic_dedup_keep_star(
+        emb, n_clusters=8, threshold=0.3, dim=64, n_hubs=2, rounds=1
+    ).collect()
+    two = similarity.semantic_dedup_keep_star(
+        emb, n_clusters=8, threshold=0.3, dim=64, n_hubs=2, rounds=2
+    ).collect()
+    assert sorted(r["vec_id"] for r in two) == sorted(r["vec_id"] for r in one)
+    drops1 = {r["vec_id"] for r in one if r["kept"] == 0}
+    drops2 = {r["vec_id"] for r in two if r["kept"] == 0}
+    assert drops1 <= drops2  # monotone: later rounds only add drops
+    kept2 = {r["vec_id"] for r in two if r["kept"] == 1}
+    exact = _pairs(similarity.cosine_neardup_pairs(emb, threshold=0.3, dim=64))
+    for r in two:
+        if r["kept"] == 0:
+            assert r["dup_of"] in kept2
+            key = (min(r["vec_id"], r["dup_of"]), max(r["vec_id"], r["dup_of"]))
+            assert key in exact and exact[key] == r["cos_to_hub"] >= 0.3
+        else:
+            assert r["dup_of"] is None
+
+
+def test_keep_star_multi_round_deterministic(emb):
+    a = {r["vec_id"]: (r["kept"], r["dup_of"]) for r in
+         similarity.semantic_dedup_keep_star(emb, n_clusters=8, threshold=0.3, dim=64, n_hubs=2, rounds=3).collect()}
+    b = {r["vec_id"]: (r["kept"], r["dup_of"]) for r in
+         similarity.semantic_dedup_keep_star(emb, n_clusters=8, threshold=0.3, dim=64, n_hubs=2, rounds=3).collect()}
+    assert a == b

@@ -34,7 +34,7 @@ from mlops_pipelines_featurestore_gcp_spark.operators.components import (  # noq
 )
 
 
-def measure(spark, sf_dir: str, threshold: float, n_hubs: int = 1) -> dict:
+def measure(spark, sf_dir: str, threshold: float, n_hubs: int = 1, rounds: int = 1) -> dict:
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     n = emb.count()
     t0 = time.perf_counter()
@@ -52,7 +52,7 @@ def measure(spark, sf_dir: str, threshold: float, n_hubs: int = 1) -> dict:
     t_clique = time.perf_counter() - t0
     t0 = time.perf_counter()
     star = similarity.semantic_dedup_keep_star(
-        emb, threshold=threshold, dim=64, n_hubs=n_hubs
+        emb, threshold=threshold, dim=64, n_hubs=n_hubs, rounds=rounds
     ).localCheckpoint(eager=True)
     star_dropped = star.where(F.col("kept") == 0).count()
     t_star = time.perf_counter() - t0
@@ -71,6 +71,7 @@ def measure(spark, sf_dir: str, threshold: float, n_hubs: int = 1) -> dict:
         "sf_dir": sf_dir,
         "threshold": threshold,
         "n_hubs": n_hubs,
+        "rounds": rounds,
         "n_vectors": n,
         "clique_pairs": n_pairs,
         "clique_dropped": clique_dropped,
@@ -91,10 +92,10 @@ def main() -> int:
             print(f"# skip {sf_dir} (no embeddings)")
             continue
         for thr in (0.30, 0.45):
-            for nh in (1, 8):
-                r = measure(spark, sf_dir, thr, n_hubs=nh)
+            for nh, rd in ((1, 1), (8, 1), (8, 2), (8, 4)):
+                r = measure(spark, sf_dir, thr, n_hubs=nh, rounds=rd)
                 print(
-                    f"{sf_dir} τ={thr} R={nh}: N={r['n_vectors']} pairs={r['clique_pairs']} "
+                    f"{sf_dir} τ={thr} R={nh}x{rd}: N={r['n_vectors']} pairs={r['clique_pairs']} "
                     f"clique_drop={r['clique_dropped']} star_drop={r['star_dropped']} "
                     f"pair_recall={r['pair_recall']} drop_yield={r['drop_yield']} "
                     f"(clique {r['t_clique_s']}s, star {r['t_star_s']}s)"

@@ -72,6 +72,26 @@ def main() -> int:
             "vec_id", F.col("whitened").alias("embedding")
         )
         recall_at_k(spark, emb_w, q_w, dim=dim, k=k, label=label)
+
+    # r10: the INTEGRATED path — build_pq_index(opq=...) + pq_search. The
+    # opq rotation is translation-free and the rescore runs in raw space,
+    # so BOTH rows score against the SAME raw exact ground truth (unlike
+    # the within-representation rows above) — this is the user-visible
+    # recall difference of flipping the build flag.
+    from mlops_pipelines_featurestore_gcp_spark.sources.scratch import scratch_dir
+
+    exact = similarity.brute_force_topk(emb, queries, dim=dim, k=k).select(
+        "query_id", "neighbor_id"
+    ).localCheckpoint(eager=True)
+    total = exact.count()
+    for opq, label in ((False, "index raw"), (True, "index opq-rotated")):
+        path = scratch_dir(f"wg_idx_{int(opq)}", fresh=True, per_process=True)
+        similarity.build_pq_index(emb, path, dim=dim, m=8, opq=opq)
+        approx = similarity.pq_search(spark, path, emb, queries, dim=dim, k=k, shortlist=4 * k)
+        hits = approx.select("query_id", "neighbor_id").join(
+            exact, ["query_id", "neighbor_id"]
+        ).count()
+        print(f"{label}: recall@{k} vs raw exact = {hits / total:.4f} ({hits}/{total})")
     return 0
 
 
