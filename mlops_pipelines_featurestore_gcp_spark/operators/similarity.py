@@ -566,6 +566,7 @@ def build_ivf_index(
     n_centroids: int | None = None,
     seed: int = 42,
     max_iter: int = 10,
+    sample: int = 4096,
 ) -> None:
     """Persist an IVF index: build ONCE, search many times.
 
@@ -573,27 +574,55 @@ def build_ivf_index(
     ``{path}/assigned`` — every corpus vector PARTITIONED BY its cell, so a
     probe that touches ``n_probe`` of ``n_centroids`` cells prunes the rest
     at the file level (plus dynamic partition pruning on the probe join).
-    This is the production ANN shape: the KMeans fit and the full-corpus
+    This is the production ANN shape: the quantizer fit and the full-corpus
     assignment pass amortize across every subsequent query batch.
-    """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
 
+    r10: the coarse quantizer fits driver-side on an md5-ordered
+    ≤``sample``-row draw (seeded k-means++, the ``ivfpq_train`` posture;
+    ``n_centroids`` is capped by the sample size) instead of a
+    full-corpus MLlib fit — O(N·k·d) PER LLOYD ITERATION at k up to
+    65536 is impractical at 10⁹ vectors, which is why FAISS-class
+    systems train coarse quantizers on samples. Assignment stays one
+    Arrow map pass over the full corpus.
+    """
+    cells = _ivf_coarse_fit(
+        corpus, id_col=id_col, vec_col=vec_col,
+        n_centroids=n_centroids, seed=seed, max_iter=max_iter, sample=sample,
+    )
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
-    if n_centroids is None:
-        n_centroids = _auto_centroids(c.count())
-    km = KMeans(k=n_centroids, seed=seed, maxIter=max_iter, featuresCol="__v", predictionCol="cell")
-    model = km.fit(c.select(array_to_vector(F.col("cv").cast("array<double>")).alias("__v")))
-    assigned = model.transform(
-        c.select("neighbor_id", "cv", array_to_vector(F.col("cv").cast("array<double>")).alias("__v"))
-    ).select("neighbor_id", "cv", "cell")
+    assigned = c.withColumn("cell", _nearest_centroid_udf(cells)(F.col("cv")).cast("int"))
     assigned.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/assigned")
     spark = corpus.sparkSession
     centroids = spark.createDataFrame(
-        [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())],
+        [(i, [float(x) for x in ctr]) for i, ctr in enumerate(cells)],
         "cell int, centroid array<double>",
     )
     centroids.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def _ivf_coarse_fit(
+    corpus: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int | None,
+    seed: int,
+    max_iter: int,
+    sample: int,
+):
+    """Shared IVF coarse-quantizer fit: seeded k-means++ on the bounded
+    md5-ordered sample (driver state ≤ sample×dim doubles at any N)."""
+    prep = corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+    if n_centroids is None:
+        n_centroids = _auto_centroids(corpus.count())
+    # cell count plateaus at `sample` (the documented ivfpq_train posture:
+    # raise `sample` if a deployment needs more cells); the fit draw is
+    # 32 rows per centroid, absolute cap 65536 (≤ 32 MB driver at dim 64,
+    # k-means++ + BLAS Lloyd ≈ seconds at the cap)
+    k = min(n_centroids, sample)
+    n_take = min(max(2048, 32 * k), 65536)
+    X = _sample_matrix(prep, n_take, f"ivf{seed}")
+    return _kmeanspp_fit(X, min(k, X.shape[0]), seed, max_iter)
 
 
 def ivf_search(
@@ -678,36 +707,35 @@ def ivf_topk(
     max_iter: int = 10,
     round_digits: int = 6,
     dim: int | None = None,
+    sample: int = 4096,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: k-means coarse quantizer.
 
-    The classic scale path for ANN at 100 TB: (1) MLlib KMeans learns
-    ``n_centroids`` coarse cells from the corpus (model state is tiny);
-    (2) each corpus vector is assigned to its nearest cell — a narrow,
-    broadcast-scored pass; (3) each query probes its ``n_probe`` nearest
-    cells and rescoring runs only inside those cells, cutting scored pairs
-    by ~``n_centroids/n_probe``× vs brute force. Centroid assignment is
+    The classic scale path for ANN at 100 TB: (1) the coarse quantizer
+    fits driver-side on a bounded md5-ordered sample (r10 — the
+    ``ivfpq_train``/``build_ivf_index`` posture; a full-corpus fit at k
+    up to 65536 costs O(N·k·d) per Lloyd iteration, impractical at 10⁹
+    vectors, which is why FAISS-class systems sample-train); (2) each
+    corpus vector is assigned to its nearest cell — one Arrow map pass;
+    (3) each query probes its ``n_probe`` nearest cells and rescoring
+    runs only inside those cells, cutting scored pairs by
+    ~``n_centroids/n_probe``× vs brute force. Centroid assignment is
     seeded and deterministic per engine build (not SQL-reproducible → the
     s03 oracle is the per-query ANN contract: ≤k, contiguous ranks, exact
     rescore parity, monotone scores; recall vs brute force is asserted in
     tests).
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
 
-    if n_centroids is None:
-        n_centroids = _auto_centroids(c.count())
-    km = KMeans(k=n_centroids, seed=seed, maxIter=max_iter, featuresCol="__v", predictionCol="cell")
-    model = km.fit(c.select(array_to_vector(F.col("cv").cast("array<double>")).alias("__v")))
-    assigned = model.transform(
-        c.select("neighbor_id", "cv", array_to_vector(F.col("cv").cast("array<double>")).alias("__v"))
-    ).select("neighbor_id", "cv", "cell")
+    cells = _ivf_coarse_fit(
+        corpus, id_col=id_col, vec_col=vec_col,
+        n_centroids=n_centroids, seed=seed, max_iter=max_iter, sample=sample,
+    )
+    assigned = c.withColumn("cell", _nearest_centroid_udf(cells)(F.col("cv")).cast("int"))
     spark = corpus.sparkSession
     centroids = spark.createDataFrame(
-        [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())],
+        [(i, [float(x) for x in ctr]) for i, ctr in enumerate(cells)],
         "cell int, centroid array<double>",
     )
     return _ivf_probe(assigned, centroids, q, n_probe=n_probe, k=k, round_digits=round_digits, dim=dim)
