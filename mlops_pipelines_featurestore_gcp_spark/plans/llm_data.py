@@ -964,11 +964,16 @@ def s10_ann_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, "embeddings", sf_dir)
     queries = emb.where(F.col("vec_id") % 50 == 0)
-    # v3opq: the tag bump forces a rebuild so the persisted index carries
-    # the r10 OPQ rotation (v2 indexes on disk are un-rotated).
+    # v4opq: tag bumps force a rebuild whenever the quantizer/projection
+    # kernel changes so the persisted index always comes from the same
+    # kernel as the in-call twin (v2 = pre-OPQ, v3 = OPQ with the
+    # HOF-fold projection, v4 = OPQ with the Arrow-matmul projection —
+    # the two projections can differ in the last ulp, and a stale index
+    # beside a fresh twin is exactly the drift the parity flag exists
+    # to catch, not to inherit).
     from mlops_pipelines_featurestore_gcp_spark.sources.scratch import scratch_dir
 
-    tag = hashlib.md5(f"ivfpq-v3opq|{sf_dir}".encode()).hexdigest()[:8]
+    tag = hashlib.md5(f"ivfpq-v4opq|{sf_dir}".encode()).hexdigest()[:8]
     path = scratch_dir(f"ivfpq_{tag}")  # content-addressed REUSE by design
     import os
 
