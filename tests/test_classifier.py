@@ -192,3 +192,44 @@ def test_model_save_load_roundtrip(spark, tmp_path, toy):
     classifier.save_model(spark, model, path)
     back = classifier.load_model(spark, path)
     assert back == model
+
+
+def test_score_sink_replay_is_idempotent(spark, tmp_path, toy):
+    """r10 (ADVICE r9): foreachBatch replays a micro-batch at-least-once;
+    the sink's dynamic partition overwrite must make the replay rewrite
+    its own batch_id partition in place — same rows, no duplicates —
+    while other batches' output stays untouched."""
+    df, _, _ = toy
+    model = classifier.fit_quality_classifier(df, dim=DIM, iters=3, lr=1.0)
+    report = str(tmp_path / "scores_replay")
+    docs = spark.createDataFrame(
+        [(1, "the quick fox"), (2, "of and to the")], "doc_id long, text string"
+    )
+    other = spark.createDataFrame([(9, "some other batch")], "doc_id long, text string")
+    src = tmp_path / "replay_src"
+    docs.write.parquet(str(src))
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+    q = classifier.score_sink(stream, model, report, str(tmp_path / "ck1"))
+    q.awaitTermination(120)
+    # simulate a DIFFERENT batch landing first, then a REPLAY of batch 0:
+    # drive the same batch function directly (foreachBatch gives no replay
+    # hook in availableNow mode)
+    w = list(model.weights)
+    feats9 = classifier.featurize(other, "doc_id", "text", dim=model.dim)
+    from pyspark.sql import functions as F
+
+    out9 = classifier.score(feats9, w).select(
+        F.col("doc_id"), F.col("score"),
+        (F.col("score") >= 0.5).cast("int").alias("pred"),
+        F.lit(7).cast("long").alias("batch_id"),
+    )
+    (out9.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(report))
+    before = {(r.doc_id, r.batch_id) for r in spark.read.parquet(report).collect()}
+    # replay batch 0 through a fresh checkpoint (same data, same batch id)
+    q2 = classifier.score_sink(stream, model, report, str(tmp_path / "ck2"))
+    q2.awaitTermination(120)
+    after = spark.read.parquet(report).collect()
+    keys = [(r.doc_id, r.batch_id) for r in after]
+    assert len(keys) == len(set(keys)), "replay duplicated (batch_id, id) rows"
+    assert set(keys) == before, "replay must rewrite its partition in place, not grow or drop others"

@@ -151,3 +151,17 @@ def test_importance_sample_is_map_only(spark):
     df = spark.createDataFrame([(i, 0.5) for i in range(100)], "doc_id long, w double")
     plan = _plan(importance_sample(df, "doc_id", "w"))
     assert "Exchange" not in plan, plan  # pure filter: zero shuffles
+
+
+def test_semantic_pairs_join_spread_survives_aqe(spark, sf_small):
+    """r10: AQE coalesces exchanges by INPUT bytes and cannot see the
+    Σ cell² row explosion inside d07's within-cell self-join — at the
+    100× gate the 146M-pair scoring stage ran 10-wide (244s) until an
+    explicit cell-keyed repartition restored full width. User
+    repartitions are exempt from AQE coalescing; pin that the optimized
+    plan still carries REPARTITION_BY_NUM on the cell key so a refactor
+    can't silently drop it."""
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    pairs = similarity.semantic_dedup_pairs(emb, n_clusters=4, threshold=0.4, dim=64)
+    plan = pairs._jdf.queryExecution().optimizedPlan().toString()
+    assert "REPARTITION_BY_NUM" in plan or "repartitionbyexpression" in plan.lower(), plan[:2000]
