@@ -1260,9 +1260,14 @@ def _opq_fit(corpus: DataFrame, *, vec_col: str, dim: int) -> list[list[float]]:
     silently change the ADC metric (cosine is not translation-invariant)
     — callers who want true whitening compose ``apply_whitening``
     explicitly and own that trade."""
-    from mlops_pipelines_featurestore_gcp_spark.operators.whitening import fit_whitening
+    from mlops_pipelines_featurestore_gcp_spark.operators import whitening
 
-    _mean, rotation, _eig = fit_whitening(corpus, vec_col=vec_col, dim=dim, whiten=False)
+    # exact one-pass gram up to its dim guard; bounded sample fit above
+    # (dim-1024 embeddings would explode 525k gram rows per vector)
+    sample = None if dim <= whitening._EXACT_GRAM_MAX_DIM else 65536
+    _mean, rotation, _eig = whitening.fit_whitening(
+        corpus, vec_col=vec_col, dim=dim, whiten=False, sample=sample
+    )
     return rotation
 
 

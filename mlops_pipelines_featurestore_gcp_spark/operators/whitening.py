@@ -38,6 +38,11 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# exact one-pass gram explodes dim(dim+1)/2 moment terms PER VECTOR —
+# quadratic in dim; above this, fit_whitening requires the bounded
+# sample= path (dim 256 -> ~33k terms/vector, the workable ceiling)
+_EXACT_GRAM_MAX_DIM = 256
+
 
 def fit_whitening(
     corpus: DataFrame,
@@ -46,6 +51,7 @@ def fit_whitening(
     dim: int,
     whiten: bool = False,
     eps: float = 1e-6,
+    sample: int | None = None,
 ) -> tuple[list[float], list[list[float]], list[float]]:
     """Fit a PCA rotation (``whiten=True`` additionally scales each
     component by 1/√(λ+eps)) over ``corpus[vec_col]``.
@@ -53,7 +59,50 @@ def fit_whitening(
     Returns ``(mean, rotation, eigenvalues)`` where ``rotation[k]`` is
     the k-th principal COLUMN vector (components sorted by eigenvalue
     descending) — ``y_k = (v - mean) · rotation[k]``.
+
+    Two fit paths:
+
+    - ``sample=None`` (default): the EXACT one-pass DECIMAL gram — every
+      vector explodes dim + dim(dim+1)/2 moment terms, map-side combine
+      collapses each partition to a constant-width shuffle. The term
+      fan-out is O(dim²) per vector: fine at dim 64 (2145 terms), but a
+      dim-1024 embedding would emit 525k rows per vector, so this path
+      is GUARDED at dim ≤ ``_EXACT_GRAM_MAX_DIM`` = 256.
+    - ``sample=n``: bounded driver-side fit — the md5-ordered ≤n-row
+      draw is collected and the covariance computed in numpy (the
+      ivfpq_train posture). Deterministic given (data, salt order);
+      REQUIRED above the exact-gram dim guard. A PCA basis estimated
+      from a 64k-row sample is statistically indistinguishable from the
+      full-corpus one for OPQ purposes (the rotation feeds a quantizer,
+      not an invariant).
     """
+    if sample is not None:
+        from mlops_pipelines_featurestore_gcp_spark.functions.text import md5_long
+
+        rows = (
+            corpus.select(F.col(vec_col).cast("array<double>").alias("__v"))
+            .withColumn(
+                "__h",
+                md5_long(F.concat(F.lit("whiten|"), F.col("__v").cast("string")), bits=60),
+            )
+            .orderBy("__h")
+            .limit(int(sample))
+            .select("__v")
+            .collect()
+        )
+        if not rows:
+            raise ValueError("fit_whitening: empty corpus — nothing to fit")
+        X = np.asarray([r["__v"] for r in rows], dtype=np.float64)
+        mean_arr = X.mean(axis=0)
+        cov_arr = (X - mean_arr).T @ (X - mean_arr) / X.shape[0]
+        return _eig_rotation(mean_arr, cov_arr, dim, whiten, eps)
+    if dim > _EXACT_GRAM_MAX_DIM:
+        raise ValueError(
+            f"fit_whitening: dim={dim} exceeds the exact-gram guard "
+            f"({_EXACT_GRAM_MAX_DIM}): the one-pass explode emits "
+            "dim(dim+1)/2 rows PER VECTOR — pass sample= for the bounded "
+            "driver-side fit instead"
+        )
     v = F.col(vec_col).cast("array<double>")
     # one explode per vector: 64 first-moment + 2080 second-moment terms,
     # tagged (j, k) with k = -1 for the mean terms; map-side combine makes
@@ -105,11 +154,17 @@ def fit_whitening(
             m2[r["j"], r["k"]] = r["s"] / n
             m2[r["k"], r["j"]] = r["s"] / n
     cov = m2 - np.outer(mean, mean)
+    return _eig_rotation(mean, cov, dim, whiten, eps)
+
+
+def _eig_rotation(mean, cov, dim: int, whiten: bool, eps: float):
+    """Shared eigendecomposition tail: eigh + descending sort + canonical
+    signs (largest-|component| entry made positive — deterministic
+    regardless of LAPACK's per-eigenvector sign freedom) + optional
+    1/sqrt(lambda+eps) scaling."""
     w, vecs = np.linalg.eigh(cov)  # ascending eigenvalues
     order = np.argsort(w)[::-1]
     w, vecs = w[order], vecs[:, order]
-    # canonical signs: deterministic rotation regardless of LAPACK's
-    # per-eigenvector sign freedom
     for k in range(dim):
         i = int(np.argmax(np.abs(vecs[:, k])))
         if vecs[i, k] < 0:

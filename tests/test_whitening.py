@@ -72,3 +72,24 @@ def test_fit_deterministic_across_runs(xdf):
     a = fit_whitening(df.repartition(3), dim=DIM)
     b = fit_whitening(df.repartition(11), dim=DIM)
     assert a == b
+
+
+def test_sample_fit_path_and_dim_guard(spark, xdf):
+    """r10: the exact one-pass gram is O(dim²) rows per vector — dim>256
+    must demand the bounded sample= path, and the sample fit must return
+    a deterministic orthonormal basis close to the exact one."""
+    import numpy as np
+    import pytest
+
+    df, x = xdf
+    with pytest.raises(ValueError, match="exact-gram guard"):
+        fit_whitening(df, dim=300)
+    m1, r1, l1 = fit_whitening(df, dim=DIM, sample=10_000)
+    m2, r2, l2 = fit_whitening(df, dim=DIM, sample=10_000)
+    assert m1 == m2 and r1 == r2 and l1 == l2  # deterministic
+    R = np.asarray(r1)
+    assert np.allclose(R @ R.T, np.eye(DIM), atol=1e-9)  # orthonormal
+    # sample covers the whole toy frame -> same subspace as the exact fit
+    me, re_, le = fit_whitening(df, dim=DIM)
+    assert np.allclose(m1, me, atol=1e-9)
+    assert np.allclose(sorted(l1), sorted(le), atol=1e-6)
