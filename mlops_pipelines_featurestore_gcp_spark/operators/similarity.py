@@ -323,6 +323,20 @@ def quantized_topk(
     ``corpus_q`` is ``quantize_embeddings(corpus_full)`` — persisted once
     at ingest in a real deployment; the float corpus is only touched for
     shortlist × queries rows.
+
+    The int8 stage prunes MAP-SIDE (r10, the ``pq_topk`` kernel posture):
+    each Arrow batch scores its rows against the collected quantized
+    query table via one integer matmul and emits at most ``shortlist``
+    candidates per query, so the ranking shuffle moves
+    partitions × shortlist × |queries| rows — the previous form shuffled
+    the ENTIRE |queries| × N scored cross product into the window, the
+    reason s05 carried the ladder's worst decade exponent (1.15). The
+    shortlist is bit-identical to the old plan's: every int8 product and
+    partial sum is ≤ ~10⁶, exactly representable in double, so the numpy
+    matmul equals the JVM fold EXACTLY regardless of accumulation order,
+    and the per-batch (-approx, neighbor_id) total order makes the
+    per-batch top-S a superset of the global top-S members in that batch
+    (the pq_topk layout-independence argument).
     """
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -337,22 +351,45 @@ def quantized_topk(
     # query-side factors are constant within a query's ranking, so
     # qdot/√qn orders candidates — int dot + one int norm, no floats from
     # the quantized store at all. Never used for the reported score.
-    qdot = dot(F.col("qvec"), F.col("cqv"), dim)
-    qn = norm_sq(F.col("qvec"), dim)
-    cq = quantize_embeddings(
+    # Queries quantize SPARK-SIDE (the same quantize_embeddings plan as
+    # the corpus) and collect — broadcast-sized by module convention.
+    cq_rows = quantize_embeddings(
         queries.select(F.col(id_col).alias("query_id"), vec_col), dim=dim
-    ).withColumnRenamed("qvec", "cqv").withColumnRenamed("qscale", "cqs")
-    approx = (
-        c.crossJoin(F.broadcast(cq))
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            (qdot / F.sqrt(F.greatest(qn, F.lit(1.0)))).alias("__approx"),
-        )
-    )
+    ).collect()
+    qids = np.asarray([r["query_id"] for r in cq_rows])
+    QV = np.asarray([r["qvec"] for r in cq_rows], dtype=np.float64)  # (nq, dim)
+    S = shortlist
+
+    def _int8_scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.vstack(pdf["qvec"].to_numpy()).astype(np.float64)  # (B, dim)
+            nid = pdf["neighbor_id"].to_numpy()
+            denom = np.sqrt(np.maximum((C * C).sum(axis=1), 1.0))
+            dots = C @ QV.T  # (B, nq) — exact: every partial ≤ dim·127² < 2⁵³
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(qids)):
+                idx = np.flatnonzero(nid != qids[qi])
+                if len(idx) == 0:
+                    continue
+                a = dots[idx, qi] / denom[idx]
+                top = idx[np.lexsort((nid[idx], -a))[:S]]
+                out_q.append(np.full(len(top), qids[qi]))
+                out_n.append(nid[top])
+                out_s.append(dots[top, qi] / denom[top])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q),
+                        "neighbor_id": np.concatenate(out_n),
+                        "__approx": np.concatenate(out_s),
+                    }
+                )
+
+    cand = c.mapInPandas(_int8_scan, "query_id long, neighbor_id long, __approx double")
     w = Window.partitionBy("query_id").orderBy(F.col("__approx").desc(), F.col("neighbor_id"))
-    short = approx.withColumn("__rnk", F.row_number().over(w)).where(F.col("__rnk") <= shortlist)
+    short = cand.withColumn("__rnk", F.row_number().over(w)).where(F.col("__rnk") <= shortlist)
     full = corpus_full.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
