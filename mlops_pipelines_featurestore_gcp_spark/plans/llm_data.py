@@ -702,8 +702,12 @@ def s02_operator_parts(spark: SparkSession, sf_dir: str):
     contract verifier, whose cost is bounded but not the operator's)."""
     emb = load_table(spark, "embeddings", sf_dir)
     queries = emb.where(F.col("vec_id") % 50 == 0)
+    # planes/tables auto-size from the corpus count (r11): identical to
+    # the former explicit (8, 16) at every gate scale — the knee is 256k
+    # and the 100x fixture is 200k — and the >knee rule is measured in
+    # SCALING.md on a synthetic 1M-vector corpus.
     out = similarity.lsh_topk(
-        emb, queries, dim=64, planes=8, tables=16, k=5, probe_hamming=1
+        emb, queries, dim=64, planes=None, tables=None, k=5, probe_hamming=1
     )
     return emb, queries, out
 
@@ -977,7 +981,14 @@ def s10_ann_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     # to catch, not to inherit).
     from mlops_pipelines_featurestore_gcp_spark.sources.scratch import scratch_dir
 
-    tag = hashlib.md5(f"ivfpq-v4opq|{sf_dir}".encode()).hexdigest()[:8]
+    # The numeric-stack fingerprint rides the tag (r10 ADVICE): the codes
+    # were encoded through a numpy/BLAS matmul at build time, and a library
+    # upgrade between sessions could flip a codeword argmin in the last
+    # ulp — the content-addressed reuse must not pair an old-stack index
+    # with a new-stack twin. A version bump simply forces one rebuild.
+    import numpy as _np
+
+    tag = hashlib.md5(f"ivfpq-v4opq|np{_np.__version__}|{sf_dir}".encode()).hexdigest()[:8]
     path = scratch_dir(f"ivfpq_{tag}")  # content-addressed REUSE by design
     import os
 

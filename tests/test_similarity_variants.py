@@ -417,3 +417,89 @@ def test_keep_star_multi_round_deterministic(emb):
     b = {r["vec_id"]: (r["kept"], r["dup_of"]) for r in
          similarity.semantic_dedup_keep_star(emb, n_clusters=8, threshold=0.3, dim=64, n_hubs=2, rounds=3).collect()}
     assert a == b
+
+
+def test_batch_topk_prune_forwards_nonfinite_unpruned(spark):
+    # A zero-norm vector's cosine is NULL in this engine's non-ANSI
+    # sessions (DESC window ranks it LAST) but NaN under genuine NaN
+    # arithmetic (DESC ranks it FIRST), and both arrive in an Arrow batch
+    # as float64 NaN. The prune must forward them WITHOUT counting them
+    # against k — a superset of the global top-k under either semantics
+    # (r10 shipped lexsort on -cos_sim alone, which silently dropped them
+    # once a batch held >= k finite scores).
+    rows = [(1, 10, 0.9), (1, 11, 0.8), (1, 12, None), (1, 13, 0.7)]
+    df = spark.createDataFrame(rows, "query_id long, neighbor_id long, cos_sim double")
+    out = similarity._batch_topk_prune(df.coalesce(1), k=2).collect()
+    kept = {r.neighbor_id for r in out}
+    assert kept == {12, 10, 11}  # NULL passes through, top-2 finite kept
+    assert next(r for r in out if r.neighbor_id == 12).cos_sim is None
+
+
+def test_batch_topk_prune_schema_derived_from_input(spark):
+    # id columns need not be long (r10 ADVICE): the output schema is
+    # derived from the input frame, so string ids round-trip.
+    rows = [("a", "x", 0.9), ("a", "y", 0.8), ("a", "z", 0.7)]
+    df = spark.createDataFrame(rows, "query_id string, neighbor_id string, cos_sim double")
+    out = similarity._batch_topk_prune(df.coalesce(1), k=2)
+    assert [f.dataType.simpleString() for f in out.schema.fields] == ["string", "string", "double"]
+    assert {r.neighbor_id for r in out.collect()} == {"x", "y"}
+
+
+def test_keep_star_zero_norm_vector_stays_survivor(spark):
+    # A zero-norm vector has NaN cosine to every hub; under Spark's
+    # NaN-greatest ordering a bare `cos >= threshold` would resolve it as
+    # a duplicate with an undefined witness. The isnan guard keeps it a
+    # survivor (kept=1, no dup_of).
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(20)]
+    rows.append((99, [0.0] * 8))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in similarity.semantic_dedup_keep_star(
+        df, n_clusters=2, threshold=0.2, dim=8, n_hubs=2, rounds=2
+    ).collect()}
+    assert set(out) == {r[0] for r in rows}  # one row per vector, none vanish
+    z = out[99]
+    assert z["kept"] == 1 and z["dup_of"] is None
+
+
+def test_auto_planes_rule():
+    # At/below the 256k knee: the measured sf-scale operating point.
+    assert similarity._auto_planes(2_000) == (8, 16)
+    assert similarity._auto_planes(262_144) == (8, 16)
+    # +1 plane per doubling past the knee, tables x1.25 per extra plane.
+    assert similarity._auto_planes(262_145) == (9, 20)
+    assert similarity._auto_planes(1_048_576) == (10, 25)
+    assert similarity._auto_planes(2**23) == (13, 49)
+    # clamp: signatures stay one packed long, probe fan-out polynomial
+    p, t = similarity._auto_planes(10**12)
+    assert p == 24
+    # monotone in N up to the clamp
+    prev = (0, 0)
+    for n in [10_000, 300_000, 600_000, 1_200_000, 5_000_000, 10**8]:
+        cur = similarity._auto_planes(n)
+        assert cur >= prev
+        prev = cur
+
+
+def test_lsh_topk_auto_equals_explicit_at_fixture_scale(emb):
+    auto = similarity.lsh_topk(
+        emb, emb.where(F.col("vec_id") % 50 == 0), dim=64,
+        planes=None, tables=None, k=5, probe_hamming=1,
+    )
+    manual = similarity.lsh_topk(
+        emb, emb.where(F.col("vec_id") % 50 == 0), dim=64,
+        planes=8, tables=16, k=5, probe_hamming=1,
+    )
+    a = {(r.query_id, r.rnk): (r.neighbor_id, r.cos_sim) for r in auto.collect()}
+    b = {(r.query_id, r.rnk): (r.neighbor_id, r.cos_sim) for r in manual.collect()}
+    assert a == b
+
+
+def test_collect_query_rows_cap_raises_clearly(spark):
+    big = spark.range(similarity.MAX_QUERY_ROWS + 10).select(F.col("id"))
+    with pytest.raises(ValueError, match="MAX_QUERY_ROWS"):
+        similarity._collect_query_rows(big, "unit-test")
+    small = spark.range(5)
+    assert len(similarity._collect_query_rows(small, "unit-test")) == 5

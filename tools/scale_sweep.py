@@ -358,6 +358,14 @@ GATE100 = [
     # projection+flags map-side; 200k vectors hash-matched in 125.5s
     # (texp ~0.31 over the 0.1→100x decades)
     "s11_embedding_whitening",
+    # round 11 (VERDICT r10 #3): the int8 two-stage tier under a STANDING
+    # 100x hash gate — the r10 map-side shortlist rewrite had only
+    # timing+contract evidence at 200k vectors. Gateable because the s05
+    # contract is the exact_k flag form (no in-query brute-force truth)
+    # and its DuckDB side is the constant-flag table over vec_id % 50 —
+    # O(|queries|) on the verify side; the Spark side is the one int8
+    # matmul per Arrow batch + the shortlist-bounded ranking shuffle.
+    "s05_ann_quantized_topk",
     # round 9: trained quality classifier — featurize is the t07
     # aggregate, each GD step one constant-width integer-sum pass over
     # the cached 500k-row feature frame, AUC a 10k-bin histogram; the
