@@ -95,6 +95,9 @@ HEADLINE2 = [
     "ml06_ranking_metrics",
     # round 8 addition — same series rule as the r7 block above.
     "d10_semantic_keep_star",
+    # round 11 addition: canonical-URL dedup + host downsample (two keyed
+    # windows, pure codegen string ops).
+    "d11_url_host_dedup",
     # round 9 addition: PCA-rotation fit (one constant-width DECIMAL
     # aggregate) + map-side projection + flag verification.
     "s11_embedding_whitening",

@@ -445,13 +445,17 @@ def d10_semantic_keep_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the clique form's duplicate pairs on the fixture (tools/d10_recall.py
     # — one hub witnesses ~one family per ~1024-member cell); eight
     # always-kept hubs multiply witness coverage at O(8N) map-side cost
-    # with the identical safety contract. rounds=2 (r10): a second
+    # with the identical safety contract. rounds (r10): each extra
     # election round re-elects 8 hubs per cell among the still-unresolved
     # members (coverage-seeded — reaches families the first
-    # centroid-similarity ranking missed) at the same contract; measured
-    # recall figures in SCALING.md.
+    # centroid-similarity ranking missed) at the same contract. rounds=4
+    # (r11, VERDICT r10 #4 — "the cheapest recall on the books"):
+    # measured pair recall at τ=0.30 n_hubs=8 — sf0.1 0.415 → 0.602,
+    # 10× 0.802 → 0.934 vs rounds=2, for ~+1.1s of sf0.1 star wall;
+    # cost stays O(n_hubs·rounds·N) worst case on a shrinking set.
+    # Figures in SCALING.md (registered point marked).
     out = similarity.semantic_dedup_keep_star(
-        emb, threshold=0.30, dim=64, n_hubs=8, rounds=2
+        emb, threshold=0.30, dim=64, n_hubs=8, rounds=4
     ).localCheckpoint(eager=False)  # feeds both the flags and the witness joins
     ev = emb.select(
         F.col("vec_id").alias("__wid"), F.col("embedding").alias("__wv"),
@@ -492,6 +496,111 @@ def d10_semantic_keep_star(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("witness_exact"),
         )
     )
+
+
+@register(
+    "d11_url_host_dedup",
+    # FULL value-level oracle by INDEPENDENT DERIVATION (stronger than a
+    # mirror): the Spark side synthesizes a deterministically MESSY URL
+    # per doc (md5-drawn scheme/www/default-port/host-case/slash-noise/
+    # fragment/tracking-param variants around a (source, doc_id % 12)
+    # group identity) and runs the real canonicalizer + both keyed
+    # operators; the oracle never sees the messy URL — it constructs the
+    # EXPECTED canonical form directly from the group identity and
+    # replays only the two windows. A canonicalizer that fails to erase
+    # any messy bit diverges from the oracle immediately. The only
+    # md5 draws the oracle replays are the group-stable ones (tld,
+    # page-param presence, the host-downsample ranking draw).
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, lower(source) AS src, doc_id % 12 AS g FROM documents
+    ),
+    canon AS (
+      SELECT doc_id, src, g,
+             src || '.example.' ||
+               (['com','org','net'])[1 + {_md5_long_sql("concat('tld|', src)", 2)} % 3] AS host,
+             {_md5_long_sql("concat('pg|', src, '|', CAST(g AS VARCHAR))", 2)} % 2 = 1 AS page_on
+      FROM base
+    ),
+    withurl AS (
+      SELECT doc_id, host,
+             host || '/docs/' || CAST(g AS VARCHAR)
+                  || CASE WHEN page_on THEN '?page=' || CAST(g AS VARCHAR) ELSE '' END
+               AS canonical_url
+      FROM canon
+    ),
+    flagged AS (
+      SELECT doc_id, canonical_url, host,
+             MIN(doc_id) OVER (PARTITION BY canonical_url) AS keeper,
+             ROW_NUMBER() OVER (
+               PARTITION BY host
+               ORDER BY {_md5_long_sql("concat('host-ds|', CAST(doc_id AS VARCHAR))", 15)} ASC,
+                        doc_id ASC
+             ) AS hrk
+      FROM withurl
+    )
+    SELECT doc_id, canonical_url, host,
+           CAST(doc_id = keeper AS INT) AS kept,
+           CASE WHEN doc_id <> keeper THEN keeper END AS dup_of,
+           CAST(hrk <= 16 AS INT) AS host_kept
+    FROM flagged
+    """,
+    tags=("dedup", "llm", "url"),
+)
+def d11_url_host_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup + host-level downsampling (operators/urls.py —
+    the pre-content dedup tier of a crawl pipeline): synthesize one messy
+    URL per document, canonicalize (drop scheme/fragment/default port/
+    ``www.``/tracking params, lowercase host, collapse slash noise, sort
+    surviving params), keep-first per canonical URL, cap 16 docs per host
+    by a deterministic md5 draw. One row per document."""
+    from mlops_pipelines_featurestore_gcp_spark.functions.text import md5_long
+    from mlops_pipelines_featurestore_gcp_spark.operators import urls
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", F.lower(F.col("source")).alias("src")
+    )
+    g = (F.col("doc_id") % 12).cast("long")
+    gs = g.cast("string")
+    # doc-level messiness bits — all ERASED by canonicalization, so the
+    # oracle never needs them
+    h = md5_long(F.concat(F.lit("url|"), F.col("doc_id").cast("string")), bits=32)
+    tldi = (md5_long(F.concat(F.lit("tld|"), F.col("src")), bits=8) % 3).cast("int")
+    tld = F.element_at(F.array(F.lit("com"), F.lit("org"), F.lit("net")), tldi + 1)
+    host = F.concat(F.col("src"), F.lit(".example."), tld)
+    page_on = md5_long(F.concat(F.lit("pg|"), F.col("src"), F.lit("|"), gs), bits=8) % 2 == 1
+    scheme = F.when(h % 2 == 0, F.lit("http")).otherwise(F.lit("https"))
+    www = F.when(F.shiftright(h, 1) % 2 == 1, F.lit("www.")).otherwise(F.lit(""))
+    port = F.when(
+        F.shiftright(h, 2) % 2 == 1,
+        F.when(h % 2 == 0, F.lit(":80")).otherwise(F.lit(":443")),
+    ).otherwise(F.lit(""))
+    hostcased = F.when(F.shiftright(h, 3) % 2 == 1, F.upper(host)).otherwise(host)
+    pathv = F.shiftright(h, 4) % 3
+    path = (
+        F.when(pathv == 0, F.concat(F.lit("/docs/"), gs))
+        .when(pathv == 1, F.concat(F.lit("/docs//"), gs, F.lit("/")))
+        .otherwise(F.concat(F.lit("//docs/"), gs))
+    )
+    trackv = F.shiftright(h, 6) % 3
+    params = F.array(
+        F.when(trackv == 1, F.concat(F.lit("utm_source=u"), (h % 5).cast("string"))).otherwise(F.lit("")),
+        F.when(trackv == 1, F.concat(F.lit("fbclid=f"), (h % 9).cast("string"))).otherwise(F.lit("")),
+        F.when(trackv == 2, F.concat(F.lit("gclid=g"), (h % 9).cast("string"))).otherwise(F.lit("")),
+        F.when(F.shiftright(h, 8) % 2 == 1, F.lit("ref=home")).otherwise(F.lit("")),
+        F.when(page_on, F.concat(F.lit("page="), gs)).otherwise(F.lit("")),
+    )
+    nonempty = F.filter(params, lambda p: p != F.lit(""))
+    qs = F.when(F.size(nonempty) > 0, F.concat(F.lit("?"), F.array_join(nonempty, "&"))).otherwise(
+        F.lit("")
+    )
+    frag = F.when(F.shiftright(h, 9) % 2 == 1, F.concat(F.lit("#sec"), (h % 7).cast("string"))).otherwise(
+        F.lit("")
+    )
+    url = F.concat(scheme, F.lit("://"), www, hostcased, port, path, qs, frag)
+    deduped = urls.url_dedup_keep_first(docs.withColumn("url", url), url_col="url", id_col="doc_id")
+    capped = urls.host_downsample(deduped, url_col="url", id_col="doc_id", cap=16, salt="host-ds")
+    return capped.select("doc_id", "canonical_url", "host", "kept", "dup_of", "host_kept")
 
 
 # ---------------------------------------------------------------------------
@@ -2319,6 +2428,7 @@ def t12_bpe_subwords(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY 1, 2
     """,
     tags=("multimodal", "dedup", "audio"),
+    defer=True,
 )
 def mm05_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio near-dup over the multimodal payload column: chromaprint-style

@@ -1,0 +1,87 @@
+"""URL canonicalization + host dedup/downsample (operators/urls.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mlops_pipelines_featurestore_gcp_spark.operators import urls
+
+
+CASES = [
+    # (messy, canonical) — each exercises one normalization
+    ("http://example.com/a", "example.com/a"),
+    ("https://example.com/a", "example.com/a"),  # scheme dropped
+    ("https://WWW.Example.COM/a", "example.com/a"),  # case + www
+    ("http://example.com:80/a", "example.com/a"),  # default port
+    ("https://example.com:443/a", "example.com/a"),
+    ("https://example.com//a///b/", "example.com/a/b"),  # slash noise
+    ("https://example.com/a#frag", "example.com/a"),  # fragment
+    ("https://example.com/a?utm_source=x&b=2&a=1", "example.com/a?a=1&b=2"),
+    ("https://example.com/a?gclid=1&fbclid=2&ref=x", "example.com/a"),
+    ("https://example.com/a?page=3&utm_campaign=c", "example.com/a?page=3"),
+    ("https://example.com/", "example.com"),  # bare root
+    ("https://example.com", "example.com"),  # no path at all
+    ("https://example.com?x=1", "example.com?x=1"),  # query, no path
+]
+
+
+def test_canonical_url_cases(spark):
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(CASES)], "i long, url string")
+    got = {r.i: r.c for r in df.select("i", urls.canonical_url(F.col("url")).alias("c")).collect()}
+    for i, (messy, want) in enumerate(CASES):
+        assert got[i] == want, (messy, got[i], want)
+
+
+def test_host_of(spark):
+    rows = [
+        ("https://WWW.Example.COM:443/a?b#c", "example.com"),
+        ("http://sub.host.org/x", "sub.host.org"),
+        ("ftp://files.net:80", "files.net"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(rows)], "i long, url string")
+    got = {r.i: r.h for r in df.select("i", urls.host_of(F.col("url")).alias("h")).collect()}
+    for i, (_, want) in enumerate(rows):
+        assert got[i] == want
+
+
+def test_url_dedup_keep_first(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "http://a.com/x?utm_source=1"),
+            (2, "https://www.A.com/x/"),
+            (3, "https://a.com/y"),
+        ],
+        "doc_id long, url string",
+    )
+    out = {r.doc_id: r for r in urls.url_dedup_keep_first(df).collect()}
+    assert out[1].kept == 1 and out[1].dup_of is None
+    assert out[2].kept == 0 and out[2].dup_of == 1  # same canonical as 1
+    assert out[3].kept == 1 and out[3].dup_of is None
+    assert out[1].canonical_url == out[2].canonical_url == "a.com/x"
+
+
+def test_host_downsample_cap_and_determinism(spark):
+    df = spark.createDataFrame(
+        [(i, f"https://h{i % 2}.com/p{i}") for i in range(40)], "doc_id long, url string"
+    )
+    a = urls.host_downsample(df, cap=5).collect()
+    b = urls.host_downsample(df, cap=5).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # deterministic
+    kept_per_host = {}
+    for r in a:
+        kept_per_host.setdefault(r.host, 0)
+        kept_per_host[r.host] += r.host_kept
+    assert kept_per_host == {"h0.com": 5, "h1.com": 5}
+    assert len(a) == 40  # one row per input, never filtered
+
+
+def test_plan_is_jvm_side(spark):
+    # The canonicalizer must stay whole-stage-codegen eligible: no
+    # BatchEvalPython / ArrowEvalPython nodes in the physical plan.
+    df = spark.createDataFrame([(1, "https://a.com/x")], "doc_id long, url string")
+    plan = (
+        urls.host_downsample(urls.url_dedup_keep_first(df))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "EvalPython" not in plan, plan

@@ -49,6 +49,7 @@ EXPECTED_CARTESIAN = {
 # redundant-but-harmless (the audit loop dedups); only NON-bench queries
 # (bench-excluded or deferred) need a row here.
 EXTRA = [
+    "d11_url_host_dedup",
     "d08_keep_best_exact",
     "t17_soft_dedup_weights",
     "t18_heavy_hitters_cms",

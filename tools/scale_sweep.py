@@ -358,6 +358,10 @@ GATE100 = [
     # projection+flags map-side; 200k vectors hash-matched in 125.5s
     # (texp ~0.31 over the 0.1→100x decades)
     "s11_embedding_whitening",
+    # round 11: canonical-URL dedup + host downsample — two keyed windows
+    # over linear keys (canonical url, host), value-level oracle by
+    # independent derivation; 500k rows hash-matched first run.
+    "d11_url_host_dedup",
     # round 11 (VERDICT r10 #3): the int8 two-stage tier under a STANDING
     # 100x hash gate — the r10 map-side shortlist rewrite had only
     # timing+contract evidence at 200k vectors. Gateable because the s05
