@@ -96,13 +96,22 @@ def url_dedup_keep_first(
     """One row per input row: ``kept`` = 1 for the smallest id of each
     canonical-URL group, ``dup_of`` = that smallest id for the rest
     (NULL for kept rows) — the d01/d08 keep-best shape on the canonical
-    key. One shuffle (the canonical-key window)."""
+    key.
+
+    The keeper comes from a ``groupBy().min()`` + equi-join back, NOT a
+    windowed min: a window sends every row of a hot canonical URL (one
+    page re-crawled 10⁷ times — routine in a crawl corpus) through one
+    task with no partial combine, while the aggregate combines map-side
+    and AQE splits a skewed join key. Two skew-immune shuffles instead
+    of one skew-fragile one."""
     out = df.withColumn(canon_col, canonical_url(F.col(url_col)))
-    w = Window.partitionBy(canon_col)
-    keeper = F.min(id_col).over(w)
-    return out.withColumn(
-        "kept", (F.col(id_col) == keeper).cast("int")
-    ).withColumn("dup_of", F.when(F.col(id_col) != keeper, keeper))
+    keepers = out.groupBy(canon_col).agg(F.min(id_col).alias("__keeper"))
+    return (
+        out.join(keepers, canon_col)
+        .withColumn("kept", (F.col(id_col) == F.col("__keeper")).cast("int"))
+        .withColumn("dup_of", F.when(F.col(id_col) != F.col("__keeper"), F.col("__keeper")))
+        .drop("__keeper")
+    )
 
 
 def host_downsample(
@@ -113,17 +122,37 @@ def host_downsample(
     cap: int = 100,
     salt: str = "host-ds",
     host_col: str = "host",
+    salted: bool = False,
 ) -> DataFrame:
     """Cap documents per host at ``cap``, chosen by a deterministic
     md5 draw (never ``rand()``): rank within host by
     ``(md5(salt|id), id)`` and keep rank ≤ cap — an unbiased,
     replayable per-host sample (the RefinedWeb host-budget stage).
-    Adds ``host`` and ``host_kept``; one shuffle (the host window)."""
+    Adds ``host`` and ``host_kept``; one row per input row either way.
+
+    ``salted=False``: one host-keyed window — right while every host's
+    rows fit one task. ``salted=True``: the q37 two-phase salted rank
+    (``skew.salted_topk`` — mega-hosts are the EXPECTED shape of a real
+    crawl) picks the identical keeper set (total order ⇒ exactness),
+    then one equi-join on the UNIQUE id (skew-free by construction)
+    attaches the flag. Bit-equal outputs, pinned by test."""
     out = df.withColumn(host_col, host_of(F.col(url_col)))
     draw = md5_long(
         F.concat(F.lit(salt + "|"), F.col(id_col).cast("string")), bits=60
     )
-    w = Window.partitionBy(host_col).orderBy(draw.asc(), F.col(id_col).asc())
-    return out.withColumn(
-        "host_kept", (F.row_number().over(w) <= cap).cast("int")
+    if not salted:
+        w = Window.partitionBy(host_col).orderBy(draw.asc(), F.col(id_col).asc())
+        return out.withColumn(
+            "host_kept", (F.row_number().over(w) <= cap).cast("int")
+        )
+    from mlops_pipelines_featurestore_gcp_spark.operators.skew import salted_topk
+
+    survivors = salted_topk(
+        out.withColumn("__draw", draw), host_col,
+        [F.col("__draw").asc(), F.col(id_col).asc()], k=cap,
+    ).select(F.col(id_col).alias("__sid"))
+    return (
+        out.join(survivors, out[id_col] == survivors["__sid"], "left")
+        .withColumn("host_kept", F.col("__sid").isNotNull().cast("int"))
+        .drop("__sid")
     )

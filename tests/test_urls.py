@@ -85,3 +85,17 @@ def test_plan_is_jvm_side(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "EvalPython" not in plan, plan
+
+
+def test_host_downsample_salted_bit_equal(spark):
+    # One mega-host (3000 rows) + a small host: the salted two-phase path
+    # must pick the IDENTICAL keeper set as the single-window path (the
+    # salted_topk exactness argument on a total order).
+    rows = [(i, "https://big.com/p%d" % i) for i in range(3000)]
+    rows += [(10_000 + i, "https://small.org/p%d" % i) for i in range(7)]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    plain = {r.doc_id: (r.host, r.host_kept) for r in urls.host_downsample(df, cap=50).collect()}
+    salted = {r.doc_id: (r.host, r.host_kept) for r in
+              urls.host_downsample(df, cap=50, salted=True).collect()}
+    assert plain == salted
+    assert sum(k for _, k in plain.values()) == 50 + 7
