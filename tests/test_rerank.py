@@ -1,0 +1,94 @@
+"""BM25 rerank over an ANN shortlist (operators/rerank.py)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from mlops_pipelines_featurestore_gcp_spark.operators import rerank
+
+DOCS = [
+    (0, "spark shuffles data between stages"),
+    (1, "the cat sat on the mat"),
+    (2, "spark partitions shuffle data data data"),
+    (3, "a completely unrelated sentence about gardening"),
+    (4, "data data everywhere and not a byte to keep"),
+]
+QUERIES = [(100, "spark shuffle data"), (101, "gardening cat")]
+SHORTLIST = [  # every query paired with every doc: rerank gets full say
+    (q, d) for q, _ in QUERIES for d, _ in DOCS
+]
+
+
+def _tok(s):
+    return s.lower().split()
+
+
+def _py_bm25(qtext, dtext, docs, k1=1.2, b=0.75):
+    """Pure-Python replica of the operator's math, micro-quantized."""
+    n = len(docs)
+    lens = {i: len(_tok(t)) for i, t in docs}
+    avgdl = sum(lens.values()) / n
+    dfreq = {}
+    for term in set(_tok(qtext)):
+        dfreq[term] = sum(1 for _, t in docs if term in _tok(t))
+    total = 0
+    dtoks = _tok(dtext)
+    for term in set(_tok(qtext)):
+        tf = dtoks.count(term)
+        if tf == 0 or dfreq[term] == 0:
+            continue
+        idf = math.log(1.0 + (n - dfreq[term] + 0.5) / (dfreq[term] + 0.5))
+        sat = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * len(dtoks) / avgdl))
+        total += math.floor(idf * sat * 1e6 + 0.5)
+    return total
+
+
+def _frames(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    qs = spark.createDataFrame(QUERIES, "query_id long, text string")
+    sl = spark.createDataFrame(SHORTLIST, "query_id long, neighbor_id long")
+    return docs, qs, sl
+
+
+def test_bm25_rerank_matches_pure_python(spark):
+    docs, qs, sl = _frames(spark)
+    out = rerank.bm25_rerank(sl, qs, docs).collect()
+    got = {(r.query_id, r.neighbor_id): r.bm25_micro for r in out}
+    dmap, qmap = dict(DOCS), dict(QUERIES)
+    for (qid, did), score in got.items():
+        assert score == _py_bm25(qmap[qid], dmap[did], DOCS), (qid, did)
+    assert len(got) == len(SHORTLIST)  # zero-overlap pairs kept at 0
+
+
+def test_bm25_rerank_orders_lexical_relevance(spark):
+    docs, qs, sl = _frames(spark)
+    out = rerank.bm25_rerank(sl, qs, docs, k=2).collect()
+    top = {r.query_id: [] for r in out}
+    for r in sorted(out, key=lambda r: (r.query_id, r.rrnk)):
+        top[r.query_id].append(r.neighbor_id)
+    # query 100 ("spark shuffle data"): docs 2 and 0 are the lexical hits
+    assert set(top[100]) == {0, 2}
+    # query 101 ("gardening cat"): docs 3 and 1
+    assert set(top[101]) == {3, 1}
+
+
+def test_bm25_rerank_deterministic_and_jvm_side(spark):
+    docs, qs, sl = _frames(spark)
+    a = sorted(map(tuple, rerank.bm25_rerank(sl, qs, docs).collect()))
+    bdf = rerank.bm25_rerank(sl, qs, docs)
+    assert a == sorted(map(tuple, bdf.collect()))
+    plan = bdf._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+
+
+def test_bm25_rerank_passthrough_columns_and_cut(spark):
+    docs, qs, _ = _frames(spark)
+    sl = spark.createDataFrame(
+        [(100, 0, 0.9), (100, 2, 0.8), (100, 3, 0.7)],
+        "query_id long, neighbor_id long, cos_sim double",
+    )
+    out = rerank.bm25_rerank(sl, qs, docs, k=1).collect()
+    assert len(out) == 1 and out[0].neighbor_id == 2  # lexical winner
+    assert abs(out[0].cos_sim - 0.8) < 1e-12  # extra columns survive
