@@ -99,3 +99,26 @@ def test_host_downsample_salted_bit_equal(spark):
               urls.host_downsample(df, cap=50, salted=True).collect()}
     assert plain == salted
     assert sum(k for _, k in plain.values()) == 50 + 7
+
+
+def test_canonical_url_idempotent_under_recanonicalization(spark):
+    # Canonicalization is a fixpoint: re-wrapping a canonical form in a
+    # scheme and canonicalizing again must return the identical string
+    # (hypothesis-style sweep over the messy-variant cross product).
+    import itertools
+
+    hosts = ["Example.COM", "www.sub.host.org", "a-b.net:443"]
+    paths = ["/x//y/", "/x/y", "", "/"]
+    qs = ["", "?utm_source=s&b=2&a=1", "?gclid=1", "?z=9&a=1"]
+    frags = ["", "#sec"]
+    messy = [
+        f"https://{h}{p}{q}{f}"
+        for h, p, q, f in itertools.product(hosts, paths, qs, frags)
+    ]
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(messy)], "i long, url string")
+    once = {r.i: r.c for r in df.select("i", urls.canonical_url(F.col("url")).alias("c")).collect()}
+    redf = spark.createDataFrame(
+        [(i, "http://" + c) for i, c in once.items()], "i long, url string"
+    )
+    twice = {r.i: r.c for r in redf.select("i", urls.canonical_url(F.col("url")).alias("c")).collect()}
+    assert once == twice
