@@ -1070,6 +1070,12 @@ def pq_topk(
         "pq_topk",
     )
     qids = np.asarray([r["query_id"] for r in qrows])
+    if len(qrows) == 0:
+        # empty query set: the (nq, dim) reshapes below would see shape
+        # (0,) and crash — return the empty result with the output schema
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cos_sim double, rnk int"
+        )
     Q = np.asarray([r["qv"] for r in qrows], dtype=np.float64)  # (nq, dim)
     qn = np.sqrt((Q**2).sum(axis=1))
     # T[q, s, j] = q_sub_s · codeword_{s,j}
@@ -1350,6 +1356,12 @@ def ivf_pq_topk(
         "ivf_pq_topk",
     )
     qids = np.asarray([r["query_id"] for r in qrows])
+    if len(qrows) == 0:
+        # empty query set: the (nq, dim) reshapes below would see shape
+        # (0,) and crash — return the empty result with the output schema
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cos_sim double, rnk int"
+        )
     Q = np.asarray([r["qv"] for r in qrows], dtype=np.float64)
     qn = np.sqrt((Q**2).sum(axis=1))
     qc = Q @ ct.T  # (nq, cells): the q·c_cell scalar term

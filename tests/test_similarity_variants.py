@@ -503,3 +503,25 @@ def test_collect_query_rows_cap_raises_clearly(spark):
         similarity._collect_query_rows(big, "unit-test")
     small = spark.range(5)
     assert len(similarity._collect_query_rows(small, "unit-test")) == 5
+
+
+def test_all_ann_tiers_handle_empty_query_set(emb):
+    # A filtered-to-nothing query frame is a legitimate caller input;
+    # every tier must return an empty result with the standard schema
+    # instead of crashing (pq/ivfpq reshaped driver-side query arrays to
+    # (0,) and raised AxisError before r11).
+    empty_q = emb.where(F.col("vec_id") < 0)
+    want = ["query_id", "neighbor_id", "cos_sim", "rnk"]
+    outs = {
+        "brute": similarity.brute_force_topk(emb, empty_q, k=5, dim=64),
+        "lsh": similarity.lsh_topk(emb, empty_q, dim=64, planes=8, tables=4, k=5),
+        "ivf": similarity.ivf_topk(emb, empty_q, n_centroids=8, n_probe=3, k=5, dim=64),
+        "int8": similarity.quantized_topk(
+            similarity.quantize_embeddings(emb, dim=64), empty_q, emb, k=5, shortlist=25, dim=64
+        ),
+        "pq": similarity.pq_topk(emb, empty_q, dim=64, k=5, shortlist=25),
+        "ivfpq": similarity.ivf_pq_topk(emb, empty_q, dim=64, m=8, k=5, shortlist=25),
+    }
+    for name, df in outs.items():
+        assert df.count() == 0, name
+        assert [c for c in df.columns if c in want] == want, (name, df.columns)
