@@ -954,6 +954,8 @@ def pq_train(
         .select("__v")
         .collect()
     )
+    if not rows:
+        raise ValueError("pq_train: empty corpus (the learn_cells posture — a clear error, not a numpy shape crash)")
     X = np.asarray([r["__v"] for r in rows], dtype=np.float64)  # (n, dim)
     n = X.shape[0]
     if ksub is None:
@@ -1216,6 +1218,8 @@ def ivfpq_train(
         .select("__v")
         .collect()
     )
+    if not srows:
+        raise ValueError("ivfpq_train: empty corpus (the learn_cells posture — a clear error, not a numpy shape crash)")
     X = np.asarray([r["__v"] for r in srows], dtype=np.float64)
     n = X.shape[0]
     if n_centroids is None:

@@ -525,3 +525,13 @@ def test_all_ann_tiers_handle_empty_query_set(emb):
     for name, df in outs.items():
         assert df.count() == 0, name
         assert [c for c in df.columns if c in want] == want, (name, df.columns)
+
+
+def test_quantizer_fits_raise_clearly_on_empty_corpus(emb):
+    empty_c = emb.where(F.col("vec_id") < 0)
+    with pytest.raises(ValueError, match="pq_train: empty corpus"):
+        similarity.pq_train(empty_c, dim=64, m=8)
+    with pytest.raises(ValueError, match="ivfpq_train: empty corpus"):
+        similarity.ivfpq_train(empty_c, dim=64, m=8)
+    with pytest.raises(ValueError, match="learn_cells: empty corpus"):
+        similarity.ivf_topk(empty_c, emb.limit(1), n_centroids=8, n_probe=3, k=5, dim=64)
