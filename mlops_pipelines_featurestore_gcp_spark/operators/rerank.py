@@ -15,8 +15,12 @@ corpus-stats pass):
    document frequency of QUERY-VOCAB terms only (explode docs → terms,
    broadcast-semi-join against the query vocabulary, one groupBy): the
    df table is bounded by |query vocab| rows and broadcasts. At 100 TB
-   this is the one full pass, and it is amortizable — persist the df
-   table and refresh with the corpus.
+   this is the one full pass, and it amortizes for real via the
+   bm25_fit → BM25Stats → bm25_rerank(stats=...) split (the
+   pq_train/pq_topk pattern): fit once, persist dfreq/doc_lengths,
+   and every later query batch is shortlist/vocab-proportional.
+   The inline no-stats path remains the one-off convenience shape;
+   stats go stale if the corpus changes — refit with it.
 2. per-pair scoring — shortlist pairs join doc term-frequencies on the
    doc key and query terms on the (query, term) key; per-term BM25
    contributions micro-quantized to integer units BEFORE the per-pair
@@ -35,6 +39,8 @@ text retrieval is part of the engine-native extension family (SURVEY
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -45,6 +51,60 @@ MICRO = 1_000_000.0
 
 def _micro(col):
     return F.floor(col * F.lit(MICRO) + F.lit(0.5)).cast("long")
+
+
+@dataclass(frozen=True)
+class BM25Stats:
+    """Fitted corpus statistics for :func:`bm25_rerank` — the
+    pq_train/pq_topk split applied to lexical scoring (ADVICE r11):
+    build once over the corpus, search many query batches.
+
+    ``dfreq`` is (term, __df) — document frequency over the FULL corpus
+    vocabulary (or the ``vocab``-restricted slice the fit was given);
+    ``doc_lengths`` is (__did, __dlen). Both are plain DataFrames the
+    caller should persist (``localCheckpoint()`` / a scratch write) when
+    amortizing across calls — the fit itself stays lazy about them and
+    only materializes the two scalar aggregates. The object goes stale
+    if the corpus changes; refit with the corpus, exactly like a PQ
+    codebook.
+    """
+
+    n_docs: int
+    avgdl: float
+    dfreq: DataFrame
+    doc_lengths: DataFrame
+
+
+def bm25_fit(
+    docs: DataFrame,
+    *,
+    doc_id_col: str = "doc_id",
+    doc_text_col: str = "text",
+    vocab: DataFrame | None = None,
+) -> BM25Stats:
+    """One corpus pass → :class:`BM25Stats` (the amortizable step).
+
+    Computes n_docs / avgdl eagerly (two scalars, one aggregate job) and
+    builds the document-frequency and doc-length tables lazily. With
+    ``vocab`` (a single-column ``term`` DataFrame) the df pass counts
+    only those terms — the bounded shape when the query workload's
+    vocabulary is known up front; without it the df table covers the
+    full corpus vocabulary (the classic inverted-index df pass — one
+    explode + distinct + count, term-keyed), and :func:`bm25_rerank`
+    prunes it to each call's query vocabulary before broadcasting.
+    """
+    d = docs.select(
+        F.col(doc_id_col).alias("__did"), F.col(doc_text_col).alias("__dtext")
+    )
+    dtoks = tokens(normalize(F.col("__dtext")))
+    dl = d.select("__did", F.size(dtoks).cast("long").alias("__dlen"))
+    row = dl.agg(F.count("*").alias("n"), F.avg("__dlen").alias("avgdl")).first()
+    n_docs, avgdl = row["n"], float(row["avgdl"] or 0.0) or 1.0
+    terms = d.select("__did", F.explode(dtoks).alias("term"))
+    if vocab is not None:
+        terms = terms.join(F.broadcast(vocab.select("term").distinct()), "term")
+    dfreq = terms.distinct().groupBy("term").agg(F.count("*").alias("__df"))
+    return BM25Stats(n_docs=n_docs, avgdl=avgdl, dfreq=dfreq, doc_lengths=dl)
 
 
 def bm25_rerank(
@@ -59,6 +119,7 @@ def bm25_rerank(
     k: int | None = None,
     k1: float = 1.2,
     b: float = 0.75,
+    stats: BM25Stats | None = None,
 ) -> DataFrame:
     """BM25-score every (query, candidate) pair of ``shortlist`` and
     re-rank within each query.
@@ -68,6 +129,14 @@ def bm25_rerank(
     ``docs``: (doc_id, text) — the corpus; only shortlisted docs are
     term-expanded for scoring, but idf statistics come from the FULL
     corpus (a shortlist-local idf would re-weight per query batch).
+
+    ``stats``: a fitted :class:`BM25Stats` from :func:`bm25_fit` — the
+    build-once/search-many path. Without it the fit runs inline (two
+    eager corpus jobs at call time, the original convenience shape);
+    with it the call is entirely shortlist/vocab-proportional: the
+    persisted df table is pruned to this call's query vocabulary with a
+    broadcast semi-join and the corpus is touched only for the
+    shortlisted docs' term frequencies.
 
     Output: shortlist columns + ``bm25_micro`` (integer micro-units,
     0 for no term overlap) + ``rrnk`` (1 = best; ties to the smaller
@@ -84,20 +153,21 @@ def bm25_rerank(
     dtoks = tokens(normalize(F.col("__dtext")))
     qtoks = tokens(normalize(F.col("__qtext")))
 
-    # --- corpus statistics (the one full pass; amortizable) ---------------
-    dl = d.select("__did", F.size(dtoks).cast("long").alias("__dlen"))
-    stats = dl.agg(F.count("*").alias("n"), F.avg("__dlen").alias("avgdl")).first()
-    n_docs, avgdl = stats["n"], float(stats["avgdl"] or 0.0) or 1.0
+    # --- corpus statistics (the one full pass; amortized via `stats`) -----
+    if stats is None:
+        stats = bm25_fit(
+            docs,
+            doc_id_col=doc_id_col if doc_id_col in docs.columns else "doc_id",
+            doc_text_col=doc_text_col,
+            vocab=q.select(F.explode(qtoks).alias("term")).distinct(),
+        )
+    n_docs, avgdl, dl = stats.n_docs, stats.avgdl, stats.doc_lengths
 
-    # distinct query-vocabulary terms (small: queries are the broadcast side)
+    # prune the df table to THIS call's query vocabulary before the
+    # broadcast — a full-vocab fitted table is corpus-vocabulary-sized
+    # and must not ship to every executor wholesale
     qvocab = q.select(F.explode(qtoks).alias("term")).distinct()
-    dfreq = (
-        d.select("__did", F.explode(dtoks).alias("term"))
-        .join(F.broadcast(qvocab), "term")
-        .distinct()  # document frequency counts each (doc, term) once
-        .groupBy("term")
-        .agg(F.count("*").alias("__df"))
-    )
+    dfreq = stats.dfreq.join(F.broadcast(qvocab), "term")
 
     # --- shortlist-proportional scoring -----------------------------------
     # term frequencies for SHORTLISTED docs only (semi-join prune)

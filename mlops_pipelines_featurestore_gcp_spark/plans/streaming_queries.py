@@ -345,6 +345,7 @@ def st07_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE v.event_type = 'view' AND p.event_type = 'purchase'
     """,
     tags=("streaming", "join", "interval", "watermark"),
+    defer=True,
 )
 def st08_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """View->purchase attribution pairs within 6 hours per user — the

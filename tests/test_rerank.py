@@ -83,6 +83,40 @@ def test_bm25_rerank_deterministic_and_jvm_side(spark):
     assert "EvalPython" not in plan
 
 
+def test_bm25_fitted_stats_match_inline_fit(spark):
+    """bm25_fit → rerank(stats=…) (build-once/search-many) is value-equal
+    to the inline fit, including across split query batches reusing ONE
+    fitted object — the amortized shape c04 registers."""
+    docs, qs, sl = _frames(spark)
+    stats = rerank.bm25_fit(docs)
+    assert stats.n_docs == len(DOCS)
+    inline = sorted(map(tuple, rerank.bm25_rerank(sl, qs, docs).collect()))
+    fitted = sorted(map(tuple, rerank.bm25_rerank(sl, qs, docs, stats=stats).collect()))
+    assert inline == fitted
+    # one fit, two query batches: union equals the single-call result
+    per_batch = []
+    for qid in (100, 101):
+        out = rerank.bm25_rerank(
+            sl.where(F.col("query_id") == qid),
+            qs.where(F.col("query_id") == qid),
+            docs,
+            stats=stats,
+        )
+        per_batch += [tuple(r) for r in out.collect()]
+    assert sorted(per_batch) == inline
+
+
+def test_bm25_fit_vocab_restricted(spark):
+    """A vocab-restricted fit scores identically for in-vocab queries —
+    the bounded-df shape when the workload vocabulary is known."""
+    docs, qs, sl = _frames(spark)
+    vocab = qs.select(F.explode(F.split(F.col("text"), " ")).alias("term"))
+    stats = rerank.bm25_fit(docs, vocab=vocab)
+    full = sorted(map(tuple, rerank.bm25_rerank(sl, qs, docs).collect()))
+    rest = sorted(map(tuple, rerank.bm25_rerank(sl, qs, docs, stats=stats).collect()))
+    assert full == rest
+
+
 def test_bm25_rerank_passthrough_columns_and_cut(spark):
     docs, qs, _ = _frames(spark)
     sl = spark.createDataFrame(
