@@ -11,12 +11,19 @@ Each query runs once UNTIMED at the target sf_dir (whole-stage-codegen
 units are keyed by the physical plan, and AQE's runtime re-plan means the
 sf0.1 plan compiles different classes than any smaller warm-up scale — a
 cold first run is dominated by multi-second C2 JIT churn, not the query),
-then $SPARK_GRAFT_BENCH_REPEATS timed times (default 4) with the MINIMUM
-reported: the steady-state number a long-lived cluster sees, with
-scheduler/GC jitter — which at local fixture scale is the same order as
-the queries themselves — filtered out. No DataFrame is cached anywhere in
-the registry, so the warm-up carries over only compiled code and OS page
-cache, exactly what steady state on a long-lived cluster looks like.
+then $SPARK_GRAFT_BENCH_REPEATS timed times (default 4) with the MEDIAN
+reported (round 12+; rounds ≤11 recorded the min). The r11 same-box
+worktree adjudication measured ±30% swings on sub-second queries between
+two quiet runs minutes apart — a 4-sample MIN is a draw from that band's
+floor, so consecutive rounds spent judge time re-litigating noise. The
+median is the statistic whose cross-round ratio actually tracks code
+changes; per-rep min/median/max still land in BENCH_DETAIL.json, and the
+stdout line carries ``value_min`` for continuity with the pre-r12 series
+plus ``value_per_calib`` (median total ÷ calib_s — the host-speed-
+normalized number cross-round comparisons should use first). No DataFrame
+is cached anywhere in the registry, so the warm-up carries over only
+compiled code and OS page cache, exactly what steady state on a
+long-lived cluster looks like.
 """
 
 from __future__ import annotations
@@ -101,6 +108,9 @@ HEADLINE2 = [
     # round 9 addition: PCA-rotation fit (one constant-width DECIMAL
     # aggregate) + map-side projection + flag verification.
     "s11_embedding_whitening",
+    # round 12 addition: hybrid retrieval — exact-cosine recall + BM25
+    # rerank in the amortized bm25_fit/search-many shape.
+    "c04_hybrid_rerank",
     # q39_tfrecord_roundtrip and q40_clustered_layout are EXCLUDED by
     # decision: both are IO-shaped (q39 writes+rereads a TFRecord dir,
     # q40 compacts/clusters/z-orders parquet layouts), so their wall time
@@ -274,7 +284,9 @@ def main() -> None:
             reps.append(time.perf_counter() - t0)
             n = row["n"]
         reps.sort()
-        timings[name] = round(reps[0], 4)
+        # median, not min (round 12): see the module docstring — the min
+        # is a draw from the ±30% same-code noise band's floor
+        timings[name] = round(reps[len(reps) // 2], 4)
         spreads[name] = {
             "min": round(reps[0], 4),
             "median": round(reps[len(reps) // 2], 4),
@@ -320,11 +332,21 @@ def build_outputs(
     """
     stable = {n: t for n, t in timings.items() if n in HEADLINE}
     new_ops = {n: t for n, t in timings.items() if n in HEADLINE2}
+    value = round(sum(stable.values()), 4)
     line = json.dumps(
         {
             "metric": "headline_queries_total_wall",
-            "value": round(sum(stable.values()), 4),
+            "value": value,
             "unit": "sec",
+            # round 12+: per-query numbers and `value` are MEDIANS of the
+            # timed reps; rounds ≤11 recorded single-draw minimums.
+            # `value_min` keeps the old statistic for series continuity,
+            # `value_per_calib` is the host-speed-normalized headline.
+            "stat": "median",
+            "value_min": round(
+                sum(spreads[n]["min"] for n in stable), 4
+            ),
+            "value_per_calib": round(value / calib_s, 2) if calib_s else None,
             "queries": stable,
             "sf": sf,
             "value_new_ops": round(sum(new_ops.values()), 4),

@@ -70,19 +70,28 @@ def _batch_topk_prune(scored: DataFrame, k: int) -> DataFrame:
     rows at the 100× corpus before this).
 
     Non-finite scores pass through UNPRUNED (they do not count against
-    k): a zero-norm vector's cosine is 0/0 — NULL in this engine's
-    non-ANSI sessions (ranked LAST by the downstream ``DESC`` window),
-    NaN in a caller's ANSI-off arithmetic that genuinely produces NaN
-    (ranked FIRST — Spark treats NaN as greater than any double) — and
-    the two are indistinguishable inside an Arrow batch (both arrive as
-    float64 NaN in pandas). Forwarding them all keeps the per-batch
-    top-k a superset of the global top-k under EITHER window semantics;
-    the pass-through volume is bounded by the number of degenerate
-    vectors (zero in every fixture). r10 shipped np.lexsort on
-    ``-cos_sim`` alone, which silently pruned them once a batch held ≥k
-    finite scores. Output schema is derived from the input so callers
-    with non-long id columns keep working."""
+    k), and their semantics are PINNED — not left to the Arrow hop
+    (ADVICE r11): a degenerate cosine (zero-norm vector: 0/0 → NULL in
+    this engine's non-ANSI sessions; genuine NaN from a caller's own
+    arithmetic) is normalized to NULL with a JVM ``when(isnan)`` BEFORE
+    the kernel and again on the way out, so the downstream ``DESC``
+    window ranks every degenerate LAST under one documented rule,
+    identically in pruned and unpruned plans. (Inside an Arrow batch
+    NULL and NaN both arrive as float64 NaN, and the pandas→Arrow
+    return conversion maps NaN back to NULL — two silent coin flips
+    this pin removes from the contract.) The pass-through volume is
+    bounded by the number of degenerate vectors (zero in every
+    fixture). r10 shipped np.lexsort on ``-cos_sim`` alone, which
+    silently pruned them once a batch held ≥k finite scores. Output
+    schema is derived from the input so callers with non-long id
+    columns keep working."""
     kk = int(k)
+    # pin degenerate-cosine semantics to NULL (ranks last under DESC) on
+    # BOTH sides of the Arrow round trip — see docstring
+    nan_to_null = F.when(
+        F.isnan(F.col("cos_sim")), F.lit(None).cast("double")
+    ).otherwise(F.col("cos_sim"))
+    scored = scored.withColumn("cos_sim", nan_to_null)
     out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in scored.schema.fields)
 
     def _prune(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -100,7 +109,7 @@ def _batch_topk_prune(scored: DataFrame, k: int) -> DataFrame:
             if parts:
                 yield pd.concat(parts, ignore_index=True)
 
-    return scored.mapInPandas(_prune, out_schema)
+    return scored.mapInPandas(_prune, out_schema).withColumn("cos_sim", nan_to_null)
 
 
 def brute_force_topk(
@@ -655,6 +664,13 @@ def lsh_topk(
     :func:`_auto_planes` (r11 — the SCALING.md retune trigger, now code:
     +1 plane per doubling past the ~256k knee so expected buckets stay
     ~1k, tables raised to hold recall). Explicit values always win.
+    NOTE (ADVICE r11): auto mode targets the REGISTERED s02/s03
+    operating point — base 16 tables at 8 planes, the measured
+    recall-contract configuration — not this signature's 4-table
+    convenience default. Opting into auto therefore buys the
+    contract-grade recall band at ~4× the corpus-side signature cost of
+    the bare default; callers wanting the cheap end pass ``tables=4``
+    explicitly.
     """
     from itertools import combinations
 

@@ -17,12 +17,19 @@ source-format config) and delegates every dedup/provenance decision to
 the warehouse; this module is the engine-native canonical-URL tier such
 a pipeline needs at crawl scale.
 
-Skew note (100 TB): both windows partition by a key whose worst-case
-population is one host's document count. Real crawls have mega-hosts;
-when one host's rows overflow an executor, the q37 salted-top-k
-pattern applies unchanged (salt the rank stage, re-rank the per-salt
-survivors) — documented here, not defaulted, because the cap path's
-per-row state is one long and Spark's window spills to disk correctly.
+Skew note (100 TB): the dedup keeper is a map-side-combining aggregate
+plus an AQE-splittable join (never a hot-key window), and the host cap
+AUTO-SALTS (round 12): a cheap md5-row-probe estimates the largest
+host's row count and flips to the q37 two-phase salted rank when it
+exceeds ``AUTO_SALT_MAX_HOST_ROWS`` — mega-hosts are the EXPECTED shape
+of a real crawl, so the scale-safe plan must not hide behind a flag a
+caller has to know about. Both cap paths are bit-equal (pinned by
+test); the probe's estimate only ever changes the PLAN, never a value.
+
+NULL handling (ADVICE r11, medium): a NULL url cannot assert identity —
+NULL-url rows are always kept (``kept``/``host_kept`` = 1, ``dup_of``
+NULL) and never vanish; the keeper join is null-safe so the one-row-per-
+input-row contract holds on real crawl data where missing URLs occur.
 """
 
 from __future__ import annotations
@@ -36,6 +43,25 @@ from mlops_pipelines_featurestore_gcp_spark.functions.text import md5_long
 # parameters carry no content identity. Kept deliberately short and
 # mirrored VERBATIM in every oracle twin (plans/llm_data.py d11).
 TRACKING_PARAM_RE = "^(utm_[a-z]+|gclid|fbclid|msclkid|ref)="
+
+# RFC 3986 §2.3 unreserved characters: percent-encodings of these are
+# equivalent to the bare character and MUST be decoded for comparison
+# (§6.2.2.2). Everything else (%2F, %3F, …) changes structure and stays.
+_UNRESERVED = (
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ" "abcdefghijklmnopqrstuvwxyz" "0123456789" "-._~"
+)
+
+# host-cap auto-salting (round 12): estimated max-host-rows threshold at
+# which the one-window cap flips to the q37 two-phase salted rank. A
+# window's per-host state is tiny (one long per row) and spills
+# correctly, so the bound is task-skew wall time, not memory: 4M rows
+# through one task is minutes while its 999 sibling cores idle.
+# Rationale + measurement in SCALING.md (d11 family).
+AUTO_SALT_MAX_HOST_ROWS = 4_000_000
+# 1-in-128 deterministic md5 row probe: a threshold-sized host yields
+# ~31k probe rows, so detection error at the boundary is ±~1% — and a
+# wrong call near the boundary only picks the other BIT-EQUAL plan.
+SALT_PROBE_MOD = 128
 
 
 def host_of(url: Column) -> Column:
@@ -63,9 +89,14 @@ def canonical_url(url: Column) -> Column:
     dropped; query params with tracking keys removed, the survivors
     sorted (param order never changes identity) and rejoined.
 
-    Percent-encoding normalization (``%7E`` vs ``~``) is NOT applied —
-    it needs a decode table; documented boundary, same posture as the
-    non-PNG codecs.
+    Percent-encoding normalization (round 12, RFC 3986 §6.2.2.2): the
+    bounded unreserved-char decode table (ALPHA / DIGIT / ``-._~``, both
+    hex-digit cases) is applied to the final canonical string — ``%7E``
+    and ``~`` now name the same page. Reserved-char encodings (``%2F``,
+    ``%3F``, …) are structural and stay, so decoding after the
+    path/query split cannot re-split anything. The whole chain is
+    literal ``replace`` calls guarded by one ``contains('%')`` test —
+    the common no-encoding row never executes it.
     """
     u = F.regexp_replace(url, "#.*$", "")
     u = F.regexp_replace(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
@@ -79,11 +110,29 @@ def canonical_url(url: Column) -> Column:
         lambda p: (p != F.lit("")) & ~p.rlike(TRACKING_PARAM_RE),
     )
     qcanon = F.array_join(F.array_sort(kept), "&")
-    return F.concat(
+    out = F.concat(
         host_of(url),
         path,
         F.when(qcanon == "", F.lit("")).otherwise(F.concat(F.lit("?"), qcanon)),
     )
+    return F.when(~out.contains("%"), out).otherwise(_decode_unreserved(out))
+
+
+def _decode_unreserved(col: Column) -> Column:
+    """Decode ``%XX`` percent-encodings of RFC 3986 unreserved characters
+    (upper- and lower-hex forms) via literal ``replace`` — no regex, all
+    codegen. ``%25`` (the escape itself) is reserved and survives; on
+    well-formed input (every ``%`` starts a valid triplet) a decoded
+    unreserved char can never create a new triplet, so one pass is a
+    fixpoint (idempotence pinned by test). A malformed bare ``%``
+    adjacent to an encoding (``%4%31``) can leave one undecoded triplet
+    behind — garbage-in boundary, not identity-relevant."""
+    for ch in _UNRESERVED:
+        code = f"%{ord(ch):02X}"
+        col = F.replace(col, F.lit(code), F.lit(ch))
+        if code != code.lower():  # second hex digit A-F: lower form too
+            col = F.replace(col, F.lit(code.lower()), F.lit(ch))
+    return col
 
 
 def url_dedup_keep_first(
@@ -92,26 +141,76 @@ def url_dedup_keep_first(
     url_col: str = "url",
     id_col: str = "doc_id",
     canon_col: str = "canonical_url",
+    skew_safe: bool = True,
 ) -> DataFrame:
     """One row per input row: ``kept`` = 1 for the smallest id of each
     canonical-URL group, ``dup_of`` = that smallest id for the rest
     (NULL for kept rows) — the d01/d08 keep-best shape on the canonical
     key.
 
-    The keeper comes from a ``groupBy().min()`` + equi-join back, NOT a
-    windowed min: a window sends every row of a hot canonical URL (one
-    page re-crawled 10⁷ times — routine in a crawl corpus) through one
-    task with no partial combine, while the aggregate combines map-side
-    and AQE splits a skewed join key. Two skew-immune shuffles instead
-    of one skew-fragile one."""
+    NULL urls (ADVICE r11): a NULL url has no identity to dedup on, so
+    the row is KEPT (``kept`` = 1, ``dup_of`` NULL) — never grouped with
+    other NULLs, never dropped. The keeper join is null-safe
+    (``eqNullSafe``) so the one-row-per-input-row contract holds.
+
+    ``skew_safe=True`` (default — the 100 TB plan): the keeper comes
+    from a ``groupBy().min()`` + equi-join back, NOT a windowed min: a
+    window sends every row of a hot canonical URL (one page re-crawled
+    10⁷ times — routine in a crawl corpus) through one task with no
+    partial combine, while the aggregate combines map-side and AQE
+    splits a skewed join key. Two skew-immune shuffles instead of one
+    skew-fragile one — the cost is that the canonicalization map runs on
+    both join branches (embarrassingly parallel; the skew it removes is
+    not). ``skew_safe=False`` is the single-window fast path for inputs
+    KNOWN to have no hot canonical key (bit-equal output, pinned by
+    test)."""
     out = df.withColumn(canon_col, canonical_url(F.col(url_col)))
-    keepers = out.groupBy(canon_col).agg(F.min(id_col).alias("__keeper"))
+    if skew_safe:
+        keepers = out.groupBy(canon_col).agg(F.min(id_col).alias("__keeper"))
+        joined = out.join(
+            keepers.withColumnRenamed(canon_col, "__ck"),
+            F.col(canon_col).eqNullSafe(F.col("__ck")),
+        ).drop("__ck")
+    else:
+        joined = out.withColumn(
+            "__keeper", F.min(id_col).over(Window.partitionBy(canon_col))
+        )
+    null_canon = F.col(canon_col).isNull()
     return (
-        out.join(keepers, canon_col)
-        .withColumn("kept", (F.col(id_col) == F.col("__keeper")).cast("int"))
-        .withColumn("dup_of", F.when(F.col(id_col) != F.col("__keeper"), F.col("__keeper")))
+        joined.withColumn(
+            "kept",
+            F.when(null_canon, F.lit(1)).otherwise(
+                (F.col(id_col) == F.col("__keeper")).cast("int")
+            ),
+        )
+        .withColumn(
+            "dup_of",
+            F.when(~null_canon & (F.col(id_col) != F.col("__keeper")), F.col("__keeper")),
+        )
         .drop("__keeper")
     )
+
+
+def estimate_max_host_rows(
+    df: DataFrame,
+    *,
+    host_col: str = "host",
+    id_col: str = "doc_id",
+    mod: int = SALT_PROBE_MOD,
+) -> int:
+    """Deterministic 1-in-``mod`` estimate of the largest host's row
+    count: an md5 draw on the UNIQUE id picks the probe rows (layout-
+    independent, never ``rand()``), one map-side-combining count over
+    ~N/mod rows, scaled back by ``mod``. The probe is the cheap host-
+    count sketch the auto-salting decision reads; it shuffles 1/mod of
+    the (host, count) mass an exact count would."""
+    probe = df.where(
+        md5_long(F.concat(F.lit("salt-probe|"), F.col(id_col).cast("string")), bits=60)
+        % mod
+        == 0
+    )
+    row = probe.groupBy(host_col).count().agg(F.max("count").alias("m")).first()
+    return int(row["m"] or 0) * mod
 
 
 def host_downsample(
@@ -122,37 +221,59 @@ def host_downsample(
     cap: int = 100,
     salt: str = "host-ds",
     host_col: str = "host",
-    salted: bool = False,
+    salted: bool | None = None,
+    auto_salt_threshold: int = AUTO_SALT_MAX_HOST_ROWS,
 ) -> DataFrame:
     """Cap documents per host at ``cap``, chosen by a deterministic
     md5 draw (never ``rand()``): rank within host by
     ``(md5(salt|id), id)`` and keep rank ≤ cap — an unbiased,
     replayable per-host sample (the RefinedWeb host-budget stage).
     Adds ``host`` and ``host_kept``; one row per input row either way.
+    NULL urls have no host — their rows keep ``host_kept`` = 1 and never
+    consume any host's budget (the url_dedup_keep_first posture).
 
-    ``salted=False``: one host-keyed window — right while every host's
-    rows fit one task. ``salted=True``: the q37 two-phase salted rank
-    (``skew.salted_topk`` — mega-hosts are the EXPECTED shape of a real
-    crawl) picks the identical keeper set (total order ⇒ exactness),
-    then one equi-join on the UNIQUE id (skew-free by construction)
-    attaches the flag. Bit-equal outputs, pinned by test."""
+    ``salted=None`` (default, round 12): AUTO — a 1-in-128 md5 row probe
+    (:func:`estimate_max_host_rows`) estimates the largest host and
+    flips to the salted plan past ``auto_salt_threshold``
+    (`AUTO_SALT_MAX_HOST_ROWS`; rationale in SCALING.md). The probe runs
+    one tiny eager job at plan-build time; since both plans are
+    bit-equal, a boundary misestimate can only pick the other CORRECT
+    plan. ``salted=False``: one host-keyed window — right while every
+    host's rows fit one task. ``salted=True``: the q37 two-phase salted
+    rank (``skew.salted_topk`` — mega-hosts are the EXPECTED shape of a
+    real crawl) picks the identical keeper set (total order ⇒
+    exactness), then one equi-join on the UNIQUE id (skew-free by
+    construction) attaches the flag. Bit-equal outputs, pinned by
+    test."""
     out = df.withColumn(host_col, host_of(F.col(url_col)))
+    if salted is None:
+        salted = (
+            estimate_max_host_rows(out, host_col=host_col, id_col=id_col)
+            > auto_salt_threshold
+        )
     draw = md5_long(
         F.concat(F.lit(salt + "|"), F.col(id_col).cast("string")), bits=60
     )
+    null_host = F.col(host_col).isNull()
     if not salted:
         w = Window.partitionBy(host_col).orderBy(draw.asc(), F.col(id_col).asc())
         return out.withColumn(
-            "host_kept", (F.row_number().over(w) <= cap).cast("int")
+            "host_kept",
+            F.when(null_host, F.lit(1)).otherwise(
+                (F.row_number().over(w) <= cap).cast("int")
+            ),
         )
     from mlops_pipelines_featurestore_gcp_spark.operators.skew import salted_topk
 
     survivors = salted_topk(
-        out.withColumn("__draw", draw), host_col,
+        out.where(~null_host).withColumn("__draw", draw), host_col,
         [F.col("__draw").asc(), F.col(id_col).asc()], k=cap,
     ).select(F.col(id_col).alias("__sid"))
     return (
         out.join(survivors, out[id_col] == survivors["__sid"], "left")
-        .withColumn("host_kept", F.col("__sid").isNotNull().cast("int"))
+        .withColumn(
+            "host_kept",
+            F.when(null_host, F.lit(1)).otherwise(F.col("__sid").isNotNull().cast("int")),
+        )
         .drop("__sid")
     )

@@ -577,10 +577,18 @@ def d11_url_host_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.lit(""))
     hostcased = F.when(F.shiftright(h, 3) % 2 == 1, F.upper(host)).otherwise(host)
     pathv = F.shiftright(h, 4) % 3
+    # r12 messy bit: percent-encoded unreserved char in the path segment
+    # ('o' = %6F / %6f, both hex cases) — erased by the canonicalizer's
+    # RFC 3986 §6.2.2.2 decode, so the oracle still never sees it
+    docseg = (
+        F.when(F.shiftright(h, 10) % 4 == 1, F.lit("d%6Fcs"))
+        .when(F.shiftright(h, 10) % 4 == 2, F.lit("d%6fcs"))
+        .otherwise(F.lit("docs"))
+    )
     path = (
-        F.when(pathv == 0, F.concat(F.lit("/docs/"), gs))
-        .when(pathv == 1, F.concat(F.lit("/docs//"), gs, F.lit("/")))
-        .otherwise(F.concat(F.lit("//docs/"), gs))
+        F.when(pathv == 0, F.concat(F.lit("/"), docseg, F.lit("/"), gs))
+        .when(pathv == 1, F.concat(F.lit("/"), docseg, F.lit("//"), gs, F.lit("/")))
+        .otherwise(F.concat(F.lit("//"), docseg, F.lit("/"), gs))
     )
     trackv = F.shiftright(h, 6) % 3
     params = F.array(

@@ -47,6 +47,10 @@ def test_stdout_line_parses_and_keeps_driver_contract():
     assert obj["sf"] == 0.1
     assert set(obj["queries"]) == set(bench.HEADLINE[:5])
     assert obj["value"] == round(sum(obj["queries"].values()), 4)
+    # round 12: the headline statistic is the per-query MEDIAN; the line
+    # self-describes that and keeps the pre-r12 min for series continuity
+    assert obj["stat"] == "median"
+    assert obj["value_min"] == round(sum(12.3456 for _ in range(5)), 4)
     # bulky keys live in the detail payload, never on the line
     assert "spreads" not in obj and "queries_new_ops" not in obj
     assert set(detail["spreads"]) == set(bench.HEADLINE[:5]) | set(bench.HEADLINE2[:3])
@@ -81,6 +85,13 @@ def test_calibration_rides_the_line_and_detail():
     obj = json.loads(line)
     assert obj["calib_s"] == 0.4124
     assert detail["calib_s"] == 0.4124
+    # r12: the calib-normalized headline rides the line (median ÷ calib),
+    # and degrades to None rather than dividing by zero
+    assert obj["value_per_calib"] == round(obj["value"] / 0.41237, 2)
+    line0, _ = bench.build_outputs(
+        timings, spreads, 0.1, 4, (0,) * 3, (0,) * 3, calib_s=0.0,
+    )
+    assert json.loads(line0)["value_per_calib"] is None
 
 
 def test_calibrate_is_positive_and_repeatable():

@@ -427,12 +427,16 @@ def test_batch_topk_prune_forwards_nonfinite_unpruned(spark):
     # against k — a superset of the global top-k under either semantics
     # (r10 shipped lexsort on -cos_sim alone, which silently dropped them
     # once a batch held >= k finite scores).
-    rows = [(1, 10, 0.9), (1, 11, 0.8), (1, 12, None), (1, 13, 0.7)]
+    rows = [(1, 10, 0.9), (1, 11, 0.8), (1, 12, None), (1, 13, 0.7),
+            (1, 14, float("nan"))]
     df = spark.createDataFrame(rows, "query_id long, neighbor_id long, cos_sim double")
     out = similarity._batch_topk_prune(df.coalesce(1), k=2).collect()
     kept = {r.neighbor_id for r in out}
-    assert kept == {12, 10, 11}  # NULL passes through, top-2 finite kept
-    assert next(r for r in out if r.neighbor_id == 12).cos_sim is None
+    assert kept == {12, 14, 10, 11}  # degenerates pass through, top-2 finite kept
+    # r11 ADVICE pin: BOTH degenerate classes (true NULL and genuine NaN)
+    # come out as NULL — one documented rank-last rule, no Arrow coin flip
+    for nid in (12, 14):
+        assert next(r for r in out if r.neighbor_id == nid).cos_sim is None
 
 
 def test_batch_topk_prune_schema_derived_from_input(spark):

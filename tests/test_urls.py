@@ -23,6 +23,14 @@ CASES = [
     ("https://example.com/", "example.com"),  # bare root
     ("https://example.com", "example.com"),  # no path at all
     ("https://example.com?x=1", "example.com?x=1"),  # query, no path
+    # RFC 3986 §6.2.2.2 — unreserved percent-encodings decode (r12)
+    ("https://example.com/%7Euser/a", "example.com/~user/a"),
+    ("https://example.com/%7euser", "example.com/~user"),  # lower hex
+    ("https://example.com/d%6Fcs/%31", "example.com/docs/1"),
+    ("https://example.com/a?x=%41%2Dz", "example.com/a?x=A-z"),
+    # reserved encodings are STRUCTURAL and must survive
+    ("https://example.com/a%2Fb", "example.com/a%2Fb"),
+    ("https://example.com/100%25", "example.com/100%25"),
 ]
 
 
@@ -59,6 +67,74 @@ def test_url_dedup_keep_first(spark):
     assert out[2].kept == 0 and out[2].dup_of == 1  # same canonical as 1
     assert out[3].kept == 1 and out[3].dup_of is None
     assert out[1].canonical_url == out[2].canonical_url == "a.com/x"
+
+
+def test_url_dedup_null_urls_kept_not_dropped(spark):
+    # ADVICE r11 (medium): NULL-url rows used to vanish through the
+    # keeper equi-join. Contract: one row per input row; NULL url ⇒
+    # kept=1, dup_of NULL, never grouped with other NULLs — on BOTH
+    # keeper paths.
+    df = spark.createDataFrame(
+        [(1, "http://a.com/x"), (2, None), (3, None), (4, "https://www.A.com/x/")],
+        "doc_id long, url string",
+    )
+    for skew_safe in (True, False):
+        out = {r.doc_id: r for r in
+               urls.url_dedup_keep_first(df, skew_safe=skew_safe).collect()}
+        assert set(out) == {1, 2, 3, 4}, f"row loss (skew_safe={skew_safe})"
+        for nid in (2, 3):
+            assert out[nid].kept == 1 and out[nid].dup_of is None
+            assert out[nid].canonical_url is None
+        assert out[4].kept == 0 and out[4].dup_of == 1
+
+
+def test_url_dedup_skew_safe_paths_bit_equal(spark):
+    # the window fast path (skew_safe=False) must pick the identical
+    # keeper set as the default aggregate+join plan
+    rows = [(i, f"https://A.com/x?utm_source={i}") for i in range(200)]
+    rows += [(1000 + i, f"https://b.org/p{i}") for i in range(9)]
+    rows += [(2000, None)]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    a = sorted(map(tuple, urls.url_dedup_keep_first(df).collect()))
+    b = sorted(map(tuple, urls.url_dedup_keep_first(df, skew_safe=False).collect()))
+    assert a == b
+
+
+def test_host_downsample_null_urls_never_capped(spark):
+    df = spark.createDataFrame(
+        [(i, f"https://one.com/p{i}") for i in range(10)] + [(100, None), (101, None)],
+        "doc_id long, url string",
+    )
+    for salted in (False, True):
+        out = {r.doc_id: r for r in
+               urls.host_downsample(df, cap=3, salted=salted).collect()}
+        assert len(out) == 12
+        assert out[100].host_kept == 1 and out[101].host_kept == 1
+        assert out[100].host is None
+        assert sum(out[i].host_kept for i in range(10)) == 3
+
+
+def test_host_downsample_auto_salting(spark):
+    # the auto probe must (a) estimate within sampling error, (b) flip
+    # to the salted JOIN plan past the threshold, (c) keep the window
+    # plan below it — with bit-equal output either way.
+    rows = [(i, "https://big.com/p%d" % i) for i in range(3000)]
+    rows += [(10_000 + i, "https://small.org/p%d" % i) for i in range(7)]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    with_host = df.withColumn("host", urls.host_of(F.col("url")))
+    exact = urls.estimate_max_host_rows(with_host, mod=1)
+    assert exact == 3000  # mod=1 keeps every row: exact count
+    est = urls.estimate_max_host_rows(with_host)
+    assert 1500 <= est <= 6000  # 1-in-128 probe of a 3000-row host
+    auto_salted = urls.host_downsample(df, cap=50, auto_salt_threshold=100)
+    auto_window = urls.host_downsample(df, cap=50, auto_salt_threshold=10_000)
+    plan_s = auto_salted._jdf.queryExecution().executedPlan().toString()
+    plan_w = auto_window._jdf.queryExecution().executedPlan().toString()
+    assert "Join" in plan_s, "auto probe past threshold must pick the salted join plan"
+    assert "Join" not in plan_w, "auto probe under threshold must keep the window plan"
+    a = sorted(map(tuple, auto_salted.collect()))
+    b = sorted(map(tuple, auto_window.collect()))
+    assert a == b
 
 
 def test_host_downsample_cap_and_determinism(spark):
@@ -108,8 +184,8 @@ def test_canonical_url_idempotent_under_recanonicalization(spark):
     import itertools
 
     hosts = ["Example.COM", "www.sub.host.org", "a-b.net:443"]
-    paths = ["/x//y/", "/x/y", "", "/"]
-    qs = ["", "?utm_source=s&b=2&a=1", "?gclid=1", "?z=9&a=1"]
+    paths = ["/x//y/", "/x/y", "", "/", "/%7Eu/%31", "/a%2Fb"]
+    qs = ["", "?utm_source=s&b=2&a=1", "?gclid=1", "?z=9&a=1", "?k=%41%2d"]
     frags = ["", "#sec"]
     messy = [
         f"https://{h}{p}{q}{f}"
