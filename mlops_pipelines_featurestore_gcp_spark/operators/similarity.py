@@ -705,17 +705,28 @@ def lsh_topk(
             ).alias("sig"),
         )
 
-    cand = (
+    # Score BEFORE the dedup shuffle (r12 — found by the s03 100× HASH
+    # gate, which the ann100 operator sweep had masked): the bucket join
+    # is map-side (broadcast probe side), so carrying qv/cv this far is
+    # free — but shipping both vectors (~1 KB/row at dim 64) through the
+    # dropDuplicates exchange multiplied the shuffle by the payload
+    # width: ~450M multi-probe candidate rows at the 100× fixture spilled
+    # >77 GB and died on disk. Computing the rounded cosine map-side and
+    # deduping the skinny (query, neighbor, cos) triple (~24 B/row, the
+    # _ivf_probe shape) cuts the exchange ~45×; duplicate candidates
+    # recompute an identical cosine (deterministic expression on
+    # identical inputs), so dropDuplicates keeps the same values and the
+    # output is bit-equal to the old plan.
+    scored = (
         bucketized(csig)
         .join(F.broadcast(probed), ["t", "sig"])
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", "qv", "cv")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv"), dim), round_digits).alias("cos_sim"),
+        )
         .dropDuplicates(["query_id", "neighbor_id"])
-    )
-    scored = cand.select(
-        "query_id",
-        "neighbor_id",
-        F.round(cosine(F.col("qv"), F.col("cv"), dim), round_digits).alias("cos_sim"),
     )
     # prune AFTER dropDuplicates (a same-batch duplicate of a higher-
     # ranked neighbor could otherwise crowd the true k-th out of the
