@@ -396,6 +396,13 @@ GATE100_HEAVY = [
     # fixture's near-dup families (copies at cosine ~0.54, see
     # _replicate_embeddings), so it is a heavy row, not a standing one.
     "d05_embedding_neardup",    # 3.92M pair rows at 200k vectors, 1660s
+    # s03's REGISTERED form (both ANN tiers + the 32-query recall
+    # verifiers) joined in r12, after the LSH skinny-dedup fix made it
+    # disk-feasible (the wide-dedup plan spilled >77GB and died — the
+    # round's scale finding): 8000 contract rows in 1178s. Heavy because
+    # the workload shape scales queries x corpus (texp 0.81 documented
+    # in SCALING.md); the IVF operator alone stays in ann100.
+    "s03_ann_ivf_topk",         # 8000 contract rows at 200k vectors, 1178s
 ]
 
 # Excluded from 100x BY DESIGN (each documented):
