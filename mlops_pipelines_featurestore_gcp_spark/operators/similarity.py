@@ -1770,6 +1770,88 @@ def ivfpq_upsert(
     ).partitionBy("cell").parquet(f"{path}/codes")
 
 
+def compact_cell_partitions(
+    spark,
+    table_dir: str,
+    *,
+    max_files_per_cell: int = 4,
+    rows_per_file: int = 1 << 20,
+    dedupe_exact: bool = True,
+) -> dict:
+    """Maintenance pass for a cell-partitioned index table (the q40
+    compaction posture applied to the ANN indexes): every ``*_upsert``
+    appends one file set per touched cell, so a long-lived index
+    accumulates many small files per cell directory — each probe then
+    pays per-file open/footer cost instead of one sequential read, the
+    classic small-files decay of any append-mode store.
+
+    Shape (scale-safe by construction):
+    - fragmentation census: one scan of ``(cell, input_file_name())`` →
+      per-cell distinct-file counts. The collect is bounded by the cell
+      count, which the quantizer sizing caps at 65536 (`_auto_centroids`
+      — the MAX_QUERY_ROWS posture: report-sized by design).
+    - only cells with more than ``max_files_per_cell`` files are
+      rewritten (source-level partition pruning on the read; untouched
+      cells' files are left byte-identical on disk).
+    - the rewrite clusters each cell's rows into ``rows_per_file``-row
+      files (``maxRecordsPerFile``) via one ``repartition(cell)``
+      shuffle; per-task population is one cell — the same bound as the
+      original build's write. Rows are ``localCheckpoint``-MATERIALIZED
+      before the write because the overwrite targets the very path the
+      lineage reads (the CLAUDE.md overwrite rule).
+    - ``dedupe_exact=True`` drops byte-identical duplicate rows — the
+      rows a re-applied upsert batch appends (documented in
+      ``ivfpq_upsert``). It never guesses between DIFFERENT rows for
+      one id (no version column → "latest" is undefined); a changed
+      vector's stale row survives until a rebuild, exactly as before.
+
+    Search results are unchanged by compaction (pinned by test:
+    bit-equal top-k before/after). Returns a small report dict.
+    """
+    df = spark.read.parquet(table_dir)
+    census = (
+        df.select("cell", F.input_file_name().alias("__f"))
+        .groupBy("cell")
+        .agg(F.count_distinct("__f").alias("__nf"), F.count("*").alias("__rows"))
+    ).collect()
+    frag = [r for r in census if r["__nf"] > max_files_per_cell]
+    report = {
+        "cells_total": len(census),
+        "cells_compacted": len(frag),
+        "files_before": int(sum(r["__nf"] for r in census)),
+        "rows_rewritten": int(sum(r["__rows"] for r in frag)),
+    }
+    if not frag:
+        return report
+    cells = [r["cell"] for r in frag]
+    # partition-pruned read of just the fragmented cells; isin stays a
+    # pushable In-filter at any realistic fan-out (≤65536 cell literals)
+    rows = df.where(F.col("cell").isin(cells))
+    if dedupe_exact:
+        rows = rows.dropDuplicates()
+    compacted = rows.repartition("cell").localCheckpoint(eager=True)
+    (
+        compacted.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .option("maxRecordsPerFile", rows_per_file)
+        .partitionBy("cell")
+        .parquet(table_dir)
+    )
+    return report
+
+
+def ivfpq_compact(spark, path: str, **kwargs) -> dict:
+    """Compact a persisted IVF-PQ index's ``codes`` table (see
+    :func:`compact_cell_partitions`); quantizer state is untouched."""
+    return compact_cell_partitions(spark, f"{path}/codes", **kwargs)
+
+
+def ivf_compact(spark, path: str, **kwargs) -> dict:
+    """Compact a persisted IVF index's ``assigned`` table (see
+    :func:`compact_cell_partitions`); centroids are untouched."""
+    return compact_cell_partitions(spark, f"{path}/assigned", **kwargs)
+
+
 def ivfpq_search(
     spark,
     path: str,

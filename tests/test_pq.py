@@ -387,3 +387,77 @@ def test_opq_ivfpq_search_contract_and_recall(spark, tmp_path):
     tk = {(r.query_id, r.neighbor_id) for r in truth.collect()}
     hit = sum(1 for r in rows if (r.query_id, r.neighbor_id) in tk)
     assert hit / len(tk) >= 0.6
+
+
+def _cell_files(path):
+    """{cell_dir_name: [parquet files]} for a cell-partitioned table."""
+    import os
+
+    out = {}
+    for d in os.listdir(path):
+        if d.startswith("cell="):
+            out[d] = sorted(
+                f for f in os.listdir(os.path.join(path, d)) if f.endswith(".parquet")
+            )
+    return out
+
+
+def test_ivfpq_compact_merges_fragmented_cells_search_bit_equal(spark, tmp_path):
+    # build + 3 upsert batches → touched cells hold 4 file sets; compact
+    # must merge them and leave the search output BIT-EQUAL.
+    emb = _emb(spark, n=60)
+    path = str(tmp_path / "ivfpq_cmp")
+    similarity.build_ivfpq_index(emb, path, dim=DIM, m=M, sample=60, seed=7)
+    for lo in (1000, 1100, 1200):
+        similarity.ivfpq_upsert(spark, path, _emb(spark, n=20, seed=lo).withColumn(
+            "vec_id", F.col("vec_id") + F.lit(lo)))
+    q = emb.where(F.col("vec_id") % 10 == 0)
+
+    def search():
+        full = emb  # rescore table: originals are enough for parity on their pairs
+        return sorted(map(tuple, similarity.ivfpq_search(
+            spark, path, full, q, dim=DIM, k=3, shortlist=24).collect()))
+
+    before_rows = search()
+    before_files = _cell_files(f"{path}/codes")
+    assert any(len(v) > 1 for v in before_files.values())  # fragmentation real
+    n_rows_before = spark.read.parquet(f"{path}/codes").count()
+
+    report = similarity.ivfpq_compact(spark, path, max_files_per_cell=1)
+    assert report["cells_compacted"] >= 1
+    after_files = _cell_files(f"{path}/codes")
+    for d, fs in after_files.items():
+        if len(before_files.get(d, [])) > 1:
+            assert len(fs) == 1, f"{d} not merged"
+        else:  # untouched cells keep their very files
+            assert fs == before_files[d], f"{d} rewritten though unfragmented"
+    assert spark.read.parquet(f"{path}/codes").count() == n_rows_before
+    assert search() == before_rows  # bit-equal search across compaction
+
+
+def test_ivfpq_compact_dedupes_exact_reupsert_rows_only(spark, tmp_path):
+    emb = _emb(spark, n=50)
+    path = str(tmp_path / "ivfpq_dup")
+    similarity.build_ivfpq_index(emb, path, dim=DIM, m=M, sample=50, seed=7)
+    batch = _emb(spark, n=10, seed=9).withColumn("vec_id", F.col("vec_id") + F.lit(500))
+    similarity.ivfpq_upsert(spark, path, batch)
+    similarity.ivfpq_upsert(spark, path, batch)  # the documented re-ingest dup
+    assert spark.read.parquet(f"{path}/codes").count() == 70
+    similarity.ivfpq_compact(spark, path, max_files_per_cell=0)  # rewrite all
+    assert spark.read.parquet(f"{path}/codes").count() == 60  # exact dups gone
+    # a second compact is a no-op fixpoint at the merged layout
+    report = similarity.ivfpq_compact(spark, path, max_files_per_cell=1)
+    assert report["cells_compacted"] == 0
+
+
+def test_ivf_compact_wraps_assigned_table(spark, tmp_path):
+    emb = _emb(spark, n=40)
+    path = str(tmp_path / "ivf_cmp")
+    similarity.build_ivf_index(emb, path, n_centroids=4, sample=40)
+    similarity.ivf_upsert(spark, path, _emb(spark, n=10, seed=11).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(900)))
+    report = similarity.ivf_compact(spark, path, max_files_per_cell=1)
+    assert report["cells_compacted"] >= 1
+    q = emb.where(F.col("vec_id") % 10 == 0)
+    out = similarity.ivf_search(spark, path, q, k=3).collect()
+    assert out  # index still serves after compaction
