@@ -42,12 +42,61 @@ def _collect_query_rows(df: DataFrame, what: str) -> list:
     if len(rows) > MAX_QUERY_ROWS:
         raise ValueError(
             f"{what}: query set exceeds MAX_QUERY_ROWS={MAX_QUERY_ROWS} "
-            "(the driver-collected/broadcast side must stay small). Split "
-            "the query frame into <=MAX_QUERY_ROWS chunks and union the "
-            "per-chunk results (per-query top-k is independent, so the "
-            "union is exact), or use a join-based tier (lsh_topk/ivf_topk)."
+            "(the driver-collected/broadcast side must stay small). Use "
+            "chunked_query_topk(<tier_fn>, corpus, queries, ...) — it "
+            "md5-chunks the query set and unions the per-chunk results "
+            "(per-query top-k is independent, so the union is exact) — "
+            "or a join-based tier (lsh_topk/ivf_topk)."
         )
     return rows
+
+
+def chunked_query_topk(
+    topk_fn,
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    max_rows: int = MAX_QUERY_ROWS,
+    **kwargs,
+) -> DataFrame:
+    """Run a broadcast-query ANN tier over a query set LARGER than
+    ``MAX_QUERY_ROWS`` — the chunk-and-union shape the guard's
+    ValueError names, as an operator instead of a recipe.
+
+    Per-query top-k is independent, so splitting queries and unioning
+    per-chunk outputs is EXACT. Chunks come from a deterministic md5
+    draw on the query id (layout-independent, never ``rand()``),
+    targeting ``max_rows // 2`` expected rows per chunk — at the 65536
+    cap the probability any md5 chunk overflows 2× its expectation is
+    negligible (Chernoff; and `_collect_query_rows` still enforces the
+    hard cap inside the tier, so an astronomically unlucky draw raises
+    rather than OOMs). The documented trade: the corpus is scanned once
+    PER CHUNK — for corpus-sized query sets prefer a join-based tier
+    (``lsh_topk``/``ivf_topk``), which this helper does not replace.
+
+    ``topk_fn``: any tier with the (corpus, queries, *, id_col, ...)
+    signature — ``brute_force_topk``, ``quantized_topk``, ``pq_topk``,
+    ``ivf_pq_topk``. Extra kwargs pass through.
+    """
+    import math
+
+    from mlops_pipelines_featurestore_gcp_spark.functions.text import md5_long
+
+    n_q = queries.count()
+    if n_q <= max_rows:
+        return topk_fn(corpus, queries, id_col=id_col, **kwargs)
+    n_chunks = math.ceil(n_q / max(1, max_rows // 2))
+    bucket = (
+        md5_long(
+            F.concat(F.lit("qchunk|"), F.col(id_col).cast("string")), bits=60
+        ) % n_chunks
+    )
+    out = None
+    for i in range(n_chunks):
+        part = topk_fn(corpus, queries.where(bucket == i), id_col=id_col, **kwargs)
+        out = part if out is None else out.unionByName(part)
+    return out
 
 
 def _batch_topk_prune(scored: DataFrame, k: int) -> DataFrame:

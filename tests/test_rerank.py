@@ -126,3 +126,26 @@ def test_bm25_rerank_passthrough_columns_and_cut(spark):
     out = rerank.bm25_rerank(sl, qs, docs, k=1).collect()
     assert len(out) == 1 and out[0].neighbor_id == 2  # lexical winner
     assert abs(out[0].cos_sim - 0.8) < 1e-12  # extra columns survive
+
+
+def test_bm25_rerank_empty_shortlist_and_empty_corpus(spark):
+    # degenerate-input sweep (r12): an empty shortlist yields an empty,
+    # correctly-schemaed frame; an empty corpus keeps every shortlist
+    # row at score 0 (the rerank must never shrink the shortlist).
+    docs, qs, sl = _frames(spark)
+    empty_sl = sl.where(F.lit(False))
+    out = rerank.bm25_rerank(empty_sl, qs, docs)
+    assert out.count() == 0
+    assert set(out.columns) == {"query_id", "neighbor_id", "bm25_micro", "rrnk"}
+    empty_docs = docs.where(F.lit(False))
+    kept = rerank.bm25_rerank(sl, qs, empty_docs).collect()
+    assert len(kept) == len(SHORTLIST)
+    assert all(r.bm25_micro == 0 for r in kept)
+
+
+def test_bm25_fit_empty_corpus_fallbacks(spark):
+    docs, qs, sl = _frames(spark)
+    stats = rerank.bm25_fit(docs.where(F.lit(False)))
+    assert stats.n_docs == 0 and stats.avgdl == 1.0  # documented fallback
+    out = rerank.bm25_rerank(sl, qs, docs.where(F.lit(False)), stats=stats).collect()
+    assert len(out) == len(SHORTLIST) and all(r.bm25_micro == 0 for r in out)

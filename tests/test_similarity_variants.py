@@ -539,3 +539,35 @@ def test_quantizer_fits_raise_clearly_on_empty_corpus(emb):
         similarity.ivfpq_train(empty_c, dim=64, m=8)
     with pytest.raises(ValueError, match="learn_cells: empty corpus"):
         similarity.ivf_topk(empty_c, emb.limit(1), n_centroids=8, n_probe=3, k=5, dim=64)
+
+
+def test_chunked_query_topk_exact_union(spark):
+    # chunk-and-union as an operator (r12): md5-chunked query batches
+    # through the same tier must union to EXACTLY the single-call result
+    # (per-query top-k independence), including when every tier call
+    # sees only a few queries.
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    rows = [(i, [float(x) for x in rng.randn(16)]) for i in range(120)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = emb.where(F.col("vec_id") % 3 == 0)  # 40 queries
+    direct = sorted(map(tuple, similarity.brute_force_topk(
+        emb, queries, k=3, dim=16).collect()))
+    chunked = sorted(map(tuple, similarity.chunked_query_topk(
+        similarity.brute_force_topk, emb, queries, max_rows=10, k=3, dim=16,
+    ).collect()))
+    assert chunked == direct
+    # under the cap: degenerates to one direct call
+    small = similarity.chunked_query_topk(
+        similarity.brute_force_topk, emb, queries, max_rows=4096, k=3, dim=16)
+    assert sorted(map(tuple, small.collect())) == direct
+
+
+def test_collect_query_rows_error_names_the_helper(spark):
+    big = spark.range(0, similarity.MAX_QUERY_ROWS + 8).select(
+        F.col("id").alias("vec_id"))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="chunked_query_topk"):
+        similarity._collect_query_rows(big, "test")
