@@ -205,3 +205,60 @@ def bm25_rerank(
     )
     out = out.withColumn("rrnk", F.row_number().over(w))
     return out.where(F.col("rrnk") <= k) if k is not None else out
+
+
+def rrf_fuse(
+    ranked: list[DataFrame],
+    *,
+    query_id_col: str = "query_id",
+    id_col: str = "neighbor_id",
+    rank_col: str = "rnk",
+    k0: int = 60,
+    k: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009) —
+    the standard score-free way to combine rankings from heterogeneous
+    retrievers (vector recall, BM25, a future cross-encoder):
+
+        rrf(d) = Σ_lists 1 / (k0 + rank_list(d))
+
+    ``ranked``: one frame per retriever, each with (query, id, rank)
+    columns — ``rank_col`` may differ per frame by passing a list of
+    (frame, rank_col) tuples instead. A candidate absent from a list
+    simply contributes nothing (the union shape — no outer-join chain).
+
+    Distributed shape: each input projects to a per-candidate integer
+    micro-contribution ``floor(1e6/(k0+rank)+0.5)`` map-side, the union
+    groupBy-sums on (query, id) — ONE shuffle regardless of list count,
+    map-side combining, candidate-set-proportional. Integer micro sums
+    make the fusion order-proof and oracle-replayable (the t11/t13
+    contract); ties break on the smaller id like every top-k here.
+
+    Output: (query, id, rrf_micro, n_lists, frnk); ``k`` keeps the
+    fused top-k per query.
+    """
+    parts = []
+    for i, item in enumerate(ranked):
+        df, rcol = item if isinstance(item, tuple) else (item, rank_col)
+        parts.append(
+            df.select(
+                F.col(query_id_col).alias("__qid"),
+                F.col(id_col).alias("__did"),
+                _micro(F.lit(1.0) / (F.lit(float(k0)) + F.col(rcol))).alias("__c"),
+            )
+        )
+    allc = parts[0]
+    for p in parts[1:]:
+        allc = allc.unionByName(p)
+    fused = allc.groupBy("__qid", "__did").agg(
+        F.sum("__c").alias("rrf_micro"), F.count("*").alias("n_lists")
+    )
+    w = Window.partitionBy("__qid").orderBy(
+        F.col("rrf_micro").desc(), F.col("__did").asc()
+    )
+    out = (
+        fused.withColumn("frnk", F.row_number().over(w))
+        .withColumnRenamed("__qid", query_id_col)
+        .withColumnRenamed("__did", id_col)
+    )
+    return out.where(F.col("frnk") <= k) if k is not None else out

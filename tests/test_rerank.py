@@ -149,3 +149,36 @@ def test_bm25_fit_empty_corpus_fallbacks(spark):
     assert stats.n_docs == 0 and stats.avgdl == 1.0  # documented fallback
     out = rerank.bm25_rerank(sl, qs, docs.where(F.lit(False)), stats=stats).collect()
     assert len(out) == len(SHORTLIST) and all(r.bm25_micro == 0 for r in out)
+
+
+def test_rrf_fuse_matches_hand_computation(spark):
+    # two retriever lists with overlapping + disjoint candidates
+    vec = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)], "query_id long, neighbor_id long, rnk long"
+    )
+    lex = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2)], "query_id long, neighbor_id long, rrnk long"
+    )
+    out = {r.neighbor_id: r for r in
+           rerank.rrf_fuse([vec, (lex, "rrnk")]).collect()}
+
+    def c(rank, k0=60):
+        return math.floor((1.0 / (k0 + rank)) * 1e6 + 0.5)
+
+    assert out[11].rrf_micro == c(2) + c(1) and out[11].n_lists == 2
+    assert out[10].rrf_micro == c(1) and out[10].n_lists == 1
+    assert out[12].rrf_micro == c(3)
+    assert out[13].rrf_micro == c(2)
+    # 11 (two lists) outranks 10 (one first-place): the RRF consensus
+    order = sorted(out.values(), key=lambda r: r.frnk)
+    assert [r.neighbor_id for r in order] == [11, 10, 13, 12]
+
+
+def test_rrf_fuse_ties_break_on_smaller_id_and_topk_cut(spark):
+    a = spark.createDataFrame(
+        [(1, 20, 1), (1, 21, 1)], "query_id long, neighbor_id long, rnk long"
+    )  # identical ranks → identical rrf → id tie-break
+    out = rerank.rrf_fuse([a], k=1).collect()
+    assert len(out) == 1 and out[0].neighbor_id == 20
+    plan = rerank.rrf_fuse([a])._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
