@@ -293,18 +293,24 @@ def lsh_blocked_pairs(
     a = bucketed.select(F.col("vid").alias("id_a"), F.col("v").alias("va"), "t", "sig")
     b = bucketed.select(F.col("vid").alias("id_b"), F.col("v").alias("vb"), "t", "sig")
     cand = (
+        # r12 (the lsh_topk 100× finding applied here too): score → filter
+        # → distinct, never a pair-dedup shuffle carrying both vectors. A
+        # multi-table match rescores a duplicate pair map-side (identical
+        # deterministic cosine), but no ~1KB/row candidate mass ever
+        # crosses an exchange — only (id, id, cos) survivors do, and the
+        # threshold makes those tiny by definition (the
+        # coord_sign_blocked_pairs order rationale, shared verbatim).
         a.join(b, ["t", "sig"])
         .where(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    return (
-        cand.select(
+        .select(
             "id_a",
             "id_b",
             F.round(cosine(F.col("va"), F.col("vb"), dim), round_digits).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
+        .distinct()
     )
+    return cand
 
 
 def coord_sign_blocked_pairs(
