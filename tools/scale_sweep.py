@@ -406,6 +406,13 @@ GATE100_HEAVY = [
 ]
 
 # Excluded from 100x BY DESIGN (each documented):
+# - c04_hybrid_rerank: the s01 workload-shape class — its recall tier's
+#   ORACLE replays every (query, corpus) cosine in unrolled SQL, and the
+#   %97 query population is a constant fraction of N, so 100x means
+#   ~412M list-transform cosines on the DuckDB side (the q33 class).
+#   Gated at 10x (r12: 1035 rows hash-green in 35.6s); the BM25 leg's
+#   scale story is t13's (df/tf aggregates, GATE100_HEAVY at 13.1M rows)
+#   and the recall tier's is s01's.
 # - q33_binned_range_join: the WORKLOAD is quadratic in uniform scale-up —
 #   sampled-interval count x100 AND per-interval point density x100 means
 #   ~10,000x the joined rows (~300B); both engines would grind identically.
