@@ -68,10 +68,14 @@ def host_of(url: Column) -> Column:
     """Lowercased host of a URL, scheme/port/``www.`` stripped.
 
     Pure regex pipeline (each step expressible in both Java regex and
-    RE2, so oracle twins replay it): drop fragment, drop scheme, take
-    up to the first ``/``, lowercase, strip default port, strip a
-    leading ``www.``.
+    RE2, so oracle twins replay it): decode unreserved %-encodings
+    (BEFORE case-folding — RFC 3986 §6.2.2 orders decode first, else
+    ``X%41.com`` would canonicalize to ``xA.com`` and never match
+    ``xa.com``; found by the r12 seeded fuzz), drop fragment, drop
+    scheme, take up to the first ``/``, lowercase, strip default port,
+    strip a leading ``www.``.
     """
+    url = _decode_guarded(url)
     u = F.regexp_replace(url, "#.*$", "")
     u = F.regexp_replace(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
     hostport = F.lower(F.regexp_extract(u, "^[^/?]*", 0))
@@ -91,13 +95,18 @@ def canonical_url(url: Column) -> Column:
 
     Percent-encoding normalization (round 12, RFC 3986 §6.2.2.2): the
     bounded unreserved-char decode table (ALPHA / DIGIT / ``-._~``, both
-    hex-digit cases) is applied to the final canonical string — ``%7E``
-    and ``~`` now name the same page. Reserved-char encodings (``%2F``,
-    ``%3F``, …) are structural and stay, so decoding after the
-    path/query split cannot re-split anything. The whole chain is
-    literal ``replace`` calls guarded by one ``contains('%')`` test —
-    the common no-encoding row never executes it.
+    hex-digit cases) is applied to the RAW url BEFORE any parsing or
+    case-folding — §6.2.2 orders decode first, and the r12 seeded fuzz
+    proved why: decoding after the host lowercase turned ``X%41.com``
+    into ``xA.com`` (uppercase re-introduced → not a fixpoint, and the
+    page never dedups against ``xa.com``). Decoding up front is
+    parse-safe because an unreserved decode can never produce a
+    structural character (``/ ? # & = :``) — those are reserved
+    encodings (``%2F``, …) and stay. The whole chain is literal
+    ``replace`` calls guarded by one ``contains('%')`` test — the
+    common no-encoding row never executes it.
     """
+    url = _decode_guarded(url)
     u = F.regexp_replace(url, "#.*$", "")
     u = F.regexp_replace(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
     pq = F.regexp_replace(u, "^[^/?]*", "")
@@ -110,12 +119,17 @@ def canonical_url(url: Column) -> Column:
         lambda p: (p != F.lit("")) & ~p.rlike(TRACKING_PARAM_RE),
     )
     qcanon = F.array_join(F.array_sort(kept), "&")
-    out = F.concat(
+    return F.concat(
         host_of(url),
         path,
         F.when(qcanon == "", F.lit("")).otherwise(F.concat(F.lit("?"), qcanon)),
     )
-    return F.when(~out.contains("%"), out).otherwise(_decode_unreserved(out))
+
+
+def _decode_guarded(col: Column) -> Column:
+    """`_decode_unreserved` behind one ``contains('%')`` test — the
+    common no-encoding row skips the whole replace chain."""
+    return F.when(~col.contains("%"), col).otherwise(_decode_unreserved(col))
 
 
 def _decode_unreserved(col: Column) -> Column:

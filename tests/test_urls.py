@@ -6,6 +6,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from mlops_pipelines_featurestore_gcp_spark.operators import urls
+from mlops_pipelines_featurestore_gcp_spark.operators import urls as urls_mod
 
 
 CASES = [
@@ -198,3 +199,37 @@ def test_canonical_url_idempotent_under_recanonicalization(spark):
     )
     twice = {r.i: r.c for r in redf.select("i", urls.canonical_url(F.col("url")).alias("c")).collect()}
     assert once == twice
+
+
+def test_canonical_url_idempotent_seeded_fuzz(spark):
+    # 2000 seeded pseudo-random messy URLs (schemes, casing, ports,
+    # slash runs, %-encodings incl. malformed-adjacent ones, tracking
+    # params, fragments, unicode-ish letters) in ONE Spark pass:
+    # canonical(canonical(u)) == canonical(u) for every well-formed
+    # input — the fixpoint contract the decode chain must not break.
+    import random
+
+    rng = random.Random(1234)
+    schemes = ["http://", "https://", "ftp://", ""]
+    hosts = ["Example.COM", "www.Sub.Host.org", "a-b.net:443", "x.io:80", "X%41.com"]
+    segs = ["a", "b9", "%7Eu", "d%6Fcs", "%2Fx", "100%25", "A%2dB", "~z", "%7e"]
+    params = ["a=1", "b=%41", "utm_source=s", "gclid=9", "z=%7E", "k=v%2Fw", ""]
+    frags = ["", "#f", "#%7E"]
+    urls = []
+    for i in range(2000):
+        path = "".join(
+            ("/" * rng.randint(1, 3)) + rng.choice(segs)
+            for _ in range(rng.randint(0, 4))
+        ) + ("/" if rng.random() < 0.3 else "")
+        qs = "&".join(rng.choice(params) for _ in range(rng.randint(0, 4)))
+        u = (rng.choice(schemes) + rng.choice(hosts) + path
+             + ("?" + qs if qs else "") + rng.choice(frags))
+        urls.append((i, u))
+    df = spark.createDataFrame(urls, "i long, url string")
+    once = df.select("i", urls_mod.canonical_url(F.col("url")).alias("c"))
+    both = once.select(
+        "i", "c",
+        urls_mod.canonical_url(F.concat(F.lit("http://"), F.col("c"))).alias("c2"),
+    ).collect()
+    bad = [(r.i, r.c, r.c2) for r in both if r.c != r.c2]
+    assert not bad, f"{len(bad)} non-fixpoint URLs, first: {bad[:3]}"
