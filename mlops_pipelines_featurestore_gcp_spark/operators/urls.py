@@ -68,17 +68,20 @@ def host_of(url: Column) -> Column:
     """Lowercased host of a URL, scheme/port/``www.`` stripped.
 
     Pure regex pipeline (each step expressible in both Java regex and
-    RE2, so oracle twins replay it): decode unreserved %-encodings
-    (BEFORE case-folding — RFC 3986 §6.2.2 orders decode first, else
-    ``X%41.com`` would canonicalize to ``xA.com`` and never match
-    ``xa.com``; found by the r12 seeded fuzz), drop fragment, drop
-    scheme, take up to the first ``/``, lowercase, strip default port,
-    strip a leading ``www.``.
+    RE2, so oracle twins replay it): drop fragment, drop scheme, take
+    up to the first ``/``, decode unreserved %-encodings, THEN
+    lowercase (RFC 3986 §6.2.2 orders decode before case-folding, else
+    ``X%41.com`` canonicalizes to ``xA.com`` and never matches
+    ``xa.com`` — found by the r12 seeded fuzz), strip default port,
+    strip a leading ``www.``. The decode runs on the EXTRACTED hostport
+    only — real hosts almost never carry %-encodings, so the
+    ``contains('%')`` guard skips the replace chain on virtually every
+    row (decoding the full raw url here tripled d11's bench cost: the
+    chain ran on scheme+host+path+query, twice per call site).
     """
-    url = _decode_guarded(url)
     u = F.regexp_replace(url, "#.*$", "")
     u = F.regexp_replace(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
-    hostport = F.lower(F.regexp_extract(u, "^[^/?]*", 0))
+    hostport = F.lower(_decode_guarded(F.regexp_extract(u, "^[^/?]*", 0)))
     host = F.regexp_replace(hostport, ":(80|443)$", "")
     return F.regexp_replace(host, "^www\\.", "")
 
@@ -95,27 +98,38 @@ def canonical_url(url: Column) -> Column:
 
     Percent-encoding normalization (round 12, RFC 3986 §6.2.2.2): the
     bounded unreserved-char decode table (ALPHA / DIGIT / ``-._~``, both
-    hex-digit cases) is applied to the RAW url BEFORE any parsing or
-    case-folding — §6.2.2 orders decode first, and the r12 seeded fuzz
-    proved why: decoding after the host lowercase turned ``X%41.com``
-    into ``xA.com`` (uppercase re-introduced → not a fixpoint, and the
-    page never dedups against ``xa.com``). Decoding up front is
-    parse-safe because an unreserved decode can never produce a
-    structural character (``/ ? # & = :``) — those are reserved
-    encodings (``%2F``, …) and stay. The whole chain is literal
+    hex-digit cases) is applied BEFORE any case-folding, splitting, or
+    sorting — §6.2.2 orders decode first, and the r12 seeded fuzz
+    proved why twice over: decoding after the host lowercase turned
+    ``X%41.com`` into ``xA.com`` (not a fixpoint, never dedups against
+    ``xa.com``), and decoding after the param sort would order
+    ``?a=1&%62=2`` differently from its decoded twin ``?a=1&b=2``.
+    Decode-then-parse is safe because an unreserved decode can never
+    produce a structural character (``/ ? # & = :``) — those are
+    reserved encodings (``%2F``, …) and stay. COST placement: the chain
+    runs on the extracted path+query slice (and, in ``host_of``, on the
+    extracted hostport, where the guard almost never fires) — never on
+    the full raw url, which ran it up to 4× per row across the keeper
+    join's branches and tripled d11's bench cost. Each chain is literal
     ``replace`` calls guarded by one ``contains('%')`` test — the
     common no-encoding row never executes it.
     """
-    url = _decode_guarded(url)
     u = F.regexp_replace(url, "#.*$", "")
     u = F.regexp_replace(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
     pq = F.regexp_replace(u, "^[^/?]*", "")
+    # decode each piece exactly ONCE at its single point of use —
+    # expressions are trees, not DAGs, and this stage is CodegenFallback
+    # (the filter lambda), so a decode placed on a reused subtree (pq)
+    # re-evaluates per consumer with no CSE: measured 2.4× on d11's
+    # bench. Splitting on raw text is safe: '?' / '&' stay encoded
+    # (%3F/%26 are reserved), and decode can't produce '/' so the
+    # slash-collapse commutes with it.
     path = F.regexp_extract(pq, "^[^?]*", 0)
     path = F.regexp_replace(path, "/{2,}", "/")
-    path = F.regexp_replace(path, "/+$", "")
+    path = _decode_guarded(F.regexp_replace(path, "/+$", ""))
     query = F.regexp_replace(pq, "^[^?]*\\??", "")
     kept = F.filter(
-        F.split(query, "&"),
+        F.transform(F.split(query, "&"), _decode_unreserved),
         lambda p: (p != F.lit("")) & ~p.rlike(TRACKING_PARAM_RE),
     )
     qcanon = F.array_join(F.array_sort(kept), "&")
@@ -134,19 +148,48 @@ def _decode_guarded(col: Column) -> Column:
 
 def _decode_unreserved(col: Column) -> Column:
     """Decode ``%XX`` percent-encodings of RFC 3986 unreserved characters
-    (upper- and lower-hex forms) via literal ``replace`` — no regex, all
-    codegen. ``%25`` (the escape itself) is reserved and survives; on
-    well-formed input (every ``%`` starts a valid triplet) a decoded
-    unreserved char can never create a new triplet, so one pass is a
-    fixpoint (idempotence pinned by test). A malformed bare ``%``
-    adjacent to an encoding (``%4%31``) can leave one undecoded triplet
-    behind — garbage-in boundary, not identity-relevant."""
-    for ch in _UNRESERVED:
-        code = f"%{ord(ch):02X}"
-        col = F.replace(col, F.lit(code), F.lit(ch))
-        if code != code.lower():  # second hex digit A-F: lower form too
-            col = F.replace(col, F.lit(code.lower()), F.lit(ch))
-    return col
+    (hex case-insensitive) — split-on-``%`` + one literal-map lookup per
+    piece.
+
+    The first implementation chained 74 nested ``replace`` calls; that
+    expression tree knocked the ENTIRE enclosing projection out of
+    whole-stage codegen (every row paid interpreted evaluation, decoded
+    or not — d11's bench cost tripled). This form splits once, then for
+    each subsequent piece looks up its upper-cased first two chars in a
+    constant-folded 66-entry map: decoded char + rest when it is an
+    unreserved code, ``%`` + piece verbatim otherwise. The ``transform``
+    lambda is CodegenFallback, but its tree is tiny and per-piece (a
+    typical URL has 0-3 ``%``s), and the surrounding stage keeps
+    whole-stage codegen. Equivalent to the replace chain on every
+    input: replacements only ever produce unreserved characters (never
+    ``%``), so every decodable triplet's ``%`` exists in the original
+    string and is exactly a piece boundary. ``%25`` and all other
+    reserved codes miss the map and survive; a decoded char can never
+    create a new triplet, so one pass is a fixpoint (idempotence pinned
+    by test and a 2000-URL seeded fuzz)."""
+    parts = F.split(col, "%", -1)
+    head = F.element_at(parts, 1)
+    tail = F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(0)))
+
+    def piece(p: Column) -> Column:
+        # arithmetic decode — hex pair → byte → unreserved range test →
+        # char(b). Constant-size tree per piece: a 66-entry create_map
+        # here was rebuilt PER EVALUATION in this (CodegenFallback)
+        # stage and dominated d11's canonicalization cost.
+        code = F.substring(p, 1, 2)
+        b = F.conv(code, 16, 10).cast("int")
+        unreserved = (
+            ((b >= 48) & (b <= 57))        # 0-9
+            | ((b >= 65) & (b <= 90))      # A-Z
+            | ((b >= 97) & (b <= 122))     # a-z
+            | b.isin(45, 46, 95, 126)      # - . _ ~
+        )
+        ok = code.rlike("^[0-9A-Fa-f]{2}$") & unreserved
+        return F.when(
+            ok, F.concat(F.char(b), F.substring(p, 3, 2147483646))
+        ).otherwise(F.concat(F.lit("%"), p))
+
+    return F.concat(head, F.array_join(F.transform(tail, piece), ""))
 
 
 def url_dedup_keep_first(
