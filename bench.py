@@ -127,6 +127,22 @@ HEADLINE2 = [
     # the per-scale LOCAL_GATE.md timings and the 100x scale-sweep
     # exponent; the per-iteration aggregate is ONE constant-width pass by
     # construction (ml/classifier.py docstring).
+    # s12_index_compaction (round 13) is EXCLUDED by the q39/q40 decision
+    # class: its registered form is the full index LIFECYCLE (fresh
+    # build → two upsert appends → probe → compact-rewrite → probe), a
+    # dozen small write/collect jobs whose wall time tracks filesystem
+    # throughput and job-scheduling latency (~31-38s across all three
+    # sf fixtures — fixed overhead, not data). Perf evidence: LOCAL_GATE
+    # per-scale timings, the 10x gate row, and the measured 4.4x warm-
+    # probe win compaction exists for (ROUND12_NOTES).
+    # c05_ann_hybrid_fused (round 13) is EXCLUDED by the ml07 decision
+    # class: verifier-dominated — the registered form runs an
+    # INDEPENDENT inline BM25 refit, a brute-force recall truth, and
+    # three full-outer membership/parity joins beside the operator path,
+    # so reps would time the contract, not the composition. The
+    # operator-path constituents are already benchmarked: the ANN tier
+    # via s10/s09-family entries, BM25 rerank via c04, fusion is one
+    # union+groupBy shuffle (rerank.py rrf_fuse).
     # d09_incremental_dedup is EXCLUDED by decision, not oversight: its
     # registered form runs three sequential ingests + a one-shot rebuild
     # (dozens of store-write jobs), ~15s of Spark wall at sf0.1 dominated

@@ -1266,6 +1266,203 @@ def s11_embedding_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cell_file_census(table_dir: str) -> dict[str, list[tuple[str, int]]]:
+    """{cell_dir_name: sorted [(file, size)]} for a cell-partitioned parquet
+    table — driver-side os.listdir over the cell directories, bounded by the
+    quantizer's ≤65536-cell cap (report-sized by the same argument as the
+    compaction census itself)."""
+    import os
+
+    out: dict[str, list[tuple[str, int]]] = {}
+    for d in sorted(os.listdir(table_dir)):
+        if not d.startswith("cell="):
+            continue
+        cdir = os.path.join(table_dir, d)
+        out[d] = sorted(
+            (f, os.path.getsize(os.path.join(cdir, f)))
+            for f in os.listdir(cdir)
+            if f.endswith(".parquet")
+        )
+    return out
+
+
+def _cell_md5s(table_dir: str, cells: list[str]) -> dict[str, list[tuple[str, str]]]:
+    """{cell_dir: [(file, md5)]} for the given cell dirs — the byte-identity
+    probe. Callers pass an ABSOLUTE-capped, md5-ordered cell sample (the
+    s02/s03 verifier posture), so hashing cost is bounded at any corpus
+    size."""
+    import hashlib
+    import os
+
+    out: dict[str, list[tuple[str, str]]] = {}
+    for d in cells:
+        cdir = os.path.join(table_dir, d)
+        rows = []
+        for f in sorted(os.listdir(cdir)):
+            if f.endswith(".parquet"):
+                with open(os.path.join(cdir, f), "rb") as fh:
+                    rows.append((f, hashlib.md5(fh.read()).hexdigest()))
+        out[d] = rows
+    return out
+
+
+@register(
+    "s12_index_compaction",
+    # CONTRACT oracle (the q40/s10/d09 pattern) for the ANN index
+    # MAINTENANCE pass — the lifecycle stage build→upsert→probe already
+    # had driver rows for (s10/s09) but compaction did not (VERDICT r12
+    # #1). The query runs the full lifecycle fresh each call (per-process
+    # fresh scratch — compaction MUTATES the store, so content-addressed
+    # reuse would find an already-compacted index on rerun and the
+    # did-work flag would be vacuous): build an IVF-PQ index over the
+    # embeddings table, append two DISJOINT upsert batches (each touched
+    # cell then holds up to 3 file sets — real fragmentation), search,
+    # compact, search again. Driver-hashed invariants, per sampled query:
+    #   search_bit_equal        before/after top-k row-for-row bit parity
+    #                           (null-safe full-outer compare, the s10
+    #                           prebuilt_matches_incall shape)
+    #   untouched_cells_intact  cells under the file threshold keep their
+    #                           exact (file, size) lists, byte-identity
+    #                           md5-probed on a ≤32-cell md5-ordered
+    #                           sample (absolute verifier cap, s02 rule)
+    #   files_bounded           post-compaction census: every cell ≤
+    #                           max(1, ceil(rows/rows_per_file)) files
+    #                           (per-cell rows via one groupBy, collect
+    #                           bounded by the ≤65536-cell quantizer cap)
+    #   rows_as_expected        no rows created or lost: |codes| after ==
+    #                           |base| + |batch1| + |batch2| (batches are
+    #                           disjoint; exact-dup removal is pytest's
+    #                           test_ivfpq_compact_dedupes_* — mixing it
+    #                           in here would entangle the bit-equality
+    #                           claim with shortlist-slot effects)
+    #   compaction_did_work     census saw real fragmentation and rewrote
+    #                           ≥1 cell (guards against a silently-noop
+    #                           maintenance pass "passing")
+    #   recompact_noop          a second compact reports 0 cells — the
+    #                           pass is a fixpoint at the merged layout
+    # Cost shape at scale: census O(cells) collect, rewrite reads ONLY
+    # fragmented cells' partitions (source-level pruning), searches are
+    # the probed-cell ADC path — SCALING.md "index maintenance".
+    oracle="""
+    SELECT CAST(vec_id AS BIGINT) AS query_id,
+           CAST(1 AS INT) AS search_bit_equal,
+           CAST(1 AS INT) AS untouched_cells_intact,
+           CAST(1 AS INT) AS files_bounded,
+           CAST(1 AS INT) AS rows_as_expected,
+           CAST(1 AS INT) AS compaction_did_work,
+           CAST(1 AS INT) AS recompact_noop
+    FROM embeddings WHERE vec_id % 50 = 0
+    """,
+    tags=("similarity", "llm", "ivf", "pq", "persisted-index", "compaction"),
+)
+def s12_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files maintenance on a persisted IVF-PQ index
+    (``similarity.ivfpq_compact`` / ``compact_cell_partitions``): every
+    upsert appends one file set per touched cell, so a long-lived index
+    pays per-file open/footer cost on every probe until a compaction
+    merges the fragments (measured 4.4× warm-probe win on the fragmented
+    1M fixture — ROUND12_NOTES). The registered lifecycle: fresh build →
+    two disjoint upsert batches → probe → compact → probe, with the
+    maintenance invariants (bit-equal search, untouched-cell
+    byte-identity, bounded file counts, row conservation, no-op fixpoint)
+    as driver-hashed flags. Reference tie-in: the reference's store
+    delegates layout maintenance to its managed backend
+    (`feature_store_helper.py` has no compaction surface); an
+    engine-native index must own it."""
+    import math
+
+    from mlops_pipelines_featurestore_gcp_spark.sources.scratch import scratch_dir
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    # fresh per process: the pass mutates the store (see register comment)
+    path = scratch_dir("s12cmp", fresh=True, per_process=True)
+    similarity.build_ivfpq_index(emb, path, dim=64, m=8, seed=42)
+    b1 = emb.where(F.col("vec_id") % 3 == 0).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(10_000_000)
+    )
+    b2 = emb.where(F.col("vec_id") % 3 == 1).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(20_000_000)
+    )
+    similarity.ivfpq_upsert(spark, path, b1)
+    similarity.ivfpq_upsert(spark, path, b2)
+    corpus = emb.unionByName(b1).unionByName(b2).localCheckpoint(eager=False)
+    n_expected = corpus.count()  # == |base|+|b1|+|b2| (disjoint ids)
+    # materialize BEFORE the overwrite: this lineage reads {path}/codes
+    # (the CLAUDE.md overwrite rule)
+    before = similarity.ivfpq_search(
+        spark, path, corpus, queries, dim=64, k=5, shortlist=48
+    ).localCheckpoint(eager=True)
+    codes_dir = f"{path}/codes"
+    census_before = _cell_file_census(codes_dir)
+    # untouched cells are knowable pre-compact (≤ threshold files); the
+    # byte-identity md5 probe straddles the compact on a ≤32-cell
+    # md5-ordered sample (absolute verifier cap, s02 rule)
+    import hashlib as _h
+
+    untouched = sorted(d for d, fs in census_before.items() if len(fs) <= 1)
+    probe = sorted(untouched, key=lambda d: _h.md5(d.encode()).hexdigest())[:32]
+    md5_before = _cell_md5s(codes_dir, probe)
+    rows_per_file = 1 << 20
+    report = similarity.ivfpq_compact(
+        spark, path, max_files_per_cell=1, rows_per_file=rows_per_file
+    )
+    census_after = _cell_file_census(codes_dir)
+    report2 = similarity.ivfpq_compact(
+        spark, path, max_files_per_cell=1, rows_per_file=rows_per_file
+    )
+    after = similarity.ivfpq_search(spark, path, corpus, queries, dim=64, k=5, shortlist=48)
+
+    # --- driver-side global flags -----------------------------------------
+    intact = all(
+        census_after.get(d) == census_before[d] for d in untouched
+    ) and _cell_md5s(codes_dir, probe) == md5_before
+    cell_rows = {
+        f"cell={r['cell']}": r["n"]
+        for r in spark.read.parquet(codes_dir).groupBy("cell").agg(F.count("*").alias("n")).collect()
+    }
+    files_bounded = all(
+        len(fs) <= max(1, math.ceil(cell_rows.get(d, 1) / rows_per_file))
+        for d, fs in census_after.items()
+    )
+    rows_ok = sum(cell_rows.values()) == n_expected
+    did_work = report["cells_compacted"] >= 1 and report["files_before"] > report["cells_total"]
+    noop = report2["cells_compacted"] == 0
+
+    # --- per-query search bit-parity --------------------------------------
+    cmp = before.select("query_id", "rnk", "neighbor_id", "cos_sim").join(
+        after.select(
+            "query_id",
+            "rnk",
+            F.col("neighbor_id").alias("__n2"),
+            F.col("cos_sim").alias("__c2"),
+        ),
+        ["query_id", "rnk"],
+        "full",
+    )
+    per_q = cmp.groupBy("query_id").agg(
+        F.min(
+            (
+                F.col("neighbor_id").eqNullSafe(F.col("__n2"))
+                & F.col("cos_sim").eqNullSafe(F.col("__c2"))
+            ).cast("int")
+        ).alias("search_bit_equal")
+    )
+    return (
+        queries.select(F.col("vec_id").alias("query_id"))
+        .join(per_q, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("search_bit_equal", F.lit(1)).alias("search_bit_equal"),
+            F.lit(int(intact)).alias("untouched_cells_intact"),
+            F.lit(int(files_bounded)).alias("files_bounded"),
+            F.lit(int(rows_ok)).alias("rows_as_expected"),
+            F.lit(int(did_work)).alias("compaction_did_work"),
+            F.lit(int(noop)).alias("recompact_noop"),
+        )
+    )
+
+
 @register(
     "ml07_quality_classifier",
     # Distillation-shaped model-based quality filtering (ml/classifier.py):
@@ -1318,6 +1515,7 @@ def s11_embedding_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM feats
     """,
     tags=("ml", "llm", "quality", "classifier"),
+    defer=True,
 )
 def ml07_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality filtering (ml/classifier.py) in the FineWeb-Edu
@@ -2147,6 +2345,7 @@ def c03_semantic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     QUALIFY rrnk <= 5
     """,
     tags=("llm", "composite", "similarity", "bm25", "rerank", "hybrid"),
+    defer=True,
 )
 def c04_hybrid_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval: exact-cosine vector recall (top-20 per sampled
@@ -2201,6 +2400,192 @@ def c04_hybrid_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "neighbor_id", "cos_sim", "rnk", "bm25_micro",
         F.col("rrnk").cast("long").alias("rrnk"),
+    )
+
+
+@register(
+    "c05_ann_hybrid_fused",
+    # CONTRACT oracle for the PRODUCTION-shaped hybrid retrieval path
+    # (VERDICT r12 #3+#4 folded into one registration): where c04's
+    # registered recall leg is brute-force cosine (so its oracle can
+    # replay the shortlist value-for-value), c05 recalls through the
+    # IVF-PQ ANN tier — sublinear probed-cell candidate generation, the
+    # shape a 100 TB deployment actually runs — then BM25-reranks the
+    # shortlist (amortized fitted-stats path) and RRF-fuses the vector
+    # and lexical rankings (operators/rerank.py rrf_fuse; Cormack,
+    # Clarke & Büttcher, SIGIR 2009). WHICH candidates the ANN tier
+    # admits is representation-specific, so the oracle states the
+    # composition's invariants as driver-hashed flags (the s02/s03/d07
+    # contract pattern), per sampled query:
+    #   shortlist_preserved    rerank and fusion emit EXACTLY the ANN
+    #                          shortlist's (query, candidate) set — the
+    #                          downstream stages re-order, never shrink
+    #                          (null-safe 3-way full-outer membership)
+    #   bm25_replay_parity     the fitted-stats BM25 micro scores and
+    #                          ranks equal an INDEPENDENT inline refit
+    #                          (stats=None — full-vocab fit vs
+    #                          query-vocab-restricted fit, two code
+    #                          paths, same integer micro contract)
+    #   rrf_sum_consistent     every fused score equals
+    #                          micro(1/(60+rnk)) + micro(1/(60+rrnk))
+    #                          recomputed from the two emitted rankings,
+    #                          with n_lists = 2 (integer micro, t11/t13)
+    #   fused_ranks_contiguous frnk runs 1..|candidates| per query
+    #   recall_floor_met       ANN shortlist recall@20 vs exact
+    #                          brute-force ≥ 0.55 on the md5-ordered
+    #                          ≤32-query sample (measured 0.69-0.75 at
+    #                          sf0.001/0.01/0.1 with the auto-sized
+    #                          √N-cell / ⅓-probe rule; ~20% margin, the
+    #                          s09 floor policy)
+    # Scale shape: recall is probed-cells-sublinear (s09's tier), fit is
+    # the one amortized corpus pass (c04's shape), rerank/fusion are
+    # shortlist-proportional, verifier brute-force absolute-capped.
+    oracle="""
+    SELECT CAST(vec_id AS BIGINT) AS query_id,
+           CAST(1 AS INT) AS shortlist_preserved,
+           CAST(1 AS INT) AS bm25_replay_parity,
+           CAST(1 AS INT) AS rrf_sum_consistent,
+           CAST(1 AS INT) AS fused_ranks_contiguous,
+           CAST(1 AS INT) AS recall_floor_met
+    FROM embeddings WHERE vec_id % 53 = 0
+    """,
+    tags=("llm", "composite", "similarity", "ivf", "pq", "bm25", "rerank", "rrf", "hybrid"),
+)
+def c05_ann_hybrid_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end production hybrid retrieval: IVF-PQ ANN recall (top-20
+    per sampled query, probed-cell sublinear) → BM25 rerank of the
+    shortlist against the documents' text (fitted-stats amortized path)
+    → reciprocal-rank fusion of the vector and lexical rankings. The
+    driver-hashed contract pins what each stage owes the next: fusion
+    and rerank preserve the shortlist, the fitted BM25 equals an
+    independent inline refit, fused scores are exact integer-micro RRF
+    sums of the emitted ranks, and the ANN tier meets its sampled recall
+    floor. vec_id ↔ doc_id row identity links the sides (TESTDATA.md).
+    Reference tie-in: ranked retrieval over the feature-store read
+    surface (`feature_store_helper.py:49-51`), the BASELINE.json
+    north-star extension family — c04 demonstrates full-value rerank
+    replay, c05 the sublinear composition."""
+    from mlops_pipelines_featurestore_gcp_spark.operators import rerank
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    docs = load_table(spark, "documents", sf_dir)
+    queries = emb.where(F.col("vec_id") % 53 == 0)
+    short = similarity.ivf_pq_topk(
+        emb, queries, dim=64, m=8, k=20, shortlist=64
+    ).localCheckpoint(eager=False)  # feeds rerank, fusion, and 3 flag joins
+    qtexts = docs.where(F.col("doc_id") % 53 == 0).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    fitted = rerank.bm25_fit(docs)
+    stats = rerank.BM25Stats(
+        n_docs=fitted.n_docs,
+        avgdl=fitted.avgdl,
+        dfreq=fitted.dfreq.localCheckpoint(eager=False),
+        doc_lengths=fitted.doc_lengths.localCheckpoint(eager=False),
+    )
+    rr = rerank.bm25_rerank(
+        short, qtexts, docs, doc_id_col="neighbor_id", stats=stats
+    ).localCheckpoint(eager=False)  # feeds fusion + replay-parity + membership
+    fused = rerank.rrf_fuse(
+        [(short, "rnk"), (rr, "rrnk")]
+    ).localCheckpoint(eager=False)  # feeds membership + sum + contiguity flags
+
+    # --- shortlist_preserved: 3-way null-safe membership ------------------
+    sids = short.select("query_id", "neighbor_id").withColumn("__s", F.lit(1))
+    rids = rr.select("query_id", "neighbor_id").withColumn("__r", F.lit(1))
+    fids = fused.select("query_id", "neighbor_id").withColumn("__f", F.lit(1))
+    member = (
+        sids.join(rids, ["query_id", "neighbor_id"], "full")
+        .join(fids, ["query_id", "neighbor_id"], "full")
+        .groupBy("query_id")
+        .agg(
+            F.min(
+                (
+                    F.col("__s").isNotNull()
+                    & F.col("__r").isNotNull()
+                    & F.col("__f").isNotNull()
+                ).cast("int")
+            ).alias("shortlist_preserved")
+        )
+    )
+    # --- bm25_replay_parity: independent inline refit ---------------------
+    inline = rerank.bm25_rerank(short, qtexts, docs, doc_id_col="neighbor_id")
+    replay = (
+        rr.select("query_id", "neighbor_id", "bm25_micro", "rrnk")
+        .join(
+            inline.select(
+                "query_id",
+                "neighbor_id",
+                F.col("bm25_micro").alias("__m2"),
+                F.col("rrnk").alias("__k2"),
+            ),
+            ["query_id", "neighbor_id"],
+            "full",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.min(
+                (
+                    F.col("bm25_micro").eqNullSafe(F.col("__m2"))
+                    & F.col("rrnk").eqNullSafe(F.col("__k2"))
+                ).cast("int")
+            ).alias("bm25_replay_parity")
+        )
+    )
+    # --- rrf_sum_consistent: recompute the fusion from emitted ranks ------
+    micro = lambda r: F.floor(F.lit(1.0) / (F.lit(60.0) + r) * F.lit(1_000_000.0) + F.lit(0.5)).cast("long")  # noqa: E731 — rerank._micro(1/(60+rank)) spelled inline
+    expect = (
+        fused.join(short.select("query_id", "neighbor_id", "rnk"), ["query_id", "neighbor_id"], "left")
+        .join(
+            rr.select("query_id", "neighbor_id", F.col("rrnk").alias("__rr")),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.min(
+                (
+                    (F.col("rrf_micro") == micro(F.col("rnk")) + micro(F.col("__rr")))
+                    & (F.col("n_lists") == 2)
+                ).cast("int")
+            ).alias("rrf_sum_consistent")
+        )
+    )
+    # --- fused_ranks_contiguous -------------------------------------------
+    contig = fused.groupBy("query_id").agg(
+        ((F.max("frnk") == F.count("*")) & (F.min("frnk") == 1))
+        .cast("int")
+        .alias("fused_ranks_contiguous")
+    )
+    # --- recall floor on the absolute-capped sample (s02 rule) ------------
+    truth = _recall_truth(emb, queries, dim=64, k=20)
+    hit = (
+        truth.join(
+            short.select("query_id", "neighbor_id").withColumn("__hit", F.lit(1)),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+        .agg(
+            ((F.sum(F.coalesce("__hit", F.lit(0))) / F.count("*")) >= F.lit(0.55))
+            .cast("int")
+            .alias("recall_floor_met")
+        )
+    )
+    one = F.lit(1)
+    return (
+        queries.select(F.col("vec_id").alias("query_id"))
+        .join(member, "query_id", "left")
+        .join(replay, "query_id", "left")
+        .join(expect, "query_id", "left")
+        .join(contig, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("shortlist_preserved", one).alias("shortlist_preserved"),
+            F.coalesce("bm25_replay_parity", one).alias("bm25_replay_parity"),
+            F.coalesce("rrf_sum_consistent", one).alias("rrf_sum_consistent"),
+            F.coalesce("fused_ranks_contiguous", one).alias("fused_ranks_contiguous"),
+        )
+        .crossJoin(F.broadcast(hit))
     )
 
 
