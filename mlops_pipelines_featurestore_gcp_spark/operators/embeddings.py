@@ -63,11 +63,28 @@ def hashed_embedding(
             for i in range(dim)
         ],
     )
-    norm = F.sqrt(sum(F.col(f"__e{i}") * F.col(f"__e{i}") for i in range(dim)))
-    unit = F.array(
-        *[
-            F.when(norm > 0, F.col(f"__e{i}") / norm).otherwise(F.lit(0.0)).cast("double")
-            for i in range(dim)
-        ]
+    # r13 optimization: the normalization used to be ``dim`` scalar
+    # ``when(norm > 0, e_i / norm)`` expressions where ``norm`` was itself
+    # a ``dim``-term chain — fused into the hash aggregate's generated
+    # output method that exceeded janino's 64 KB method limit, so the
+    # WHOLE stage (per-token hashing included) silently fell back to
+    # interpreted execution ("CodeGenerator: ... Code grows beyond
+    # 64 KB" on every ml07/c03/t07 run). Building the array<long> first
+    # keeps the generated method small (``dim`` plain loads), and the
+    # norm/unit folds are HOFs evaluated ONCE PER DOCUMENT (not per
+    # token — the cheap side of the repo's HOF rule). Values are
+    # bit-identical: the bucket sums are exact longs (|e_i| ≤ n_tokens ≪
+    # 2⁵³), so the fold's double accumulation hits the same integers and
+    # the same final sqrt/divide.
+    arr = F.array(*[F.col(f"__e{i}") for i in range(dim)])
+    staged = sums.select(
+        F.col(id_col), F.col("n_tokens"), arr.alias("__arr")
+    ).withColumn(
+        "__norm",
+        F.sqrt(F.aggregate(F.col("__arr"), F.lit(0.0), lambda acc, x: acc + x * x)),
     )
-    return sums.select(F.col(id_col), unit.alias("embedding"), F.col("n_tokens").cast("long"))
+    unit = F.transform(
+        F.col("__arr"),
+        lambda x: F.when(F.col("__norm") > 0, x / F.col("__norm")).otherwise(F.lit(0.0)),
+    )
+    return staged.select(F.col(id_col), unit.alias("embedding"), F.col("n_tokens").cast("long"))

@@ -104,36 +104,36 @@ def fit_whitening(
             "driver-side fit instead"
         )
     v = F.col(vec_col).cast("array<double>")
-    # one explode per vector: 64 first-moment + 2080 second-moment terms,
+    # dim first-moment + dim(dim+1)/2 second-moment terms per vector,
     # tagged (j, k) with k = -1 for the mean terms; map-side combine makes
-    # the shuffle constant-width
-    terms = corpus.select(
-        F.explode(
-            F.concat(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(dim - 1)),
-                    lambda j: F.struct(
-                        j.alias("j"),
-                        F.lit(-1).alias("k"),
-                        F.element_at(v, j + 1).alias("x"),
-                    ),
-                ),
-                F.flatten(
-                    F.transform(
-                        F.sequence(F.lit(0), F.lit(dim - 1)),
-                        lambda j: F.transform(
-                            F.sequence(j, F.lit(dim - 1)),
-                            lambda k: F.struct(
-                                j.alias("j"),
-                                k.alias("k"),
-                                (F.element_at(v, j + 1) * F.element_at(v, k + 1)).alias("x"),
-                            ),
-                        ),
-                    )
-                ),
+    # the shuffle constant-width. r13 optimization (guide §4.1 "prefer
+    # codegen over HOFs", measured): the original form BUILT the term
+    # array per row with nested ``transform`` lambdas — HOFs are
+    # CodegenFallback, so every one of the 2145 struct constructions and
+    # 2×2145 element_at calls ran interpreted per row (~25 s single-core
+    # at 2000×64 vs ~13 s for this form, identical output bit-for-bit).
+    # Here the (j, k) index table is a 2145-row local frame broadcast into
+    # a nested-loop join, and the term value is ONE codegen projection;
+    # the decimal aggregate below is unchanged, so the fitted rotation is
+    # bit-identical (x values are the same float64 products either way).
+    pairs = [(j, -1) for j in range(dim)] + [
+        (j, k) for j in range(dim) for k in range(j, dim)
+    ]
+    pairs_df = corpus.sparkSession.createDataFrame(pairs, "j int, k int")
+    terms = (
+        corpus.select(v.alias("__v"))
+        .crossJoin(F.broadcast(pairs_df))
+        .select(
+            "j",
+            "k",
+            F.when(F.col("k") == -1, F.element_at(F.col("__v"), F.col("j") + 1))
+            .otherwise(
+                F.element_at(F.col("__v"), F.col("j") + 1)
+                * F.element_at(F.col("__v"), F.col("k") + 1)
             )
-        ).alias("t")
-    ).select("t.j", "t.k", "t.x")
+            .alias("x"),
+        )
+    )
     agg = (
         terms.groupBy("j", "k")
         .agg(
@@ -213,3 +213,56 @@ def apply_whitening(
         return pd.Series(list(Y))
 
     return df.withColumn(out_col, _proj(F.col(vec_col)))
+
+
+def whitening_flags(
+    df: DataFrame,
+    mean: list[float],
+    rotation: list[list[float]],
+    *,
+    vec_col: str = "embedding",
+    proj_col: str = "whitened",
+    norm_rtol: float = 1e-6,
+    recon_rtol: float = 1e-9,
+) -> DataFrame:
+    """Per-row rotation-invariant flags as ONE Arrow-batched numpy pass:
+    appends ``norm_ok`` (rotation preserved the centered norm) and
+    ``recon_ok`` (projection inverts back to the input within
+    ``recon_rtol``, relative to max(1, ‖centered‖²)).
+
+    r13 optimization (guide §4.2, the same reasoning as ``apply_whitening``'s
+    r10 rewrite): the previous form computed these flags with Catalyst HOF
+    folds — ``transform``/``zip_with``/``aggregate`` are CodegenFallback,
+    interpreted per ELEMENT, and the reconstruction alone is a dim² fold
+    (4096 interpreted ops per row at dim 64, plus three dim-sized norm
+    folds). One ``(B, dim) @ (dim, dim)`` BLAS matmul per Arrow batch does
+    the same work vectorized. Both quantities are band-compared (relative
+    tolerances), never byte-compared, so the BLAS-vs-fold last-ulp
+    accumulation difference cannot flip a flag (the apply_whitening
+    bit-parity caveat applies verbatim).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    mu = np.asarray(mean, dtype=np.float64)
+    R = np.asarray(rotation, dtype=np.float64)  # R[k] = k-th principal column
+
+    @pandas_udf("struct<norm_ok:int, recon_ok:int>")
+    def _flags(vs: pd.Series, ys: pd.Series) -> pd.DataFrame:
+        if len(vs) == 0:
+            return pd.DataFrame({"norm_ok": [], "recon_ok": []})
+        X = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
+        Y = np.asarray([np.asarray(y, dtype=np.float64) for y in ys])
+        C = X - mu
+        sq_c = np.einsum("ij,ij->i", C, C)
+        sq_y = np.einsum("ij,ij->i", Y, Y)
+        band = np.maximum(1.0, sq_c)
+        norm_ok = (np.abs(sq_y - sq_c) <= norm_rtol * band).astype("int32")
+        # recon[j] = sum_k Y[k] * rotation[k][j]  ==  Y @ R
+        E = (Y @ R) + mu - X
+        recon_ok = (np.einsum("ij,ij->i", E, E) <= recon_rtol * band).astype("int32")
+        return pd.DataFrame({"norm_ok": norm_ok, "recon_ok": recon_ok})
+
+    flagged = df.withColumn("__wf", _flags(F.col(vec_col), F.col(proj_col)))
+    return flagged.withColumn("norm_ok", F.col("__wf.norm_ok")).withColumn(
+        "recon_ok", F.col("__wf.recon_ok")
+    ).drop("__wf")

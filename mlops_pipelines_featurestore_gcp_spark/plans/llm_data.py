@@ -1218,51 +1218,23 @@ def s11_embedding_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
         var_k = r["s2"] / r["n"] - (r["s1"] / r["n"]) ** 2
         if abs(var_k - lam[r["k"]]) > 1e-6 * max(1.0, abs(lam[r["k"]])):
             var_ok = 0
-    # per-row flags: norm preservation + exact reconstruction, computed
-    # with the same HOF folds as the projection (map-side, no shuffle)
-    mu = F.col("__mu")
-    wt_rows = F.col("__wt")  # input-dim-indexed rows of the rotation
-    params = spark.createDataFrame(
-        [(mean, [[rot[k][j] for k in range(64)] for j in range(64)])],
-        "__mu array<double>, __wt array<array<double>>",
-    )
-    centered = F.zip_with(F.col("embedding").cast("array<double>"), mu, lambda a, b: a - b)
-    sq = lambda arr: F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x * x)  # noqa: E731
-    recon = F.transform(
-        wt_rows,
-        lambda row: F.aggregate(
-            F.zip_with(y, row, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
-        ),
-    )
-    return (
-        out.crossJoin(F.broadcast(params))
-        .select(
-            F.col("vec_id").cast("long").alias("vec_id"),
-            # RELATIVE bands (review r9): both quantities scale with
-            # ‖v‖², so an absolute 1e-6/1e-9 would flip the flag on a
-            # legitimately large-magnitude corpus even though the
-            # rotation is numerically correct (identical to var_parity's
-            # own relative rule). Identity on the unit-norm fixture.
-            (F.abs(sq(y) - sq(centered)) <= F.lit(1e-6) * F.greatest(F.lit(1.0), sq(centered)))
-            .cast("int")
-            .alias("norm_ok"),
-            (
-                F.aggregate(
-                    F.zip_with(
-                        F.zip_with(recon, mu, lambda a, b: a + b),
-                        F.col("embedding").cast("array<double>"),
-                        lambda a, b: (a - b) * (a - b),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                <= F.lit(1e-9) * F.greatest(F.lit(1.0), sq(centered))
-            )
-            .cast("int")
-            .alias("recon_ok"),
-            F.lit(var_ok).cast("int").alias("var_parity"),
-            F.lit(rot_on).cast("int").alias("rot_orthonormal"),
-        )
+    # per-row flags: norm preservation + exact reconstruction. r13: ONE
+    # Arrow-batched numpy pass (whitening.whitening_flags) — the previous
+    # HOF-fold form was CodegenFallback, interpreted per element (dim² =
+    # 4096 interpreted ops/row for the reconstruction alone; the exact
+    # pattern apply_whitening's r10 rewrite removed from the projection).
+    # Bands are RELATIVE (review r9): both quantities scale with ‖v‖², so
+    # an absolute 1e-6/1e-9 would flip the flag on a legitimately
+    # large-magnitude corpus; band-compared quantities are also what makes
+    # the BLAS-vs-fold last-ulp difference irrelevant here.
+    return whitening.whitening_flags(
+        out, mean, rot, vec_col="embedding", proj_col="whitened"
+    ).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        "norm_ok",
+        "recon_ok",
+        F.lit(var_ok).cast("int").alias("var_parity"),
+        F.lit(rot_on).cast("int").alias("rot_orthonormal"),
     )
 
 

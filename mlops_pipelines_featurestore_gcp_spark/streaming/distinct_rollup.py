@@ -125,6 +125,10 @@ class DistinctCountRollup:
         spark = batch.sparkSession
         incoming = self._partials(batch)
         if self._store_has_state():
+            # barrier: the touched probe is eager — without it the merge
+            # re-runs the batch scan + sketch build a second time (see
+            # rollup.ContinuousAggregate.refresh, r13 optimization)
+            incoming = incoming.localCheckpoint(eager=False)
             touched = [
                 r["pgroup"]
                 for r in self._with_pgroup(incoming).select("pgroup").distinct().collect()

@@ -195,6 +195,13 @@ class ContinuousAggregate:
         spark = batch.sparkSession
         incoming = self._partials(batch)
         if self._store_has_state():
+            # The touched-groups probe is an eager job; without a
+            # materialization barrier the merge below would re-run the
+            # whole batch scan + partial aggregation a second time —
+            # at production batch sizes that doubles the refresh's
+            # dominant cost (r13 optimization; guide §5: cache only what
+            # is reused AND expensive — the partials are both).
+            incoming = incoming.localCheckpoint(eager=False)
             # dynamic overwrite replaces whole pgroup dirs, so untouched
             # buckets in a touched group must ride along through the merge
             touched_groups = [
