@@ -11,10 +11,12 @@ basis (optionally scaling to unit variance — true whitening) before
 
 Scale architecture:
 
-- **fit** is ONE explode + hash aggregate: each vector emits its 64
-  first-moment terms and the 2080 upper-triangle second-moment products
-  (j ≤ k); map-side combine collapses every partition to ≤ 2145 partial
-  rows, so the shuffle is constant-width no matter the corpus. Sums
+- **fit** is ONE pass + hash aggregate: each vector meets a broadcast
+  (j, k) index table (64 first-moment + 2080 upper-triangle second-moment
+  slots, r13 — the per-row HOF term-array build ran interpreted) and
+  emits one codegen-projected term per slot; map-side combine collapses
+  every partition to ≤ 2145 partial rows, so the shuffle is
+  constant-width no matter the corpus. Sums
   accumulate in DECIMAL(38,18) (the house rule for distributively-summed
   doubles — bit-deterministic across partitionings and runs), and the
   64×64 eigendecomposition runs driver-side on the collected gram

@@ -93,3 +93,32 @@ def test_sample_fit_path_and_dim_guard(spark, xdf):
     me, re_, le = fit_whitening(df, dim=DIM)
     assert np.allclose(m1, me, atol=1e-9)
     assert np.allclose(sorted(l1), sorted(le), atol=1e-6)
+
+
+def test_whitening_flags_arrow_pass(xdf):
+    """r13: the per-row contract flags moved from Catalyst HOF folds to one
+    Arrow-batched numpy pass — pin that (a) a correct fit+projection yields
+    all-ones flags, and (b) a corrupted projection is actually caught (the
+    kernel computes, not constant-folds)."""
+    from pyspark.sql import functions as F
+
+    from mlops_pipelines_featurestore_gcp_spark.operators.whitening import whitening_flags
+
+    df, _ = xdf
+    mean, rot, _ = fit_whitening(df, dim=DIM)
+    out = apply_whitening(df, mean, rot)
+    flags = whitening_flags(out, mean, rot).select("vec_id", "norm_ok", "recon_ok").toPandas()
+    assert len(flags) == 400
+    assert int(flags["norm_ok"].sum()) == 400
+    assert int(flags["recon_ok"].sum()) == 400
+    # corrupt the projection: scale one coordinate — both invariants break
+    bad = out.withColumn(
+        "whitened",
+        F.concat(
+            F.array(F.element_at(F.col("whitened"), 1) * 2.0),
+            F.slice(F.col("whitened"), 2, DIM - 1),
+        ),
+    )
+    bflags = whitening_flags(bad, mean, rot).select("norm_ok", "recon_ok").toPandas()
+    assert int(bflags["norm_ok"].sum()) < 400
+    assert int(bflags["recon_ok"].sum()) < 400
