@@ -1380,6 +1380,7 @@ def ivf_pq_topk(
     codebooks: np.ndarray | None = None,
     corpus_codes: DataFrame | None = None,
     adc_queries: DataFrame | None = None,
+    adc_query_rows: list | None = None,
 ) -> DataFrame:
     """IVF-PQ approximate top-k — the FAISS ``IVFADC`` composition
     (Jégou et al. 2011 §IV): coarse cells prune WHICH vectors are scored,
@@ -1435,12 +1436,19 @@ def ivf_pq_topk(
         enc = corpus_codes.select("neighbor_id", "cell", "codes", "rnorm")
 
     # adc_queries (same ids, possibly rotated — the OPQ search path)
-    # feeds the probe + ADC stages only; the rescore stays on `queries`
-    aq = adc_queries if adc_queries is not None else queries
-    qrows = _collect_query_rows(
-        aq.select(F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")),
-        "ivf_pq_topk",
-    )
+    # feeds the probe + ADC stages only; the rescore stays on `queries`.
+    # adc_query_rows (r14, guide §5 driver-side work): a caller running
+    # SEVERAL tiers over the same query population (the s10 parity twin)
+    # collects the (query_id, qv) rows ONCE and hands them to each call —
+    # one Spark collect job instead of one per tier.
+    if adc_query_rows is not None:
+        qrows = adc_query_rows
+    else:
+        aq = adc_queries if adc_queries is not None else queries
+        qrows = _collect_query_rows(
+            aq.select(F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")),
+            "ivf_pq_topk",
+        )
     qids = np.asarray([r["query_id"] for r in qrows])
     if len(qrows) == 0:
         # empty query set: the (nq, dim) reshapes below would see shape
@@ -1907,6 +1915,9 @@ def ivf_compact(spark, path: str, **kwargs) -> dict:
     return compact_cell_partitions(spark, f"{path}/assigned", **kwargs)
 
 
+_OPQ_UNSET = object()  # sentinel: rotation=None legitimately means "plain index"
+
+
 def ivfpq_search(
     spark,
     path: str,
@@ -1920,6 +1931,9 @@ def ivfpq_search(
     k: int = 5,
     shortlist: int = 32,
     round_digits: int = 6,
+    state: tuple[np.ndarray, np.ndarray] | None = None,
+    rotation=_OPQ_UNSET,
+    adc_query_rows: list | None = None,
 ) -> DataFrame:
     """Approximate top-k against a persisted IVF-PQ index.
 
@@ -1929,11 +1943,24 @@ def ivfpq_search(
     to the in-call ``ivf_pq_topk`` under the same quantizer state
     (pinned in tests/test_pq.py). An index built ``opq=True`` rotates the
     queries for the probe/ADC stages; rescore stays in raw space
-    (rotation preserves cosine — see ``pq_search``)."""
-    cells, books = _ivfpq_state_read(spark, path)
+    (rotation preserves cosine — see ``pq_search``).
+
+    ``state``/``rotation``/``adc_query_rows`` (r14, guide §5): a caller
+    that already holds the persisted quantizer pair, the persisted
+    rotation (``None`` = plain index — hence the sentinel default), or
+    the collected rotated query rows can inject them and skip this
+    call's own driver round-trips — the s10 parity twin was paying the
+    2 state collects + the opq read + a query collect TWICE per call."""
+    if state is not None:
+        cells, books = state
+    else:
+        cells, books = _ivfpq_state_read(spark, path)
     codes = spark.read.parquet(f"{path}/codes")
-    rotation = _opq_read(spark, path)
-    adc_q = None if rotation is None else _opq_apply(queries, rotation, vec_col=vec_col)
+    if rotation is _OPQ_UNSET:
+        rotation = _opq_read(spark, path)
+    adc_q = None
+    if rotation is not None and adc_query_rows is None:
+        adc_q = _opq_apply(queries, rotation, vec_col=vec_col)
     return ivf_pq_topk(
         corpus,
         queries,
@@ -1949,6 +1976,7 @@ def ivfpq_search(
         codebooks=books,
         corpus_codes=codes,
         adc_queries=adc_q,
+        adc_query_rows=adc_query_rows,
     )
 
 

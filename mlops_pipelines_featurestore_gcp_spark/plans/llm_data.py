@@ -1055,14 +1055,17 @@ def s09_operator_parts(spark: SparkSession, sf_dir: str):
     # the shared ANN contract incl. the s09 recall floor.
     # r10: the index builds opq=True (the s11 rotation wired INTO the
     # build/search paths — VERDICT r9 "what's missing" #1), so the twin
-    # is now the HAND-COMPOSED rotation path: rotation read back from
-    # {path}/opq, applied to corpus+queries with apply_whitening, fresh
-    # quantizer fit on the rotated corpus, raw-space rescore via
-    # adc_queries. Bit-parity therefore proves the persisted transform
-    # round-trips exactly AND that the integrated option equals what a
-    # user would compose by hand — while rescore_parity (recomputed from
+    # is the HAND-COMPOSED rotation path: rotation + quantizer pair read
+    # back from the index, applied to corpus+queries with
+    # apply_whitening, FRESH ENCODE of the rotated corpus, raw-space
+    # rescore via adc_queries. Bit-parity therefore proves the persisted
+    # transform + codes round-trip exactly (persisted codes vs a fresh
+    # encode; pruned scan vs full scan) AND that the integrated option
+    # equals hand composition — while rescore_parity (recomputed from
     # the RAW corpus) pins that opq search still reports raw-space
-    # cosine.
+    # cosine. (r14: the twin's quantizer REFIT — bit-equal to the
+    # persisted fit by seed/tag construction, and pinned by
+    # tests/test_pq.py — was dropped per VERDICT r13 #1; see the body.)
     oracle="""
     SELECT CAST(vec_id AS BIGINT) AS query_id,
            CAST(1 AS INT) AS at_most_k,
@@ -1081,10 +1084,14 @@ def s10_ann_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``opq=True`` since r10): the same query population as s09 through
     ``ivfpq_search`` over cell-partitioned codes, with the ANN contract
     flags plus per-query bit-parity against the HAND-COMPOSED rotation
-    path (rotation read back from the index, corpus+queries rotated with
-    ``apply_whitening``, fresh quantizer fit on the rotated corpus,
-    raw-space rescore) — the persisted transform must round-trip exactly
-    and the integrated option must equal manual composition."""
+    path (rotation + quantizer pair read back from the index,
+    corpus+queries rotated with ``apply_whitening``, fresh ENCODE of the
+    rotated corpus, raw-space rescore) — the persisted transform and
+    codes must round-trip exactly and the integrated option must equal
+    manual composition. The persisted-fit-equals-refit invariant the
+    pre-r14 twin additionally re-proved per call is pinned once in
+    tests/test_pq.py instead (VERDICT r13 #1: ~1.5 s of driver-side
+    kmeans + collects per bench rep)."""
     import hashlib
 
     emb = load_table(spark, "embeddings", sf_dir)
@@ -1111,21 +1118,39 @@ def s10_ann_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     if not os.path.exists(f"{path}/codes"):
         similarity.build_ivfpq_index(emb, path, dim=64, m=8, seed=42, opq=True)
-    # the hand-composed twin: everything the integrated path does, spelled
-    # out with public pieces — read the rotation, rotate corpus+queries,
-    # fit+encode in the rotated basis, ADC on rotated queries, exact
-    # rescore on the RAW corpus
+    # the hand-composed twin: the integrated path's search spelled out
+    # with public pieces — read the rotation AND the persisted quantizer
+    # pair back, rotate corpus+queries, ENCODE FRESH in the rotated
+    # basis, ADC on rotated queries, exact rescore on the RAW corpus.
+    # r14 (guide §5, VERDICT r13 #1): the twin reuses the persisted
+    # (cells, books) instead of refitting them — the refit was bit-equal
+    # by construction (same seed over the same rotated corpus; the v4opq
+    # tag pins kernel + numpy stack), so it re-proved determinism the
+    # tests already pin while costing a sample collect, a corpus count
+    # and 9 driver-side kmeans fits PER CALL. Parity still proves what
+    # the flag is for: persisted codes == a fresh encode of the rotated
+    # corpus, and the cell-pruned persisted scan == the full fresh scan.
+    # The rotation, quantizer state and the collected rotated query rows
+    # are each read ONCE and shared across both tiers.
     rot = similarity._opq_read(spark, path)
+    cells, books = similarity._ivfpq_state_read(spark, path)
     emb_rot = similarity._opq_apply(emb, rot, vec_col="embedding")
     q_rot = similarity._opq_apply(queries, rot, vec_col="embedding")
-    cells, books = similarity.ivfpq_train(emb_rot, dim=64, m=8, seed=42)
+    qrows = similarity._collect_query_rows(
+        q_rot.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").cast("array<double>").alias("qv"),
+        ),
+        "s10_ann_ivfpq_persisted",
+    )
     enc = similarity.ivfpq_encode(emb_rot, cells, books)
     incall = similarity.ivf_pq_topk(
         emb, queries, dim=64, m=8, k=5, shortlist=48,
-        centroids=cells, codebooks=books, corpus_codes=enc, adc_queries=q_rot,
+        centroids=cells, codebooks=books, corpus_codes=enc, adc_query_rows=qrows,
     )
     out = similarity.ivfpq_search(
-        spark, path, emb, queries, dim=64, k=5, shortlist=48
+        spark, path, emb, queries, dim=64, k=5, shortlist=48,
+        state=(cells, books), rotation=rot, adc_query_rows=qrows,
     ).localCheckpoint(eager=False)  # feeds the contract AND the parity join
     cmp = out.select("query_id", "rnk", "neighbor_id", "cos_sim").join(
         incall.select(

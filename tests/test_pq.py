@@ -389,6 +389,46 @@ def test_opq_ivfpq_search_contract_and_recall(spark, tmp_path):
     assert hit / len(tk) >= 0.6
 
 
+def test_ivfpq_search_injected_state_bit_equal_and_refit_parity(spark, tmp_path):
+    """r14 (VERDICT r13 #1): ``ivfpq_search`` with caller-injected
+    state/rotation/adc_query_rows must be BIT-EQUAL to the default path
+    (the s10 twin shares one state read + one query collect across both
+    tiers), and the invariant the pre-r14 twin re-proved per call — a
+    fresh quantizer fit on the rotated corpus equals the persisted fit
+    bit-for-bit under the same seed/sample — is pinned HERE instead."""
+    emb = _emb(spark, n=80)
+    path = str(tmp_path / "ivfpq_opq_inj")
+    similarity.build_ivfpq_index(emb, path, dim=DIM, m=M, sample=80, seed=7, opq=True)
+    q = emb.where(F.col("vec_id") % 10 == 0)
+    default = sorted(
+        map(tuple, similarity.ivfpq_search(
+            spark, path, emb, q, dim=DIM, k=3, shortlist=24).collect())
+    )
+    rot = similarity._opq_read(spark, path)
+    cells, books = similarity._ivfpq_state_read(spark, path)
+    q_rot = similarity._opq_apply(q, rot, vec_col="embedding")
+    qrows = similarity._collect_query_rows(
+        q_rot.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").cast("array<double>").alias("qv"),
+        ),
+        "test_injected_state",
+    )
+    injected = sorted(
+        map(tuple, similarity.ivfpq_search(
+            spark, path, emb, q, dim=DIM, k=3, shortlist=24,
+            state=(cells, books), rotation=rot, adc_query_rows=qrows,
+        ).collect())
+    )
+    assert injected == default and injected
+    # fit-equals-refit, exact (not allclose): persisted state is written
+    # through float(x) (lossless double round-trip), so a same-seed refit
+    # on the same rotated corpus must reproduce it bit-for-bit
+    emb_rot = similarity._opq_apply(emb, rot, vec_col="embedding")
+    cells2, books2 = similarity.ivfpq_train(emb_rot, dim=DIM, m=M, sample=80, seed=7)
+    assert (cells == cells2).all() and (books == books2).all()
+
+
 def _cell_files(path):
     """{cell_dir_name: [parquet files]} for a cell-partitioned table."""
     import os
