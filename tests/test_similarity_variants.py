@@ -571,3 +571,48 @@ def test_collect_query_rows_error_names_the_helper(spark):
 
     with _pytest.raises(ValueError, match="chunked_query_topk"):
         similarity._collect_query_rows(big, "test")
+
+
+def test_brute_force_small_blocks_exclude_self_and_match_naive(spark):
+    """r14 kernel regression pin: when a scoring block holds <= k
+    candidates the per-block k-th threshold is -inf, and -inf >= -inf
+    would resurrect the masked self-pair slots (caught by the c04 gate
+    during the r14 rewrite). Tiny corpus spread over many partitions +
+    k > rows-per-partition exercises exactly that path; results must
+    match a naive driver-side computation and contain no self-pairs."""
+    import math
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from mlops_pipelines_featurestore_gcp_spark.operators.similarity import brute_force_topk
+
+    rng = np.random.RandomState(3)
+    n, dim = 40, 8
+    vecs = rng.randn(n, dim).round(2)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    ).repartition(16)  # ~2-3 rows per partition << k
+    queries = corpus.where(F.col("vec_id") % 9 == 0)
+    out = brute_force_topk(corpus, queries, k=10, dim=dim).collect()
+    assert all(r.query_id != r.neighbor_id for r in out)
+    # naive truth with the same fold-order arithmetic + round-half-up
+    def cos(a, b):
+        d = 0.0
+        na = 0.0
+        nb = 0.0
+        for x, y in zip(a, b):
+            d += x * y
+            na += x * x
+            nb += y * y
+        return d / math.sqrt(na * nb)
+
+    got = {(r.query_id, r.rnk): (r.neighbor_id, r.cos_sim) for r in out}
+    for q in range(0, n, 9):
+        scored = sorted(
+            ((round(cos(vecs[q], vecs[c]), 6), c) for c in range(n) if c != q),
+            key=lambda t: (-t[0], t[1]),
+        )[:10]
+        for rnk, (sim, c) in enumerate(scored, start=1):
+            assert got[(q, rnk)] == (c, sim), (q, rnk)
