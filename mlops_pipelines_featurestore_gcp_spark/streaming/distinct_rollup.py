@@ -144,7 +144,13 @@ class DistinctCountRollup:
             )
         else:
             merged = incoming
-        materialized = self._with_pgroup(merged).localCheckpoint(eager=True)
+        materialized = self._with_pgroup(merged)
+        if self._store_has_state():
+            # write barrier only when the merge plan reads the path it
+            # overwrites; a FRESH store's lineage is the batch alone, so
+            # the write itself is the single materializing action (r14,
+            # mirrors rollup.ContinuousAggregate._write_state)
+            materialized = materialized.localCheckpoint(eager=True)
         (
             materialized.repartition("pgroup")
             .write.mode("overwrite")

@@ -165,12 +165,22 @@ class ContinuousAggregate:
     def _write_state(self, merged: DataFrame) -> None:
         """Dynamic-partition-overwrite the touched pgroup dirs.
 
-        The merge plan READS the same path it overwrites, so the state is
+        A merge plan READS the same path it overwrites, so the state is
         eagerly materialized first — a lazy plan would re-read partitions
         mid-replacement on task retry (`test_rollup.py` injects a store
-        wipe between the two steps to prove the barrier holds).
+        wipe between the two steps to prove the barrier holds). On a
+        FRESH store (r14, guide §5) the lineage cannot read the path —
+        ``refresh`` writes the batch partials directly and ``cascade_into``
+        reads a DIFFERENT store's path — so the barrier is skipped: one
+        action (the write) instead of two, and the batch is scanned once
+        by the write itself. Every read-own-path writer (stateful
+        refresh, ``compact``, an equal-width self-cascade) has state on
+        disk and keeps the barrier.
         """
-        self._overwrite(self._with_pgroup(merged).localCheckpoint(eager=True))
+        staged = self._with_pgroup(merged)
+        if self._store_has_state():
+            staged = staged.localCheckpoint(eager=True)
+        self._overwrite(staged)
 
     def _overwrite(self, materialized: DataFrame) -> None:
         """One shuffle output per pgroup keeps each dir at a single file
