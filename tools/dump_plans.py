@@ -1,6 +1,10 @@
-"""Dump .explain('formatted') for named queries to plans/r13/<q>_<tag>.txt.
+"""Dump .explain('formatted') for named queries to plans/<round>/<q>_<tag>.txt.
 
-Usage: python tools/dump_plans.py <tag> [sf_dir] query [query ...]
+Usage: python tools/dump_plans.py <round>/<tag> [sf_dir] query [query ...]
+e.g. ``python tools/dump_plans.py r14/before q01_pricing_summary`` writes
+``plans/r14/q01_pricing_summary_before.txt``. A bare ``<tag>`` (no slash)
+keeps the legacy behavior of writing into plans/r13 (ADVICE r13: the
+hardcoded directory would have silently filed r14 dumps under r13).
 """
 
 from __future__ import annotations
@@ -17,10 +21,11 @@ from mlops_pipelines_featurestore_gcp_spark import get_spark, plans  # noqa: E40
 
 def main() -> None:
     tag = sys.argv[1]
+    rnd, _, tag = tag.rpartition("/") if "/" in tag else ("r13", "", tag)
     rest = sys.argv[2:]
     sf_dir = rest[0] if rest and os.path.isdir(rest[0]) else "/root/testdata/sf0.1"
     names = [a for a in rest if not os.path.isdir(a)]
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13")
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", rnd)
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("dump_plans")
     spark.sparkContext.setLogLevel("ERROR")
