@@ -41,9 +41,22 @@ def connected_components(
     ``(node, component)`` — one row per distinct node. Deterministic:
     component ids are the smallest member id.
     """
+    # Both orientations via ONE explode, not a self-union: a union's two
+    # branches each replay the full upstream pair-generation plan (Spark
+    # does no cross-branch common-subexpression elimination), and for the
+    # keep-best callers that plan is the expensive candidate join pipeline
+    # — mm08's profile showed every candidate-stage job duplicated (r14,
+    # guide §2.4: don't compute things twice before the shuffle).
     edges = (
-        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
+                    F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
+                )
+            ).alias("__e")
+        )
+        .select("__e.u", "__e.v")
         .distinct()
         .cache()
     )
@@ -75,6 +88,11 @@ def connected_components(
         # localCheckpoint truncates the lineage every iteration — without it
         # the plan doubles per round (the classic iterative-algorithm trap)
         # and the optimizer re-analyzes an exponentially growing tree.
+        # LAZY (r14, guide §5): the changed-count below is the action that
+        # materializes it — one job per iteration instead of an eager
+        # checkpoint job plus a count job. The count computes every
+        # partition of the checkpointed RDD, so the next iteration reads
+        # blocks, never recomputes the join.
         updated = (
             stepped.join(hop, "component", "left")
             .select(
@@ -82,7 +100,7 @@ def connected_components(
                 F.least(F.col("component"), F.coalesce(F.col("__cc"), F.col("component"))).alias("component"),
                 "__changed",
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         # convergence is judged on the neighbor-min step alone: if no node
         # saw a smaller neighbor label, every component is already uniform
