@@ -73,9 +73,12 @@ def hashed_embedding(
     # keeps the generated method small (``dim`` plain loads), and the
     # norm/unit folds are HOFs evaluated ONCE PER DOCUMENT (not per
     # token — the cheap side of the repo's HOF rule). Values are
-    # bit-identical: the bucket sums are exact longs (|e_i| ≤ n_tokens ≪
-    # 2⁵³), so the fold's double accumulation hits the same integers and
-    # the same final sqrt/divide.
+    # bit-identical PROVIDED the running sum of squares stays exact in
+    # double (ADVICE r13): the old form summed e_i² in pure long
+    # arithmetic, the fold accumulates in double, so identity needs
+    # Σe_i² ≤ 2⁵³ — with |e_i| ≤ n_tokens that holds up to ~12M tokens
+    # per document at dim 64 (any realistic document; a corpus past it
+    # should chunk first anyway).
     arr = F.array(*[F.col(f"__e{i}") for i in range(dim)])
     staged = sums.select(
         F.col(id_col), F.col("n_tokens"), arr.alias("__arr")

@@ -123,7 +123,13 @@ def fit_whitening(
     ]
     pairs_df = corpus.sparkSession.createDataFrame(pairs, "j int, k int")
     terms = (
+        # NULL vectors emit no terms (ADVICE r13): the pre-r13 explode
+        # form skipped them implicitly (explode of NULL = zero rows) so
+        # they never counted toward n; the crossJoin would emit 2145
+        # x=NULL rows per NULL vector — count(*) would include them while
+        # sum() skips them, silently deflating mean/covariance.
         corpus.select(v.alias("__v"))
+        .where(F.col("__v").isNotNull())
         .crossJoin(F.broadcast(pairs_df))
         .select(
             "j",

@@ -1207,8 +1207,9 @@ def s11_embedding_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
     the OPQ preprocessing step for the PQ tiers (operators/whitening.py;
     Ge 2013). Fit is ONE constant-width aggregate (2145 partial rows per
     partition after map-side combine, DECIMAL-accumulated), the 64×64
-    eigh runs driver-side, and projection/flag verification are pure
-    map-side HOF folds."""
+    eigh runs driver-side, and projection (r10) and flag verification
+    (r13) are each ONE Arrow-batched numpy matmul pass per batch —
+    map-side, no shuffle, no Catalyst HOFs."""
     import numpy as np
 
     from mlops_pipelines_featurestore_gcp_spark.operators import whitening

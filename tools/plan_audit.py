@@ -40,7 +40,10 @@ EXPECTED_CARTESIAN = {
     "t10_gopher_quality",                # size-1 vocab-stat crossJoin (t11 LM columns, r7 merge)
     "st02_sliding_window",               # size-1 broadcast of the global max ts (r7 merge)
     "s10_ann_ivfpq_persisted",           # contract form: 32-query recall verifier (s09 twin)
-    "s11_embedding_whitening",           # one-row (mean, rotation) param-table crossJoin
+    # s11_embedding_whitening dropped (ADVICE r13): its audited plan has no
+    # cartesian since the r13 Arrow flag pass — keeping the entry would
+    # mask a future accidental cartesian as "by design". (The fit's pairs
+    # crossJoin runs in an eager job outside the audited plan.)
 }
 
 # Deferred/new queries worth auditing beyond the bench set — same table,
