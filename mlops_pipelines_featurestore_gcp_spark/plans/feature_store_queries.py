@@ -54,7 +54,6 @@ _EVENT_VALUES_SQL = """
                                ORDER BY feature_time DESC, value DESC) = 1
     """,
     tags=("feature_store", "window"),
-    defer=True,
 )
 def f02_point_in_time_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2: latest value per (entity, feature) as of a fixed timestamp."""
@@ -78,7 +77,6 @@ def f02_point_in_time_read(spark: SparkSession, sf_dir: str) -> DataFrame:
                                ORDER BY v.ts DESC, v.event_id DESC) = 1
     """,
     tags=("feature_store", "asof", "join"),
-    defer=True,
 )
 def f03_asof_spine_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: for each purchase, the user's latest prior view.
@@ -118,6 +116,7 @@ def f03_asof_spine_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) AS fv(feature_name, value)
     """,
     tags=("feature_store", "import"),
+    defer=True,
 )
 def f04_feature_import_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FS6's wide→long melt (import_feature_values' core transform), minus
@@ -151,6 +150,7 @@ def f04_feature_import_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM latest GROUP BY entity_id
     """,
     tags=("feature_store", "pivot"),
+    defer=True,
 )
 def f05_latest_wide_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FS7 wide read: latest long values pivoted to one row per entity
@@ -225,6 +225,7 @@ _DRIFT_SPLIT_EVENTS = "TIMESTAMP '2024-01-16 00:00:00'"
         )
     ),
     tags=("feature_store", "drift", "monitoring"),
+    defer=True,
 )
 def f06_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-serving drift monitor (operators/drift.py): PSI of the

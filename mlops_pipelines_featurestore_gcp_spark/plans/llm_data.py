@@ -74,7 +74,6 @@ _UHASH_SRC = (
     GROUP BY 1
     """,
     tags=("dedup", "llm"),
-    defer=True,
 )
 def d01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: md5 fingerprint of normalized text, hash-groupBy."""
@@ -113,7 +112,6 @@ _QUALITY_SQL = f"""
     SELECT doc_id, fp, n_docs, quality FROM ranked WHERE rn = 1
     """,
     tags=("dedup", "llm", "quality"),
-    defer=True,
 )
 def d08_keep_best_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware exact dedup (operators/dedup.py exact_dedup_keep_best):
@@ -145,6 +143,7 @@ def d08_keep_best_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY n_exact DESC, item ASC LIMIT 20
     """,
     tags=("sketch", "llm", "text", "approx"),
+    defer=True,
 )
 def t18_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy-hitter tokens via count-min sketch (operators/sketches.py):
@@ -175,7 +174,6 @@ def t18_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, source FROM ranked WHERE rn <= 10
     """,
     tags=("llm", "sampling", "cap"),
-    defer=True,
 )
 def s07_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/Dolma-style per-domain page cap (operators/sampling.py
@@ -200,6 +198,7 @@ def s07_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents
     """,
     tags=("dedup", "llm", "sampling"),
+    defer=True,
 )
 def t17_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style soft dedup (operators/dedup.py soft_dedup_weights):
@@ -255,7 +254,6 @@ def t17_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE i.ni / (sa.n + sb.n - i.ni) >= 0.5
     """,
     tags=("dedup", "llm", "minhash"),
-    defer=True,
 )
 def d02_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16) + 4-band LSH candidates + exact-Jaccard verify ≥ 0.5."""
@@ -291,7 +289,6 @@ def d02_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE c.ni / (sa.n + sb.n - c.ni) >= 0.5
     """,
     tags=("dedup", "llm", "ngram"),
-    defer=True,
 )
 def d03_ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard pairs ≥ 0.5 via inverted-index join."""
@@ -338,6 +335,7 @@ _SIMHASH_SIG_SQL = f"""
     FROM pairs WHERE hamming <= 8
     """,
     tags=("dedup", "llm", "simhash"),
+    defer=True,
 )
 def d04_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash, 4×15-bit chunk blocking, hamming ≤ 8 verify."""
@@ -386,6 +384,7 @@ def _d05_sig_sql(t: int) -> str:
     SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.45
     """,
     tags=("dedup", "llm", "embedding", "lsh"),
+    defer=True,
 )
 def d05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs via coordinate-sign LSH blocking + exact
@@ -427,6 +426,7 @@ def d05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM embeddings
     """,
     tags=("dedup", "similarity", "llm", "semantic", "linear"),
+    defer=True,
 )
 def d10_semantic_keep_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LINEAR-output semantic dedup (the mm07 lesson applied to
@@ -546,6 +546,7 @@ def d10_semantic_keep_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM flagged
     """,
     tags=("dedup", "llm", "url"),
+    defer=True,
 )
 def d11_url_host_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-URL dedup + host-level downsampling (operators/urls.py —
@@ -633,7 +634,6 @@ def d11_url_host_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     QUALIFY rnk <= 5
     """,
     tags=("similarity", "llm"),
-    defer=True,
 )
 def s01_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 neighbors for every 50th vector (broadcast scoring)."""
@@ -848,7 +848,6 @@ def s02_operator_parts(spark: SparkSession, sf_dir: str):
     # planes (+1 per doubling) and hold recall via tables/probe radius.
     oracle=_ANN_CONTRACT_RECALL_ORACLE_2TIER,
     tags=("similarity", "llm", "ivf", "lsh"),
-    defer=True,
 )
 def s03_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-5 (op='ivf') beside hyperplane multi-probe LSH
@@ -901,7 +900,6 @@ def s03_operator_parts(spark: SparkSession, sf_dir: str):
            CAST(1 AS INT) AS subset_of_exact
     """,
     tags=("dedup", "similarity", "llm", "semantic"),
-    defer=True,
 )
 def d07_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup: KMeans cells, within-cell exact cosine
@@ -959,6 +957,7 @@ def d07_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # at-most-k vacuity is only right where buckets can come up empty).
     oracle=_ANN_CONTRACT_ORACLE,
     tags=("similarity", "llm", "quantization"),
+    defer=True,
 )
 def s05_ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage quantized top-5: int8-dot shortlist over the 4×-smaller
@@ -986,7 +985,6 @@ def s05_ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 0.92 (sf0.01) / 0.88 (sf0.1) / 0.925 (10×) — floor 0.7.
     oracle=_ANN_CONTRACT_RECALL_ORACLE,
     tags=("similarity", "llm", "quantization", "pq"),
-    defer=True,
 )
 def s08_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage PQ top-5: asymmetric-distance shortlist over 8-byte PQ
@@ -1021,6 +1019,7 @@ def s08_operator_parts(spark: SparkSession, sf_dir: str):
     # full-scan PQ (s08: 0.88+) is the documented IVF pruning trade.
     oracle=_ANN_CONTRACT_RECALL_ORACLE,
     tags=("similarity", "llm", "ivf", "pq"),
+    defer=True,
 )
 def s09_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ top-5: √N coarse cells (corpus-count-derived via
@@ -1077,7 +1076,6 @@ def s09_operator_parts(spark: SparkSession, sf_dir: str):
     FROM embeddings WHERE vec_id % 50 = 0
     """,
     tags=("similarity", "llm", "ivf", "pq", "persisted-index"),
-    defer=True,
 )
 def s10_ann_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Search against the PERSISTED IVF-PQ index (build-once/search-many,
@@ -1200,7 +1198,6 @@ def s10_ann_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM embeddings
     """,
     tags=("similarity", "embedding", "whitening", "pca", "llm"),
-    defer=True,
 )
 def s11_embedding_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA rotation fit + map-side projection over the embeddings table —
@@ -1352,6 +1349,7 @@ def _cell_md5s(table_dir: str, cells: list[str]) -> dict[str, list[tuple[str, st
     FROM embeddings WHERE vec_id % 50 = 0
     """,
     tags=("similarity", "llm", "ivf", "pq", "persisted-index", "compaction"),
+    defer=True,
 )
 def s12_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-files maintenance on a persisted IVF-PQ index
@@ -1513,7 +1511,6 @@ def s12_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM feats
     """,
     tags=("ml", "llm", "quality", "classifier"),
-    defer=True,
 )
 def ml07_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality filtering (ml/classifier.py) in the FineWeb-Edu
@@ -1694,6 +1691,7 @@ _LANG_PRED_SQL = f"""CASE WHEN {_LANG_BEST_SQL} = 0 THEN 'und'
     FROM feats
     """,
     tags=("text", "llm", "pii", "repetition", "langid"),
+    defer=True,
 )
 def t01_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token statistics (whitespace + BPE-ish counts, distinct tokens, avg
@@ -1758,6 +1756,7 @@ def t01_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM base b LEFT JOIN sk USING (doc_id)
     """,
     tags=("text", "llm", "fingerprint"),
+    defer=True,
 )
 def t04_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash document fingerprint: bottom-4 sketch of 8-gram hashes.
@@ -1788,7 +1787,6 @@ def t04_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM s
     """,
     tags=("text", "llm", "chunking"),
-    defer=True,
 )
 def t05_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping token-window chunking (64-token chunks, 16-token overlap):
@@ -1825,7 +1823,6 @@ def t05_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     HAVING COUNT(b.g) > 0
     """,
     tags=("text", "llm", "contamination", "dedup"),
-    defer=True,
 )
 def t06_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-set decontamination: flag corpus docs sharing 5-token grams
@@ -1853,6 +1850,7 @@ def t06_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents
     """,
     tags=("multimodal", "llm", "pandas-udf"),
+    defer=True,
 )
 def mm01_payload_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Opaque binary payload + typed JVM-side metadata (mime, size,
@@ -1889,7 +1887,6 @@ def mm01_payload_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM f
     """,
     tags=("multimodal", "llm", "video"),
-    defer=True,
     # NOTE on the defer flag: it rotates round-to-round (rotate_window.py
     # owns it — do not read it as a permanent status). Independent of the
     # window, the multimodal mapInPandas path is checked via mm01, the
@@ -1951,7 +1948,6 @@ def mm03_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM emb e JOIN cnt c USING (doc_id)
     """,
     tags=("llm", "text", "embedding", "similarity"),
-    defer=True,
 )
 def t07_hashed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-hashed document embeddings (operators/embeddings.py): the
@@ -2045,6 +2041,7 @@ def t07_hashed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE d.doc_id IS NULL
     """,
     tags=("llm", "pipeline", "dedup", "text"),
+    defer=True,
 )
 def c01_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus preparation (operators/corpus.py): quality gate →
@@ -2079,7 +2076,6 @@ def c01_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM counts
     """,
     tags=("text", "llm", "vocab"),
-    defer=True,
 )
 def t09_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequency-ranked token vocabulary + cumulative coverage curve
@@ -2115,7 +2111,6 @@ def t09_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.old_fp <> n.new_fp
     """,
     tags=("llm", "pipeline", "diff"),
-    defer=True,
 )
 def c02_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus snapshot diff (operators/corpus.py corpus_diff): classify every
@@ -2217,6 +2212,7 @@ def c02_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     QUALIFY rnk <= 3
     """,
     tags=("llm", "composite", "chunking", "embedding", "similarity", "ann"),
+    defer=True,
 )
 def c03_semantic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAG-ingestion composite: overlapping chunking → per-chunk hashed
@@ -2343,7 +2339,6 @@ def c03_semantic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     QUALIFY rrnk <= 5
     """,
     tags=("llm", "composite", "similarity", "bm25", "rerank", "hybrid"),
-    defer=True,
 )
 def c04_hybrid_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval: exact-cosine vector recall (top-20 per sampled
@@ -2623,7 +2618,6 @@ _UHASH = _UHASH_SRC
        OR {_UHASH.format(salt='budget').replace('doc_id', 's.doc_id')} < 20000.0 / tot.total
     """,
     tags=("llm", "sampling", "mix"),
-    defer=True,
 )
 def s04_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-mix construction (operators/sampling.py):
@@ -2674,6 +2668,7 @@ def s04_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM isl GROUP BY doc_id, grp
     """,
     tags=("llm", "dedup", "text"),
+    defer=True,
 )
 def d06_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring span dedup (operators/dedup.py exact_substring_spans):
@@ -2716,7 +2711,6 @@ def d06_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM placed
     """,
     tags=("llm", "packing", "text"),
-    defer=True,
 )
 def t08_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-token sequence packing (operators/packing.py): every doc gets a
@@ -2816,7 +2810,6 @@ _GOPHER_REQ_SQL = " + ".join(
     ) lm USING (doc_id)
     """,
     tags=("text", "llm", "quality", "gopher", "lm"),
-    defer=True,
 )
 def t10_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher quality-rule evaluation (operators/quality.py) over the corpus
@@ -2871,6 +2864,7 @@ def t10_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM fp JOIN groups g USING (f)
     """,
     tags=("sampling", "llm", "split", "dedup"),
+    defer=True,
 )
 def s06_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/val split (operators/sampling.py): the split draw
@@ -2898,6 +2892,7 @@ def s06_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM range(8)
     """,
     tags=("text", "llm", "tokenizer", "bpe"),
+    defer=True,
 )
 def t12_bpe_subwords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE (operators/bpe.py): learn 8 merges from the corpus
@@ -2939,7 +2934,6 @@ def t12_bpe_subwords(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY 1, 2
     """,
     tags=("multimodal", "dedup", "audio"),
-    defer=True,
 )
 def mm05_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio near-dup over the multimodal payload column: chromaprint-style
@@ -2989,6 +2983,7 @@ def mm05_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ranked
     """,
     tags=("multimodal", "dedup", "keep-best", "linear"),
+    defer=True,
 )
 def mm07_media_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep-best-per-cluster image dedup, LINEAR output: the real mm04
@@ -3079,6 +3074,7 @@ def mm07_media_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
       ON a.doc_id % 97 = b.doc_id % 97 AND a.doc_id < b.doc_id
     """,
     tags=("multimodal", "dedup", "video", "jaccard", "phash"),
+    defer=True,
 )
 def mm06_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video near-dup over sampled-frame fingerprints: frame_sample →
@@ -3205,7 +3201,6 @@ def mm06_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ranked
     """,
     tags=("multimodal", "dedup", "video", "keep-best", "linear"),
-    defer=True,
 )
 def mm08_video_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep-best-per-cluster VIDEO dedup, linear output: the real mm06
@@ -3302,7 +3297,6 @@ def mm08_video_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT op, doc_id, term, x1, x2, tfidf_micro AS score_micro FROM tfidf
     """,
     tags=("text", "llm", "relevance", "bm25", "tfidf"),
-    defer=True,
 )
 def t13_bm25_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 ranking of every document against a seed query
@@ -3380,7 +3374,6 @@ def t13_bm25_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
           < least(1.0, score_micro / 1000000.0 * 0.3)
     """,
     tags=("llm", "sampling", "relevance", "importance"),
-    defer=True,
 )
 def t15_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-shaped in-domain selection: BM25-score the corpus against a
@@ -3416,7 +3409,6 @@ def t15_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE len({_TOKS.format(col='nt')}) >= 5
     """,
     tags=("llm", "contamination", "bloom"),
-    defer=True,
 )
 def t16_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter contamination pass (operators/contamination.py
@@ -3595,6 +3587,7 @@ _D09_ORACLE = f"""
     "d09_incremental_dedup",
     oracle=_D09_ORACLE,
     tags=("dedup", "llm", "incremental"),
+    defer=True,
 )
 def d09_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental corpus dedup against the persisted index
@@ -3672,7 +3665,6 @@ def d09_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents WHERE doc_id % 5 = 0
     """,
     tags=("tfrecord", "codec", "source", "sink"),
-    defer=True,
 )
 def q39_tfrecord_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write→read TFRecord round-trip over a documents subset: S6's

@@ -34,6 +34,7 @@ _EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
     GROUP BY user_id
     """,
     tags=("ml", "pivot"),
+    defer=True,
 )
 def ml01_rating_matrix_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2: the long→wide matrix build as a bounded pivot."""
@@ -62,7 +63,6 @@ def ml01_rating_matrix_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM obs LEFT JOIN factors f USING (action)
     """,
     tags=("ml", "join", "reward"),
-    defer=True,
 )
 def ml02_reward_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M6/J3: env-reward lookup = broadcast join + dot product, using the
@@ -95,7 +95,6 @@ def ml02_reward_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(1 AS INT) AS argmax_consistent
     """,
     tags=("ml", "bandit"),
-    defer=True,
 )
 def ml03_linucb_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M4+M5: LinUCB fit on a deterministic synthetic bandit + greedy
@@ -139,7 +138,6 @@ def ml03_linucb_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM range(16)
     """,
     tags=("ml", "als", "generator"),
-    defer=True,
 )
 def ml04_als_trajectories(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M1+M2+M3: ALS factors from event-derived ratings, then seeded
@@ -195,6 +193,7 @@ def ml04_als_trajectories(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY action
     """,
     tags=("ml", "bandit", "suffstats"),
+    defer=True,
 )
 def ml05_linucb_suffstats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M4's driver-verifiable projection: per-arm LinUCB sufficient
@@ -263,6 +262,7 @@ _DISC_CASE_SQL = "CASE {r} " + 'WHEN 1 THEN 1.0 WHEN 2 THEN 0.6309297535714575 W
     FROM per_user p CROSS JOIN gstats g
     """,
     tags=("ml", "metrics", "ranking"),
+    defer=True,
 )
 def ml06_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recommender-evaluation metrics under the driver hash

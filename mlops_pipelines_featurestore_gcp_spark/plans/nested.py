@@ -45,7 +45,6 @@ from mlops_pipelines_featurestore_gcp_spark.sources.catalog import load_table
     FROM arrs
     """,
     tags=("nested", "agg", "projection"),
-    defer=True,
 )
 def n01_array_build_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build REPEATED columns (per-order arrays in deterministic line order,
@@ -85,6 +84,7 @@ def n01_array_build_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_orderkey, pos, qty FROM exploded
     """,
     tags=("nested", "explode"),
+    defer=True,
 )
 def n04_explode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """posexplode: REPEATED column back to rows with positions (the
@@ -129,6 +129,7 @@ def n04_explode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM obs
     """,
     tags=("nested", "depth3", "struct"),
+    defer=True,
 )
 def n05_depth3_trajectory_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The exact trajectory nesting: array<struct<observation_batch:

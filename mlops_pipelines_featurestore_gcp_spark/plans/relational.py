@@ -52,7 +52,6 @@ def _dec_sum(col, scale: int = 2, prec: int = 18):
     GROUP BY l_returnflag, l_linestatus
     """,
     tags=("agg", "scan", "filter"),
-    defer=True,
 )
 def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped pricing summary: filtered scan → hash aggregate.
@@ -90,7 +89,6 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 25
     """,
     tags=("scan", "filter", "sort", "limit"),
-    defer=True,
 )
 def q02_filter_project_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered scan → projection → top-k (TakeOrderedAndProject).
@@ -118,6 +116,7 @@ def q02_filter_project_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24
     """,
     tags=("agg", "filter"),
+    defer=True,
 )
 def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6-shaped scalar aggregate — every predicate pushes to parquet."""
@@ -158,6 +157,7 @@ def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 10
     """,
     tags=("join", "agg", "sort", "limit"),
+    defer=True,
 )
 def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-shaped 3-way join → agg → top-10.
@@ -196,6 +196,7 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY o_orderpriority
     """,
     tags=("join", "semi", "agg"),
+    defer=True,
 )
 def q04_order_priority_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-semi join (EXISTS) + aggregate, TPC-H Q4-shaped."""
@@ -232,7 +233,6 @@ def q04_order_priority_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY n.n_name
     """,
     tags=("join", "agg"),
-    defer=True,
 )
 def q05_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-shaped 6-table join: local-supplier volume per nation.
@@ -284,6 +284,7 @@ def q05_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY c.c_mktsegment
     """,
     tags=("join", "outer", "anti", "agg"),
+    defer=True,
 )
 def q08_outer_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customer-order activity in one op-tagged slot (r6's q07 folded in):
@@ -343,7 +344,6 @@ def q08_outer_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY o.o_orderpriority
     """,
     tags=("join", "range"),
-    defer=True,
 )
 def q20_range_join_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi + non-equi (range) join: items shipped >60 days after order.
@@ -379,6 +379,7 @@ def q20_range_join_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY c.c_mktsegment
     """,
     tags=("subquery", "semi", "agg"),
+    defer=True,
 )
 def q21_in_and_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IN-subquery (→ semi join) gated by an uncorrelated scalar subquery.
@@ -441,6 +442,7 @@ def q21_in_and_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE rn <= 3
     """,
     tags=("window", "topk", "agg"),
+    defer=True,
 )
 def q09_window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The window-function surface over ONE partition-by-customer shuffle:
@@ -516,7 +518,6 @@ def q09_window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
     tags=("agg", "rollup", "cube"),
-    defer=True,
 )
 def q12_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP (per-(flag,status), per-flag subtotal, grand total over
@@ -562,6 +563,7 @@ def q12_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM region a CROSS JOIN region b WHERE a.r_regionkey <> b.r_regionkey
     """,
     tags=("setop", "join", "cross"),
+    defer=True,
 )
 def q15_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT / EXCEPT / UNION-distinct cardinalities of two key sets,
@@ -618,6 +620,7 @@ def q15_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE p_name LIKE '%e%' AND p_partkey <= 1200 AND p_retailprice > 0
     """,
     tags=("scalar", "string", "math", "encoding"),
+    defer=True,
 )
 def q16_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar-function surface in one slot (r1's q16 + q18 + the previously
@@ -671,6 +674,7 @@ def q16_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1, 2
     """,
     tags=("scalar", "date", "agg", "pivot", "conditional", "distinct"),
+    defer=True,
 )
 def q17_date_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date/time scalars (extract, trunc, min/max over timestamps), manual
@@ -713,6 +717,7 @@ def q17_date_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY event_type
     """,
     tags=("scalar", "json", "agg"),
+    defer=True,
 )
 def q25_json_and_case(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON extraction from the events.props payload + conditional count.
@@ -747,6 +752,7 @@ def q25_json_and_case(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY GROUPING SETS ((n_name, r_name), (r_name), ())
     """,
     tags=("agg", "grouping-sets"),
+    defer=True,
 )
 def q27_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS with GROUPING() ids — via Spark SQL over temp views
@@ -792,7 +798,6 @@ def q27_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     WINDOW wc AS (PARTITION BY o_custkey)
     """,
     tags=("window", "range-frame", "subquery"),
-    defer=True,
 )
 def q28_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Value-RANGE window frame (sum of orders within 1000 below the current
@@ -841,6 +846,7 @@ def q28_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM t GROUP BY 1
     """,
     tags=("nulls", "agg"),
+    defer=True,
 )
 def q29_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NULL semantics: nullif/coalesce, count(col) vs count(*), null-safe
@@ -871,6 +877,7 @@ def q29_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY n_name
     """,
     tags=("agg", "string-agg", "filter-clause"),
+    defer=True,
 )
 def q30_ordered_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered, filtered string aggregation (listagg/string_agg shape):
@@ -905,7 +912,6 @@ def q30_ordered_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1, 2
     """,
     tags=("join", "bucketing", "agg"),
-    defer=True,
 )
 def q31_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fact-fact join with ZERO read-time shuffle: both tables are stored
@@ -978,6 +984,7 @@ def q31_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY event_type
     """,
     tags=("agg", "approx", "sketch"),
+    defer=True,
 )
 def q32_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates per event_type: approx_count_distinct (HLL++) and
@@ -1039,6 +1046,7 @@ def q32_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY o.o_orderpriority
     """,
     tags=("join", "range", "binned"),
+    defer=True,
 )
 def q33_binned_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PURE range join (no equi key): every lineitem shipped inside each
@@ -1115,7 +1123,6 @@ def q33_binned_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM s0 LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
     """,
     tags=("events", "funnel", "sequence"),
-    defer=True,
 )
 def q34_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed funnel (view → click → purchase within 24 h of the anchor):
@@ -1163,7 +1170,6 @@ def q34_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM sess GROUP BY user_id, session_seq
     """,
     tags=("events", "session", "window"),
-    defer=True,
 )
 def q35_sessionize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch sessionization (30-min inactivity gap) + per-session rollup
@@ -1193,7 +1199,6 @@ def q35_sessionize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY f.cohort_period, period_offset
     """,
     tags=("events", "retention", "cohort"),
-    defer=True,
 )
 def q36_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort-retention triangle (operators/sessions.py): first-
@@ -1225,7 +1230,6 @@ def q36_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ranked WHERE rnk <= 3
     """,
     tags=("window", "topk", "skew"),
-    defer=True,
 )
 def q37_skew_salted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 events by value per (user, event_type) through the SKEW-SAFE
@@ -1288,7 +1292,6 @@ def q37_skew_salted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL SELECT 'fraction_at_least(finished,0.25)', v_fr, n, v_fr = 0 FROM s
     """,
     tags=("quality", "expectations", "validation"),
-    defer=True,
 )
 def q38_data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Great-Expectations-style batch admission gate over orders
@@ -1338,7 +1341,6 @@ def q38_data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1
     """,
     tags=("layout", "compaction", "clustering", "zorder", "io"),
-    defer=True,
 )
 def q40_clustered_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction + clustered layout under the driver hash

@@ -40,7 +40,6 @@ from mlops_pipelines_featurestore_gcp_spark.streaming.windows import (
     GROUP BY 1, 2, 3
     """,
     tags=("streaming", "window"),
-    defer=True,
 )
 def st01_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-hour tumbling count+sum per event type. The sum accumulates in
@@ -78,6 +77,7 @@ def st01_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY w_start, mx.max_ts
     """,
     tags=("streaming", "window", "watermark"),
+    defer=True,
 )
 def st02_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-hour windows sliding every 30 min — each event in exactly 2
@@ -129,6 +129,7 @@ def st02_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY user_id, sess_id
     """,
     tags=("streaming", "window", "session"),
+    defer=True,
 )
 def st03_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """30-min-gap session windows per user (gaps-and-islands as the oracle)."""
@@ -157,6 +158,7 @@ def st03_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ranked WHERE rn = 1
     """,
     tags=("streaming", "dedup"),
+    defer=True,
 )
 def st04_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """At-least-once → exactly-once: first-wins dedup on the message key
@@ -192,6 +194,7 @@ def st04_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY bucket, event_type
     """,
     tags=("streaming", "rollup", "hypertable", "incremental"),
+    defer=True,
 )
 def st06_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style continuous aggregate (streaming/rollup.py): the
@@ -253,7 +256,6 @@ def st06_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY bucket, event_type
     """,
     tags=("streaming", "rollup", "sketch", "distinct"),
-    defer=True,
 )
 def st07_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incrementally-maintained distinct-user counts per (hour, event_type)
@@ -343,6 +345,7 @@ def st07_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE v.event_type = 'view' AND p.event_type = 'purchase'
     """,
     tags=("streaming", "join", "interval", "watermark"),
+    defer=True,
 )
 def st08_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """View->purchase attribution pairs within 6 hours per user — the
@@ -419,6 +422,7 @@ def st08_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY bucket, event_type
     """,
     tags=("streaming", "rollup", "sketch", "quantile"),
+    defer=True,
 )
 def st09_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incrementally-maintained p50/p95 per (hour, event_type) via
